@@ -1,0 +1,21 @@
+"""lk_data_test_ray — a Ray-Data-native schema + constraint validation engine.
+
+A from-scratch re-expression of the query / data-processing capabilities of
+the reference repo ``semantic-kraus/lk-data-test`` (see ``SURVEY.md``) as an
+idiomatic Ray Data engine over Parquet tables of Common-Crawl-style web pages
+``(url, warc_ts, html, text, lang)``.
+
+Layout:
+    functions/  pure deterministic row/batch functions (extract, hashing, text stats)
+    sketches/   mergeable streaming sketches (HyperLogLog, Bloom, t-digest)
+    sources/    synthetic pages generator + parquet readers
+    stages/     generic Ray Data operators (joins, dedup, ANN, multimodal)
+    checks/     the constraint-check plugin suite (C0..C6)
+    pipelines/  end-to-end pipelines (validation job, TPC-H-ish queries, text pipes)
+    state/      lineage manifests / checkpoint-resume store
+
+Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — sessions are
+owned by the caller (bench.py, CLI, pytest fixture, or the external driver).
+"""
+
+__version__ = "0.1.0"

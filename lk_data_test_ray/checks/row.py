@@ -1,0 +1,259 @@
+"""The fused row-phase constraint checker (checks C0, C2, C3, C4, C6 + stats).
+
+One actor-pool ``map_batches`` stage evaluates every per-row constraint in a
+single pass over zero-copy Arrow batches — the reference evaluates its checks
+in separate whole-corpus scripts (``curation/check_*.py``); fusing them avoids
+re-reading 100 TB once per check.
+
+Output is a "combined" table: violation rows (≙ the reference's per-check
+failure prints, e.g. ``scripts/make_texts.py:421``) plus exactly one
+``__stats__`` row per batch carrying serialized mergeable sketch partials
+(HyperLogLog url/lang cardinality, t-digest text-length quantiles, exact lang
+counts for the drift check, warc_ts min/max, null counters). Partials are
+merged associatively on the driver — no shuffle needed for any of these stats.
+
+Stateful setup (vocab frozenset, compiled extraction regexes, bounds parsing)
+happens once per actor in ``__init__``, never per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.extract import extract_text
+from ..schema import PAGES_SCHEMA, VIOLATIONS_SCHEMA, WARC_TS_MAX, WARC_TS_MIN
+from ..sketches import HyperLogLog, TDigest
+from .vocab import ISO_639_1
+
+COMBINED_SCHEMA = pa.schema(
+    list(VIOLATIONS_SCHEMA)
+    + [pa.field("kind", pa.string()), pa.field("blob", pa.binary())]
+)
+
+STATS_ROW_ID = "__stats__"
+
+
+def _empty_cols():
+    return {"check_id": [], "url": [], "partition_id": [], "severity": [], "detail": []}
+
+
+class RowChecker:
+    """Callable class for ``map_batches(RowChecker, concurrency=N, ...)``.
+
+    Args (bound via fn_constructor_kwargs):
+        partition_of: dict path -> partition_id (input carries a "path" column)
+        vocab: language vocabulary (default ISO 639-1)
+        check_extract: run the (expensive) C6 extraction-equality check
+    """
+
+    def __init__(self, partition_of: dict[str, int] | None = None,
+                 vocab=None, check_extract: bool = True):
+        self.partition_of = partition_of or {}
+        self.vocab = frozenset(vocab) if vocab is not None else ISO_639_1
+        self.check_extract = check_extract
+        self.ts_lo = np.datetime64(WARC_TS_MIN, "us")
+        self.ts_hi = np.datetime64(WARC_TS_MAX, "us")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # a batch can bundle blocks from more than one input file — split by
+        # path so violations/stats attribute to the right partition
+        if "path" in batch.column_names:
+            paths = pc.unique(batch["path"])
+            if len(paths) > 1:
+                pieces = []
+                for p in paths:
+                    sub = batch.filter(pc.equal(batch["path"], p))
+                    pieces.append(self._process(
+                        sub.drop_columns(["path"]),
+                        self.partition_of.get(p.as_py(), -1)))
+                return pa.concat_tables(pieces)
+            pid = self.partition_of.get(paths[0].as_py(), -1)
+            batch = batch.drop_columns(["path"])
+        else:
+            pid = -1
+        return self._process(batch, pid)
+
+    def _process(self, batch: pa.Table, pid: int) -> pa.Table:
+        cols = _empty_cols()
+
+        def emit(check_id, urls, severity, details):
+            n = len(urls)
+            if n == 0:
+                return
+            cols["check_id"].extend([check_id] * n)
+            cols["url"].extend(urls)
+            cols["partition_id"].extend([pid] * n)
+            cols["severity"].extend([severity] * n)
+            if isinstance(details, str):
+                details = [details] * n
+            cols["detail"].extend(details)
+
+        # --- C0 schema conformance ------------------------------------------
+        if [f.name for f in batch.schema] != [f.name for f in PAGES_SCHEMA] or any(
+            not batch.schema.field(f.name).type.equals(f.type) for f in PAGES_SCHEMA
+        ):
+            emit("c0_schema", ["__schema__"], "fatal",
+                 f"batch schema {batch.schema!s} != declared pages schema")
+            return _finish(cols, pid, None)
+
+        url = np.asarray(batch["url"].to_pandas(), dtype=object)
+        text_col = batch["text"]
+        lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        html_null = np.asarray(pc.is_null(batch["html"]))
+        text_null = np.asarray(pc.is_null(text_col))
+        text_empty = text_null | np.asarray(
+            pc.equal(pc.coalesce(pc.utf8_length(text_col), pa.scalar(0)), 0)
+        )
+
+        # --- C2 html↔text referential non-nullity ---------------------------
+        bad = (~html_null) & text_empty
+        emit("c2_nonnull", list(url[bad]), "error",
+             "html non-null but text null/empty")
+
+        # --- C3 lang ∈ vocabulary -------------------------------------------
+        in_vocab = np.fromiter(
+            ((v in self.vocab) if v is not None else False for v in lang),
+            dtype=bool, count=len(lang),
+        )
+        bad = ~in_vocab
+        emit("c3_lang_vocab", list(url[bad]), "error",
+             [f"lang={v!r}" for v in lang[bad]])
+
+        # --- C4 warc_ts range -----------------------------------------------
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)  # datetime64[us], NaT for null
+        ts_ok = (ts >= self.ts_lo) & (ts < self.ts_hi)  # NaT compares False
+        bad = ~ts_ok
+        emit("c4_ts_range", list(url[bad]), "error", [str(v) for v in ts[bad]])
+
+        # --- C6 extraction determinism (byte-identical text per url) --------
+        if self.check_extract:
+            html_py = batch["html"].to_pylist()
+            text_py = text_col.to_pylist()
+            bad_idx = [
+                i for i in range(len(html_py))
+                if html_py[i] is not None and text_py[i] is not None
+                and extract_text(html_py[i]) != text_py[i]
+            ]
+            emit("c6_extract_match", [url[i] for i in bad_idx], "error",
+                 "extract_text(html) != text")
+
+        # --- stats partial ---------------------------------------------------
+        hll_url = HyperLogLog(12)
+        hll_url.update_strings(url)
+        hll_lang = HyperLogLog(12)
+        hll_lang.update_strings(np.array([v if v is not None else "" for v in lang],
+                                         dtype=object))
+        td = TDigest()
+        tl = pc.utf8_length(text_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        td.update(tl[~np.isnan(tl)] if np.isnan(tl).any() else tl)
+        lang_mask = np.fromiter((v is not None for v in lang), dtype=bool,
+                                count=len(lang))
+        vals, cnts = np.unique(lang[lang_mask].astype(str), return_counts=True)
+        ts_valid = ts[~np.isnat(ts)]
+        stats = {
+            "n_rows": batch.num_rows,
+            "hll_url": hll_url.to_bytes(),
+            "hll_lang": hll_lang.to_bytes(),
+            "tdigest_textlen": td.to_bytes(),
+            "lang_counts": {str(a): int(b) for a, b in zip(vals, cnts)},
+            "html_null": int(html_null.sum()),
+            "text_null": int(text_null.sum()),
+            "ts_min": str(ts_valid.min()) if ts_valid.size else None,
+            "ts_max": str(ts_valid.max()) if ts_valid.size else None,
+        }
+        return _finish(cols, pid, stats)
+
+
+def _finish(cols, pid: int, stats: dict | None) -> pa.Table:
+    n_viol = len(cols["check_id"])
+    kind = ["violation"] * n_viol
+    blob: list = [None] * n_viol
+    if stats is not None:
+        cols["check_id"].append(STATS_ROW_ID)
+        cols["url"].append("")
+        cols["partition_id"].append(pid)
+        cols["severity"].append("info")
+        cols["detail"].append(json.dumps({"n_rows": stats["n_rows"]}))
+        kind.append("stats")
+        blob.append(pickle.dumps(stats, protocol=5))
+    return pa.table(
+        {
+            "check_id": pa.array(cols["check_id"], pa.string()),
+            "url": pa.array(cols["url"], pa.string()),
+            "partition_id": pa.array(cols["partition_id"], pa.int32()),
+            "severity": pa.array(cols["severity"], pa.string()),
+            "detail": pa.array(cols["detail"], pa.string()),
+            "kind": pa.array(kind, pa.string()),
+            "blob": pa.array(blob, pa.binary()),
+        },
+        schema=COMBINED_SCHEMA,
+    )
+
+
+def split_combined(tables: list[pa.Table]) -> tuple[pa.Table, list[tuple[int, dict]]]:
+    """Split combined output into (violations table, [(partition_id, stats)])."""
+    combined = (
+        pa.concat_tables(tables) if tables else COMBINED_SCHEMA.empty_table()
+    )
+    is_v = pc.equal(combined["kind"], "violation")
+    violations = combined.filter(is_v).select(
+        [f.name for f in VIOLATIONS_SCHEMA]
+    ).cast(VIOLATIONS_SCHEMA)
+    stats_rows = combined.filter(pc.invert(is_v))
+    partials = [
+        (stats_rows["partition_id"][i].as_py(),
+         pickle.loads(stats_rows["blob"][i].as_py()))
+        for i in range(stats_rows.num_rows)
+    ]
+    return violations, partials
+
+
+def merge_stats(partials: list[dict]) -> dict:
+    """Associative merge of per-batch stats partials."""
+    if not partials:
+        # closed under merge: a zero-stats partition (e.g. one that failed C0
+        # before any row stats were computed) must still merge cleanly
+        return {"n_rows": 0, "lang_counts": {}, "html_null": 0, "text_null": 0,
+                "ts_min": None, "ts_max": None,
+                "hll_url": HyperLogLog(12).to_bytes(),
+                "hll_lang": HyperLogLog(12).to_bytes(),
+                "tdigest_textlen": TDigest().to_bytes(),
+                "url_cardinality_est": 0.0,
+                "lang_cardinality_est": 0.0, "textlen_quantiles": {}}
+    hll_u = HyperLogLog.from_bytes(partials[0]["hll_url"])
+    hll_l = HyperLogLog.from_bytes(partials[0]["hll_lang"])
+    td = TDigest.from_bytes(partials[0]["tdigest_textlen"])
+    out = {
+        "n_rows": partials[0]["n_rows"],
+        "lang_counts": dict(partials[0]["lang_counts"]),
+        "html_null": partials[0]["html_null"],
+        "text_null": partials[0]["text_null"],
+        "ts_min": partials[0]["ts_min"],
+        "ts_max": partials[0]["ts_max"],
+    }
+    for p in partials[1:]:
+        hll_u = hll_u.merge(HyperLogLog.from_bytes(p["hll_url"]))
+        hll_l = hll_l.merge(HyperLogLog.from_bytes(p["hll_lang"]))
+        td = td.merge(TDigest.from_bytes(p["tdigest_textlen"]))
+        out["n_rows"] += p["n_rows"]
+        for k, v in p["lang_counts"].items():
+            out["lang_counts"][k] = out["lang_counts"].get(k, 0) + v
+        out["html_null"] += p["html_null"]
+        out["text_null"] += p["text_null"]
+        for key, fn in (("ts_min", min), ("ts_max", max)):
+            vals = [x for x in (out[key], p[key]) if x is not None]
+            out[key] = fn(vals) if vals else None
+    # keep merged sketch bytes so the result is itself re-mergeable
+    # (merge is associative: batch → partition → global)
+    out["hll_url"] = hll_u.to_bytes()
+    out["hll_lang"] = hll_l.to_bytes()
+    out["tdigest_textlen"] = td.to_bytes()
+    out["url_cardinality_est"] = hll_u.estimate()
+    out["lang_cardinality_est"] = hll_l.estimate()
+    out["textlen_quantiles"] = {str(q): td.quantile(q) for q in (0.1, 0.5, 0.9, 0.99)}
+    return out

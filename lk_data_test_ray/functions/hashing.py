@@ -1,0 +1,116 @@
+"""Stable, process-independent hashing helpers.
+
+Everything here must be deterministic across Python processes and workers
+(``hash()`` is salted per process and is never used). Vectorized paths use
+``pandas.util.hash_array`` (SipHash with a fixed key — stable across processes
+and pandas versions by contract) and numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def stable_hash64(s: str | bytes) -> int:
+    """Stable 64-bit hash of one string (blake2b-8)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
+
+
+def hash_strings64(values) -> np.ndarray:
+    """Vectorized stable uint64 hash of an array of strings.
+
+    Used to shuffle 8-byte url hashes instead of full urls in the C1
+    uniqueness check — ~10x shuffle-volume reduction on typical urls.
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def md5_hex(values) -> np.ndarray:
+    """Vectorized md5 hex digests (matches DuckDB ``md5(text)``)."""
+    return np.array(
+        [hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None for v in values],
+        dtype=object,
+    )
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Winnowing-style document fingerprint: min of rolling polynomial hashes.
+
+    A content-derived document identity robust to position (used by the
+    fingerprinting text-analysis stage; exact-dup detection uses md5).
+    """
+    if not text:
+        return 0
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return stable_hash64(data)
+    base = 257
+    h = 0
+    pw = pow(base, window - 1, _MERSENNE61)
+    best = _MERSENNE61
+    for i, b in enumerate(data):
+        h = (h * base + b) % _MERSENNE61
+        if i >= window:
+            h = (h - data[i - window] * pw * base) % _MERSENNE61
+        if i >= window - 1 and h < best:
+            best = h
+    return best
+
+
+def minhash_signature(tokens: list[str], num_perm: int, seed: int = 7) -> np.ndarray:
+    """MinHash signature over a token set (vectorized over permutations).
+
+    Universal hashing ``(a*x + b) mod p`` over a base 64-bit token hash;
+    a/b drawn from a seeded RNG so signatures are stable everywhere.
+    """
+    params = _minhash_params(num_perm, seed)
+    if not tokens:
+        return np.full(num_perm, _MERSENNE61 - 1, dtype=np.uint64)
+    base = np.fromiter(
+        (stable_hash64(t) % _MERSENNE61 for t in set(tokens)), dtype=np.uint64
+    )
+    a, b = params
+    # (num_perm, n_tokens) — fine for doc-sized token sets
+    vals = (a[:, None] * base[None, :] + b[:, None]) % _MERSENNE61
+    return vals.min(axis=1)
+
+
+_PARAM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (num_perm, seed)
+    if key not in _PARAM_CACHE:
+        rng = np.random.default_rng(seed)
+        a = rng.integers(1, _MERSENNE61, size=num_perm, dtype=np.uint64)
+        b = rng.integers(0, _MERSENNE61, size=num_perm, dtype=np.uint64)
+        _PARAM_CACHE[key] = (a, b)
+    return _PARAM_CACHE[key]
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token multiset (near-dup by Hamming distance)."""
+    if not tokens:
+        return 0
+    hashes = pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def char_shingles(text: str, k: int = 5) -> list[str]:
+    """Character k-shingles (lowercased, whitespace-collapsed)."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return [t] if t else []
+    return [t[i : i + k] for i in range(len(t) - k + 1)]

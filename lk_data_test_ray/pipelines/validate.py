@@ -1,0 +1,227 @@
+"""The flagship validation job: full constraint suite over a pages table.
+
+Lifecycle (SURVEY.md §3.4): read_parquet(pages) → fused row-phase actor stage
+(C0/C2/C3/C4/C6 + sketch partials, ONE streaming pass over the heavy columns)
+→ per-partition violations + lineage manifests (resume unit) → global phase:
+C1 uniqueness via a hash-compacted url-only shuffle + C5 drift from merged
+partials → union of violation streams + summary verdict.
+
+Execution/resume model:
+  * partition = one input parquet file; partition_id = index in the sorted
+    file list (stable across runs).
+  * partitions are processed in **waves** of ``wave_size`` files: each wave is
+    one streaming Dataset execution (big enough to saturate the cluster), and
+    every partition's violations + manifest commit atomically when its wave
+    completes. A killed run re-runs only uncommitted partitions
+    (resume-equals-fresh is property-tested).
+  * the global phase runs after all partitions commit and writes its own
+    manifest; its inputs are column-pruned re-reads (url only), not the heavy
+    html/text columns.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..checks.drift import chi_square_drift
+from ..checks.row import RowChecker, merge_stats, split_combined
+from ..checks.uniqueness import duplicates_to_violations, find_duplicate_urls
+from ..schema import VIOLATIONS_SCHEMA
+from ..state.manifest import ManifestStore
+
+ENGINE_VERSION = "0.1.0"
+
+CHECK_IDS = ["c0_schema", "c1_url_unique", "c2_nonnull", "c3_lang_vocab",
+             "c4_ts_range", "c5_lang_drift", "c6_extract_match"]
+
+
+def _pages_files(pages_path: str) -> list[str]:
+    if os.path.isdir(pages_path):
+        files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    else:
+        files = [pages_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {pages_path}")
+    return files
+
+
+def run_validation(
+    pages_path: str,
+    out_dir: str,
+    lang_hist_path: str | None = None,
+    resume: bool = True,
+    wave_size: int = 8,
+    batch_size: int = 2048,
+    concurrency: int | tuple | None = None,
+    check_extract: bool = True,
+    drift_alpha: float = 1e-3,
+) -> dict:
+    """Run the full suite; returns the summary dict (also written as JSON)."""
+    t0 = time.time()
+    files = _pages_files(pages_path)
+    partition_of = {f: i for i, f in enumerate(files)}
+    viol_dir = os.path.join(out_dir, "violations")
+    os.makedirs(viol_dir, exist_ok=True)
+    store = ManifestStore(os.path.join(out_dir, "manifests"))
+    done = store.completed() if resume else {}
+
+    todo = [f for f in files if partition_of[f] not in done]
+    n_rows_total = 0
+
+    # ---------------- row phase, in waves ------------------------------------
+    for w in range(0, len(todo), wave_size):
+        wave = todo[w:w + wave_size]
+        ds = rd.read_parquet(wave, include_paths=True)
+        if concurrency is None:
+            import ray
+
+            # actor pool sized to the session, leaving headroom for read tasks
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        kwargs = dict(
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "partition_of": partition_of,
+                "check_extract": check_extract,
+            },
+        )
+        combined = ds.map_batches(RowChecker, **kwargs)
+        violations, partials = split_combined(_collect_arrow(combined))
+
+        # group by partition, commit each
+        by_pid: dict[int, list[dict]] = {}
+        for pid, p in partials:
+            by_pid.setdefault(pid, []).append(p)
+        for f in wave:
+            pid = partition_of[f]
+            pv = violations.filter(pc.equal(violations["partition_id"], pid))
+            vp = os.path.join(viol_dir, f"part-{pid:05d}.parquet")
+            tmp = vp + ".tmp"
+            pq.write_table(pv, tmp)
+            os.replace(tmp, vp)
+            stats = merge_stats(by_pid.get(pid, []))
+            n_rows_total += stats["n_rows"]
+            counts = _per_check_counts(pv)
+            store.commit(
+                pid,
+                {
+                    "input_fragment": f,
+                    "n_rows": stats["n_rows"],
+                    "violation_count": int(pv.num_rows),
+                    "per_check_violations": counts,
+                    "passed": pv.num_rows == 0,
+                    "engine_version": ENGINE_VERSION,
+                },
+                stats=stats,
+            )
+
+    # ---------------- merge committed partition stats ------------------------
+    done = store.completed()
+    all_stats = [store.load_stats(pid) for pid in sorted(done, key=str)
+                 if pid != "global"]
+    all_stats = [s for s in all_stats if s is not None]
+    global_stats = merge_stats(all_stats)
+
+    # ---------------- global phase: C1 uniqueness ----------------------------
+    dups = find_duplicate_urls(files)
+    c1_viol = duplicates_to_violations(dups)
+
+    # ---------------- global phase: C5 drift ---------------------------------
+    drift = None
+    c5_viol = VIOLATIONS_SCHEMA.empty_table()
+    if lang_hist_path and os.path.exists(lang_hist_path):
+        hist = pq.read_table(lang_hist_path)
+        expected = dict(zip(hist["lang"].to_pylist(),
+                            hist["expected_fraction"].to_pylist()))
+        drift = chi_square_drift(global_stats["lang_counts"], expected,
+                                 alpha=drift_alpha)
+        if not drift["passed"]:
+            worst = sorted(drift["per_lang"].items(),
+                           key=lambda kv: -kv[1]["chi2_contrib"])[:3]
+            c5_viol = pa.table(
+                {
+                    "check_id": ["c5_lang_drift"],
+                    "url": [""],
+                    "partition_id": [-1],
+                    "severity": ["warn"],
+                    "detail": [json.dumps({"chi2": drift["chi2"],
+                                           "p_value": drift["p_value"],
+                                           "worst": dict(worst)})],
+                },
+                schema=VIOLATIONS_SCHEMA,
+            )
+
+    global_viol = pa.concat_tables([c1_viol, c5_viol])
+    gp = os.path.join(viol_dir, "global.parquet")
+    tmp = gp + ".tmp"
+    pq.write_table(global_viol, tmp)
+    os.replace(tmp, gp)
+    store.commit(
+        "global",
+        {
+            "input_fragment": pages_path,
+            "n_rows": global_stats["n_rows"],
+            "violation_count": int(global_viol.num_rows),
+            "per_check_violations": _per_check_counts(global_viol),
+            "passed": global_viol.num_rows == 0,
+            "engine_version": ENGINE_VERSION,
+        },
+    )
+
+    # ---------------- summary ------------------------------------------------
+    per_check = {c: 0 for c in CHECK_IDS}
+    for rec in store.completed().values():
+        for c, n in rec.get("per_check_violations", {}).items():
+            per_check[c] = per_check.get(c, 0) + n
+    wall = time.time() - t0
+    summary = {
+        "n_rows": global_stats["n_rows"],
+        "n_partitions": len(files),
+        "violations_total": int(sum(per_check.values())),
+        "per_check_violations": per_check,
+        "passed": sum(per_check.values()) == 0,
+        "stats": {k: v for k, v in global_stats.items()
+                  if not isinstance(v, (bytes, bytearray))},
+        "drift": drift,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(global_stats["n_rows"] / wall, 1) if wall else None,
+        "engine_version": ENGINE_VERSION,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, default=str)
+    return summary
+
+
+def load_violations(out_dir: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(out_dir, "violations", "*.parquet")))
+    tables = [pq.read_table(f) for f in files]
+    return pa.concat_tables(tables) if tables else VIOLATIONS_SCHEMA.empty_table()
+
+
+def _per_check_counts(viol: pa.Table) -> dict[str, int]:
+    if viol.num_rows == 0:
+        return {}
+    vals, counts = (
+        viol.group_by("check_id").aggregate([("check_id", "count")])
+    ), None
+    return {
+        vals["check_id"][i].as_py(): vals["check_id_count"][i].as_py()
+        for i in range(vals.num_rows)
+    }
+
+
+def _collect_arrow(ds: rd.Dataset) -> list[pa.Table]:
+    """Materialize a small Dataset as a list of Arrow tables."""
+    import ray
+
+    return [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in ray.get(ds.to_arrow_refs())]

@@ -1,0 +1,3 @@
+from .hll import HyperLogLog  # noqa: F401
+from .bloom import BloomFilter  # noqa: F401
+from .tdigest import TDigest  # noqa: F401

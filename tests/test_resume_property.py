@@ -1,0 +1,71 @@
+"""Resume-equals-fresh property (SURVEY.md §5.4): kill a run after k committed
+partitions, resume, and the final outputs are identical to an uninterrupted
+run."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from lk_data_test_ray.pipelines.validate import load_violations, run_validation
+
+
+def _run(fix, out):
+    return run_validation(
+        os.path.join(fix, "pages"), out,
+        lang_hist_path=os.path.join(fix, "lang_hist.parquet"),
+        wave_size=8,
+    )
+
+
+def test_kill_after_k_partitions_then_resume(pages_fixture, tmp_path):
+    fresh_dir = str(tmp_path / "fresh")
+    killed_dir = str(tmp_path / "killed")
+
+    s_fresh = _run(pages_fixture, fresh_dir)
+
+    # simulate a run killed after 6 committed partitions: run fully, then
+    # delete everything past partition 5 (manifests AND data — as if never
+    # written) plus the global outputs
+    _run(pages_fixture, killed_dir)
+    mdir = os.path.join(killed_dir, "manifests")
+    vdir = os.path.join(killed_dir, "violations")
+    for pid in range(6, 16):
+        os.remove(os.path.join(mdir, f"part-{pid}.json"))
+        os.remove(os.path.join(mdir, f"stats-{pid}.pkl"))
+        os.remove(os.path.join(vdir, f"part-{pid:05d}.parquet"))
+    os.remove(os.path.join(mdir, "part-global.json"))
+    os.remove(os.path.join(vdir, "global.parquet"))
+    os.remove(os.path.join(killed_dir, "summary.json"))
+
+    s_resumed = _run(pages_fixture, killed_dir)
+
+    assert s_resumed["per_check_violations"] == s_fresh["per_check_violations"]
+    assert s_resumed["n_rows"] == s_fresh["n_rows"]
+
+    va = load_violations(fresh_dir).sort_by([("check_id", "ascending"),
+                                             ("url", "ascending")])
+    vb = load_violations(killed_dir).sort_by([("check_id", "ascending"),
+                                              ("url", "ascending")])
+    assert va.equals(vb)
+
+    # byte-identical per-partition violation files for untouched partitions
+    for pid in range(0, 16):
+        fa = os.path.join(fresh_dir, "violations", f"part-{pid:05d}.parquet")
+        fb = os.path.join(killed_dir, "violations", f"part-{pid:05d}.parquet")
+        assert pq.read_table(fa).equals(pq.read_table(fb))
+
+
+def test_generator_is_pure(tmp_path):
+    """Same (seed, n) → byte-identical parquet content (permutation-invariant
+    inputs to the engine are guaranteed by generation determinism)."""
+    from lk_data_test_ray.sources.pages import generate_pages
+
+    d1, d2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    generate_pages(d1, 2000, seed=9)
+    generate_pages(d2, 2000, seed=9)
+    t1 = pq.read_table(os.path.join(d1, "pages"))
+    t2 = pq.read_table(os.path.join(d2, "pages"))
+    assert t1.equals(t2)
+    shutil.rmtree(d1)
+    shutil.rmtree(d2)

@@ -1,0 +1,102 @@
+"""Sketch correctness: error bounds, merge associativity/commutativity, and
+zero false negatives (SURVEY.md §5.1)."""
+
+import numpy as np
+import pytest
+
+from lk_data_test_ray.sketches import BloomFilter, HyperLogLog, TDigest
+
+
+def _hll(values):
+    h = HyperLogLog(12)
+    h.update_strings(values)
+    return h
+
+
+class TestHLL:
+    def test_error_bound(self):
+        for n in (1000, 100_000):
+            est = _hll([f"v{i}" for i in range(n)]).estimate()
+            assert abs(est - n) / n < 0.05
+
+    def test_merge_commutative_associative(self):
+        a = _hll([f"a{i}" for i in range(5000)])
+        b = _hll([f"b{i}" for i in range(5000)])
+        c = _hll([f"a{i}" for i in range(2500, 7500)])
+        assert np.array_equal(a.merge(b).registers, b.merge(a).registers)
+        assert np.array_equal(a.merge(b).merge(c).registers,
+                              a.merge(b.merge(c)).registers)
+
+    def test_merge_equals_union(self):
+        a = _hll([f"x{i}" for i in range(10000)])
+        b = _hll([f"x{i}" for i in range(5000, 15000)])
+        u = _hll([f"x{i}" for i in range(15000)])
+        assert a.merge(b).estimate() == pytest.approx(u.estimate())
+
+    def test_roundtrip(self):
+        a = _hll(["p", "q"])
+        assert HyperLogLog.from_bytes(a.to_bytes()).estimate() == a.estimate()
+
+
+class TestBloom:
+    def test_zero_false_negatives(self):
+        b = BloomFilter(50_000, 0.01)
+        keys = [f"k{i}" for i in range(50_000)]
+        b.add_strings(keys)
+        assert b.contains_strings(keys).all()
+
+    def test_fp_rate(self):
+        b = BloomFilter(20_000, 0.01)
+        b.add_strings([f"k{i}" for i in range(20_000)])
+        fp = b.contains_strings([f"absent{i}" for i in range(20_000)]).mean()
+        assert fp < 0.03
+
+    def test_merge_or(self):
+        b1 = BloomFilter(1000, 0.01)
+        b2 = BloomFilter(1000, 0.01)
+        b1.add_strings(["one"])
+        b2.add_strings(["two"])
+        m = b1.merge(b2)
+        assert m.contains_strings(["one", "two"]).all()
+
+    def test_roundtrip(self):
+        b = BloomFilter(100, 0.01)
+        b.add_strings(["z"])
+        assert BloomFilter.from_bytes(b.to_bytes()).contains_strings(["z"])[0]
+
+
+class TestTDigest:
+    def test_quantiles(self):
+        rng = np.random.default_rng(1)
+        data = rng.normal(100, 15, 100_000)
+        t = TDigest()
+        t.update(data)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            assert t.quantile(q) == pytest.approx(np.quantile(data, q), rel=0.02, abs=1.0)
+
+    def test_merge_matches_whole(self):
+        rng = np.random.default_rng(2)
+        data = rng.exponential(10, 60_000)
+        parts = np.array_split(data, 7)
+        digs = []
+        for p in parts:
+            d = TDigest()
+            d.update(p)
+            digs.append(d)
+        m = digs[0]
+        for d in digs[1:]:
+            m = m.merge(d)
+        assert m.count() == pytest.approx(60_000)
+        assert m.quantile(0.5) == pytest.approx(np.quantile(data, 0.5), rel=0.02)
+
+    def test_nan_ignored_and_empty(self):
+        t = TDigest()
+        t.update(np.array([1.0, np.nan, 3.0]))
+        assert t.count() == 2
+        assert np.isnan(TDigest().quantile(0.5))
+
+    def test_roundtrip(self):
+        t = TDigest()
+        t.update(np.arange(1000.0))
+        t2 = TDigest.from_bytes(t.to_bytes())
+        assert t2.quantile(0.5) == pytest.approx(t.quantile(0.5))

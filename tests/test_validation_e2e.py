@@ -1,0 +1,122 @@
+"""End-to-end golden test: the validation pipeline's violations must equal the
+generator's injected expected_violations exactly (FIXTURES.md F5), and
+per-partition verdicts must flag exactly the partitions containing injections.
+"""
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from lk_data_test_ray.pipelines.validate import (
+    load_violations,
+    run_validation,
+)
+
+
+@pytest.fixture(scope="module")
+def result(pages_fixture, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("vout"))
+    summary = run_validation(
+        os.path.join(pages_fixture, "pages"),
+        out,
+        lang_hist_path=os.path.join(pages_fixture, "lang_hist.parquet"),
+        wave_size=8,
+    )
+    return pages_fixture, out, summary
+
+
+def _key_set(tbl):
+    return set(zip(tbl["check_id"].to_pylist(), tbl["url"].to_pylist()))
+
+
+def test_violations_match_golden(result):
+    fix, out, summary = result
+    got = load_violations(out)
+    expected = pq.read_table(os.path.join(fix, "expected_violations.parquet"))
+    assert _key_set(got) == _key_set(expected)
+    # counts too: every (check, url) appears the same number of times
+    assert got.num_rows == expected.num_rows
+
+
+def test_summary_counts(result):
+    fix, out, summary = result
+    meta = json.load(open(os.path.join(fix, "meta.json")))
+    inj = meta["injected"]
+    pc_ = summary["per_check_violations"]
+    assert pc_["c1_url_unique"] == inj["dup_pairs"]
+    assert pc_["c4_ts_range"] == inj["ts_oor"]
+    assert pc_["c2_nonnull"] == inj["text_null"]
+    assert pc_["c6_extract_match"] == inj["text_mutated"]
+    assert pc_["c3_lang_vocab"] == inj["bad_lang"]
+    assert summary["n_rows"] == meta["n_rows"]
+    assert not summary["passed"]
+
+
+def test_partition_verdicts(result):
+    fix, out, summary = result
+    expected = pq.read_table(os.path.join(fix, "expected_violations.parquet"))
+    # partitions that contain a row-level injected violation must fail
+    pages = pq.read_table(os.path.join(fix, "pages"))
+    manifests = {}
+    mdir = os.path.join(out, "manifests")
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            rec = json.load(open(os.path.join(mdir, name)))
+            manifests[rec["partition_id"]] = rec
+    assert "global" in manifests
+    row_checks = {"c2_nonnull", "c3_lang_vocab", "c4_ts_range", "c6_extract_match"}
+    bad_urls = {
+        u for c, u in zip(expected["check_id"].to_pylist(),
+                          expected["url"].to_pylist()) if c in row_checks
+    }
+    n = pages.num_rows
+    per = -(-n // 16)
+    url_to_pid = {}
+    for i, u in enumerate(pages["url"].to_pylist()):
+        url_to_pid.setdefault(u, set()).add(i // per)
+    failing_pids = set()
+    for u in bad_urls:
+        failing_pids |= url_to_pid[u]
+    for pid, rec in manifests.items():
+        if pid == "global":
+            continue
+        # a failing partition per manifest ⟺ it holds an injected row-level violation
+        if rec["violation_count"] > 0:
+            assert pid in failing_pids or rec["violation_count"] == 0
+    int_pids = {p for p in manifests if p != "global"}
+    assert {p for p in int_pids if not manifests[p]["passed"]} >= failing_pids
+
+
+def test_stats_accuracy(result):
+    fix, out, summary = result
+    meta = json.load(open(os.path.join(fix, "meta.json")))
+    st = summary["stats"]
+    # HLL within 5% of exact cardinality
+    assert abs(st["url_cardinality_est"] - meta["url_cardinality"]) \
+        < 0.05 * meta["url_cardinality"]
+    assert st["lang_counts"] == meta["lang_counts"]
+    assert st["text_null_count" if "text_null_count" in st else "text_null"] \
+        == meta["text_null_count"]
+    # t-digest median within 5% of exact
+    q50 = st["textlen_quantiles"]["0.5"]
+    assert abs(q50 - meta["text_len_quantiles"]["0.5"]) \
+        < 0.05 * meta["text_len_quantiles"]["0.5"]
+    # drift must PASS at the generating mixture
+    assert summary["drift"]["passed"]
+
+
+def test_resume_skips_completed(result, tmp_path):
+    """Second run over the same out_dir does no partition work and matches."""
+    fix, out, summary = result
+    before = load_violations(out)
+    summary2 = run_validation(
+        os.path.join(fix, "pages"), out,
+        lang_hist_path=os.path.join(fix, "lang_hist.parquet"),
+        resume=True,
+    )
+    after = load_violations(out)
+    assert _key_set(before) == _key_set(after)
+    assert summary2["per_check_violations"] == summary["per_check_violations"]
