@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline (pages constraint suite +
+documents check suite) at sf0.001 scale; ``queries()`` exposes one callable
+per implemented operator/pipeline from SURVEY.md §2 (plus the
+beyond-the-reference dedup / similarity / text-analysis / multimodal
+components); ``oracle_sql()`` mirrors each SQL-expressible query for the
+DuckDB side-by-side check. Ray is initialised by the driver — nothing here
+calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names, rounding (half away from zero) and thresholds match between the
+Ray pipelines and the SQL exactly — see ``lk_data_test_ray/pipelines/queries.py``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,349 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+from lk_data_test_ray.checks.vocab import ISO_639_1
+from lk_data_test_ray.pipelines import dedup as _dedup
+from lk_data_test_ray.pipelines import queries as q
+from lk_data_test_ray.pipelines import similarity as _sim
+from lk_data_test_ray.relational import read
+
+SF001 = "/root/testdata/sf0.001"
+
+_ISO_SQL = ",".join(f"'{v}'" for v in sorted(ISO_639_1))
+_STOP_SQL = q.STOPWORD_SQL_LIST
+_TOKS = "regexp_split_to_array(text, '\\s+')"
+_PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship at sf0.001: pages constraint suite + documents check suite.
+
+    Returns the combined violation stream (stable schema
+    ``check_id, url, detail``) — ≥0 rows, deterministic.
+    """
+    pages_viol = q.pages_validate(SF001)  # pa.Table (check_id, url, detail)
+    doc_viol = q.v_doc_suite(SF001)  # Dataset (check_id, doc_id, detail)
+    doc_tbl = pa.Table.from_pandas(doc_viol.to_pandas(), preserve_index=False)
+    doc_tbl = pa.table({
+        "check_id": doc_tbl["check_id"].cast(pa.string()),
+        "url": doc_tbl["doc_id"].cast(pa.string()),
+        "detail": doc_tbl["detail"].cast(pa.string()),
+    })
+    return pa.concat_tables([pages_viol.cast(doc_tbl.schema), doc_tbl])
+
+
+def _dd_exact(sf_dir: str):
+    return _dedup.exact_dedup_groups(
+        read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text")
+
+
+def _dd_first_wins(sf_dir: str):
+    return _dedup.first_wins(
+        read(sf_dir, "documents", ["lang", "source", "doc_id"]),
+        ["lang", "source"], "doc_id")
+
+
+def _dd_shingle_jaccard(sf_dir: str):
+    return _dedup.shingle_jaccard_pairs(
+        read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        k=2, threshold=q.JACCARD_THRESHOLD)
+
+
+def _dd_minhash_lsh(sf_dir: str):
+    return _dedup.minhash_lsh_pairs(
+        read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        num_perm=64, bands=16, shingle_k=2, threshold=0.35)
+
+
+def _dd_simhash(sf_dir: str):
+    return _dedup.simhash_pairs(
+        read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        max_hamming=3)
+
+
+def _dd_embed_cosine(sf_dir: str):
+    return _dedup.embedding_cosine_pairs(
+        read(sf_dir, "embeddings"), "vec_id", "embedding", "label",
+        threshold=q.COSINE_THRESHOLD)
+
+
+def _s_ann_topk(sf_dir: str):
+    return _sim.ann_brute_force(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _sim.load_queries(sf_dir, 10), k=5)
+
+
+def _s_ann_lsh(sf_dir: str):
+    return _sim.ann_lsh(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _sim.load_queries(sf_dir, 10), k=5)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (SURVEY.md §2.4/§2.5/§2.6)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_top_orders": q.q3_top_orders,
+        "q5_regional_revenue": q.q5_regional_revenue,
+        "j_enrich_customer": q.j_enrich_customer,
+        "j_anti_customers_no_events": q.j_anti_customers_no_events,
+        "j_semi_error_customers": q.j_semi_error_customers,
+        "a_dup_user_event": q.a_dup_user_event,
+        "a_collect_event_types": q.a_collect_event_types,
+        "a_lang_source_counts": q.a_lang_source_counts,
+        "o_topk_orders": q.o_topk_orders,
+        "o_union_priority": q.o_union_priority,
+        "m_part_classify": q.m_part_classify,
+        "m_orders_per_year": q.m_orders_per_year,
+        "m_doc_tokens": q.m_doc_tokens,
+        # events (windowed/stateful)
+        "e_hourly_windows": q.e_hourly_windows,
+        "e_sessionize": q.e_sessionize,
+        # text analysis
+        "t_token_stats": q.t_token_stats,
+        "t_quality": q.t_quality,
+        "t_fingerprint": q.t_fingerprint,
+        "t_fingerprint_extra": q.t_fingerprint_extra,
+        "t_lang_id": q.t_lang_id,
+        # validation checks over testdata tables
+        "v_events_ts_range": q.v_events_ts_range,
+        "v_doc_suite": q.v_doc_suite,
+        "v_unique_doc_ids": q.v_unique_doc_ids,
+        # dedup family
+        "dd_exact": _dd_exact,
+        "dd_first_wins": _dd_first_wins,
+        "dd_shingle_jaccard": _dd_shingle_jaccard,
+        "dd_minhash_lsh": _dd_minhash_lsh,
+        "dd_simhash": _dd_simhash,
+        "dd_embed_cosine": _dd_embed_cosine,
+        # similarity search
+        "s_ann_topk": _s_ann_topk,
+        "s_ann_lsh": _s_ann_lsh,
+        # pages flagship + multimodal + sketches (rows-only)
+        "pages_validate": q.pages_validate,
+        "pages_links": q.pages_links,
+        "mm_payload_meta": q.mm_payload_meta,
+        "mm_decode_feats": q.mm_decode_feats,
+        "approx_stats": q.approx_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey AS o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "j_enrich_customer": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "j_anti_customers_no_events": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        """,
+        "j_semi_error_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM events
+                          WHERE user_id = c_custkey AND event_type = 'error')
+        """,
+        "a_dup_user_event": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "a_collect_event_types": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY event_type, event_id) AS types,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "a_lang_source_counts": """
+            SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+        """,
+        "o_topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "o_union_priority": """
+            SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+            WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F'
+        """,
+        "m_part_classify": """
+            SELECT p_partkey,
+                   regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+                   CASE WHEN p_type = 'PROMO' THEN 'promo'
+                        WHEN p_type IN ('ECONOMY', 'SMALL') THEN 'value'
+                        ELSE 'standard' END AS type_class,
+                   upper(p_brand) AS brand_uc,
+                   'part: ' || p_name AS label
+            FROM part
+        """,
+        "m_orders_per_year": """
+            SELECT year(o_orderdate) AS year, count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "m_doc_tokens": f"""
+            SELECT doc_id, i - 1 AS ordinal, arr[i] AS token
+            FROM (SELECT doc_id, {_TOKS} AS arr
+                  FROM documents WHERE doc_id < 20),
+                 unnest(generate_series(1, len(arr))) AS t(i)
+        """,
+        "e_hourly_windows": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   round(sum(value), 2) AS sum_value, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "e_sessionize": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "t_token_stats": f"""
+            SELECT doc_id, len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "t_quality": f"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round((length(text)
+                          - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g'))) * 1.0
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter({_TOKS},
+                             x -> list_contains([{_STOP_SQL}], x))) * 1.0
+                         / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+                   round(list_aggregate(list_transform({_TOKS},
+                             x -> length(x)), 'sum') * 1.0
+                         / greatest(len({_TOKS}), 1), 6) AS mean_token_len
+            FROM documents
+        """,
+        "t_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "v_events_ts_range": """
+            SELECT event_id, ts FROM events
+            WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        """,
+        "v_doc_suite": f"""
+            SELECT 'c2_nonnull' AS check_id, doc_id,
+                   'text null/empty' AS detail
+            FROM documents WHERE text IS NULL OR length(text) = 0
+            UNION ALL
+            SELECT 'c3_lang_vocab', doc_id, 'lang_not_in_vocab'
+            FROM documents WHERE lang NOT IN ({_ISO_SQL})
+            UNION ALL
+            SELECT 'c7_nchars_consistent', doc_id, 'n_chars != length(text)'
+            FROM documents WHERE n_chars <> coalesce(length(text), -1)
+            UNION ALL
+            SELECT 'c8_quality_short', doc_id, 'n_chars<100'
+            FROM documents WHERE n_chars < 100
+        """,
+        "v_unique_doc_ids": """
+            SELECT doc_id, count(*) AS n FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dd_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keeper_id,
+                   count(*) AS n_rows
+            FROM documents GROUP BY 1
+        """,
+        "dd_first_wins": """
+            SELECT lang, source, min(doc_id) AS keeper_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY 1, 2
+        """,
+        "dd_shingle_jaccard": f"""
+            WITH arrs AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS shingle
+                   FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {q.JACCARD_THRESHOLD}
+        """,
+        "dd_embed_cosine": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {q.COSINE_THRESHOLD}
+        """,
+        "s_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 10)),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM s) t
+            WHERE rank <= 5
+        """,
+        # no oracle (rows-only): t_fingerprint_extra, t_lang_id,
+        # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate, pages_links,
+        # mm_payload_meta, mm_decode_feats, approx_stats — non-SQL-expressible
+        # (sketches, LSH, stubbed decode) or over the generated pages fixture.
+    }

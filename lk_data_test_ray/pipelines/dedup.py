@@ -1,0 +1,321 @@
+"""Deduplication operators: exact, keyed first-wins, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+The reference deduplicates only exactly — set-dedup of derived triples
+(``scripts/owl_inverse_props.py:125``) and order-dependent first-wins
+suppression (``scripts/make_texts.py:373-374,512-518``). This module keeps
+those semantics (made order-independent: keeper = min id, never arrival
+order) and adds the near-dup family a web-scale training-data pipeline needs
+(SURVEY.md §2.6 D1/D2).
+
+Scale shapes:
+  * exact: fingerprint map-side (md5), shuffle 16-byte digests not documents.
+  * shingle Jaccard: inverted index via ``groupby(shingle)`` → pair counts —
+    exact but quadratic in hot shingles; ``max_df`` caps them (off for the
+    oracle-matched path at test scale).
+  * MinHash+LSH / SimHash: constant-size signatures; candidate generation by
+    band-bucket groupby — the 10^12-row path.
+  * embedding: blocked matmul per group (IVF-style blocking key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.hashing import md5_hex, minhash_signature, simhash64
+from ..functions.text import TOKEN_SPLIT
+from ..relational import partial_groupby_agg, round_half_away
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+    """Group identical texts by md5 fingerprint: (fp, keeper_id, n_dups).
+
+    keeper = min id (deterministic; the reference's first-wins-by-arrival,
+    ``make_texts.py:512-518``, re-specified order-independently).
+    """
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        fp = md5_hex(batch[text_col].to_pylist())
+        return pa.table({
+            "fp": pa.array(fp, pa.string()),
+            id_col: batch[id_col],
+        })
+
+    fps = ds.map_batches(fingerprint, batch_format="pyarrow")
+    return partial_groupby_agg(
+        fps, ["fp"],
+        [(id_col, "min", "keeper_id"), (id_col, "count", "n_rows")],
+    )
+
+
+def first_wins(ds: rd.Dataset, keys: list[str], id_col: str) -> rd.Dataset:
+    """Keyed first-wins dedup: one keeper row (min id) + group size per key."""
+    return partial_groupby_agg(
+        ds.select_columns(keys + [id_col]), keys,
+        [(id_col, "min", "keeper_id"), (id_col, "count", "group_size")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word shingle) Jaccard — exact near-dup
+# ---------------------------------------------------------------------------
+
+
+def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
+    """Distinct word-k-shingles per row → tall (id, shingle) table."""
+    toks = pc.split_pattern_regex(batch[text_col].combine_chunks(), TOKEN_SPLIT)
+    ids_out, sh_out = [], []
+    for rid, tl in zip(batch[id_col].to_pylist(), toks.to_pylist()):
+        if not tl:
+            continue
+        if len(tl) < k:
+            sh = {" ".join(tl)}
+        else:
+            sh = {" ".join(tl[i:i + k]) for i in range(len(tl) - k + 1)}
+        ids_out.extend([rid] * len(sh))
+        sh_out.extend(sorted(sh))
+    return pa.table({id_col: pa.array(ids_out, batch[id_col].type),
+                     "shingle": pa.array(sh_out, pa.string())})
+
+
+def shingle_jaccard_pairs(
+    ds: rd.Dataset, id_col: str, text_col: str, k: int = 2,
+    threshold: float = 0.5, max_df: int | None = None,
+) -> rd.Dataset:
+    """Exact Jaccard over word-k-shingle sets for all pairs sharing a shingle.
+
+    Inverted-index plan: shingle rows → groupby(shingle) emits co-occurring
+    id pairs → pair-count groupby = |A∩B| → broadcast set sizes → J =
+    inter/(|A|+|B|-inter) ≥ threshold. ``max_df`` drops shingles hotter than
+    the cap (scale guard; leaves recall to the LSH path).
+    """
+    sh = ds.map_batches(
+        lambda b: _shingle_rows(b, id_col, text_col, k), batch_format="pyarrow")
+
+    sizes_tbl = partial_groupby_agg(
+        sh, [id_col], [("shingle", "count", "sz")],
+    ).to_pandas()
+    sizes = dict(zip(sizes_tbl[id_col], sizes_tbl["sz"]))
+    sizes_ref = ray.put(sizes)
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(group[id_col].to_pylist()))
+        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
+                         "id_b": pa.array(ids[ib], pa.int64())})
+
+    pairs = sh.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
+    inter = partial_groupby_agg(pairs, ["id_a", "id_b"],
+                                [("id_a", "count", "inter")])
+
+    class Finish:
+        def __init__(self, ref, thr):
+            self.sizes = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sa = np.array([self.sizes[x] for x in a], dtype=np.float64)
+            sb = np.array([self.sizes[x] for x in b], dtype=np.float64)
+            j = it / (sa + sb - it)
+            keep = j >= self.thr
+            return pa.table({
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(round_half_away(j[keep], 6), pa.float64()),
+            })
+
+    return inter.map_batches(Finish, fn_constructor_kwargs={
+        "ref": sizes_ref, "thr": threshold}, batch_format="pyarrow",
+        concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the 10^12-row path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset, id_col: str, text_col: str, num_perm: int = 64,
+    bands: int = 16, shingle_k: int = 2, threshold: float = 0.5,
+) -> rd.Dataset:
+    """Candidate pairs from LSH band buckets + MinHash-estimated Jaccard.
+
+    shingle → minhash → band → bucket-groupby (SURVEY.md 'Beyond' item).
+    With r = num_perm/bands rows per band, collision prob = 1-(1-J^r)^bands.
+    """
+    rows = num_perm // bands
+    assert bands * rows == num_perm
+
+    def _band_key(b: bytes) -> int:
+        # stable across processes (builtin hash() is salted per process)
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(b, digest_size=8).digest(), "little") >> 1
+
+    class Signer:
+        """Per-doc MinHash signatures; emits one row per band."""
+
+        def __init__(self):
+            self.num_perm = num_perm
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                batch[text_col].combine_chunks(), TOKEN_SPLIT)
+            ids, band_ids, band_keys, sigs = [], [], [], []
+            for rid, tl in zip(batch[id_col].to_pylist(), toks.to_pylist()):
+                tl = tl or []
+                if len(tl) >= shingle_k:
+                    sh = [" ".join(tl[i:i + shingle_k])
+                          for i in range(len(tl) - shingle_k + 1)]
+                else:
+                    sh = [" ".join(tl)] if tl else []
+                sig = minhash_signature(sh, self.num_perm)
+                sig_b = sig.tobytes()
+                for b in range(bands):
+                    band = sig[b * rows:(b + 1) * rows]
+                    ids.append(rid)
+                    band_ids.append(b)
+                    band_keys.append(_band_key(band.tobytes()))
+                    sigs.append(sig_b)
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "bkey": pa.array(band_keys, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            })
+
+    signed = ds.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group[id_col].to_pylist()))
+        ids = np.asarray(group[id_col].to_pylist())[order]
+        sigs = [group["sig"][int(i)].as_py() for i in order]
+        uniq_ids, first = np.unique(ids, return_index=True)
+        if len(uniq_ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        ia, ib = np.triu_indices(len(uniq_ids), k=1)
+        est = np.empty(len(ia))
+        for n, (x, y) in enumerate(zip(ia, ib)):
+            sa = np.frombuffer(sigs[first[x]], dtype=np.uint64)
+            sb = np.frombuffer(sigs[first[y]], dtype=np.uint64)
+            est[n] = float((sa == sb).mean())
+        return pa.table({"id_a": pa.array(uniq_ids[ia], pa.int64()),
+                         "id_b": pa.array(uniq_ids[ib], pa.int64()),
+                         "est_jaccard": pa.array(est, pa.float64())})
+
+    pairs = signed.groupby(["band", "bkey"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # same pair can surface from several bands → keep max estimate, dedup
+    uniq = partial_groupby_agg(pairs, ["id_a", "id_b"],
+                               [("est_jaccard", "max", "est_jaccard")])
+    return uniq.filter(lambda r: r["est_jaccard"] >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole bucketing: split the 64-bit hash into 4 16-bit bands — any pair
+    within Hamming ≤ 3 agrees on ≥ 1 band; exact distance verified per pair.
+    """
+
+    def sign(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            batch[text_col].combine_chunks(), TOKEN_SPLIT)
+        ids, bands, keys, hashes = [], [], [], []
+        for rid, tl in zip(batch[id_col].to_pylist(), toks.to_pylist()):
+            h = simhash64(tl or [])
+            for b in range(4):
+                ids.append(rid)
+                bands.append(b)
+                keys.append((h >> (16 * b)) & 0xFFFF)
+                hashes.append(h)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "bkey": pa.array(keys, pa.int64()),
+            "simhash": pa.array(np.array(hashes, dtype=np.uint64), pa.uint64()),
+        })
+
+    signed = ds.map_batches(sign, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist())
+        hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uniq, first = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+        hs = hs[first]
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(uniq[ia][keep], pa.int64()),
+                         "id_b": pa.array(uniq[ib][keep], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int32())})
+
+    pairs = signed.groupby(["band", "bkey"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return partial_groupby_agg(pairs, ["id_a", "id_b"],
+                               [("hamming", "min", "hamming")])
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (blocked)
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    ds: rd.Dataset, id_col: str, vec_col: str, block_col: str,
+    threshold: float = 0.9,
+) -> rd.Dataset:
+    """Pairs within a blocking key whose cosine ≥ threshold (IVF-style).
+
+    Per group: one normalized matmul (numpy) — vectorized, no Python pair
+    loop. The blocking key bounds the quadratic term; at 10^12 rows the block
+    key would be a coarse-quantizer cell id.
+    """
+
+    def pairs_in_block(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist())
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        normed = mat / np.maximum(norms, 1e-12)
+        cos = normed @ normed.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pa.table({
+            "id_a": pa.array(ids[ia][keep], pa.int64()),
+            "id_b": pa.array(ids[ib][keep], pa.int64()),
+            "cosine": pa.array(round_half_away(cos[ia, ib][keep], 6),
+                               pa.float64()),
+        })
+
+    return ds.select_columns([id_col, vec_col, block_col]).groupby(
+        block_col).map_groups(pairs_in_block, batch_format="pyarrow")

@@ -1,0 +1,181 @@
+"""Multimodal (binary-payload) stages: sniff / decode / feature-extract /
+frame-sample as actor-pool ``map_batches`` stages.
+
+No reference analog (the reference is text/XML only) — this is the 'Beyond
+the reference' multimodal component. Media columns are opaque ``binary`` with
+typed metadata; the decode step is STUBBED (no image/audio libs in this
+container): ``DecodeStage(fake=False)`` raises ``NotImplementedError`` at
+actor construction, ``fake=True`` substitutes a deterministic fake decoder so
+the Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+is real and tested.
+
+Scale notes: large payloads ⇒ SMALL ``batch_size`` (a batch × concurrency
+must fit the worker heap); payload bytes stay zero-copy Arrow buffers until
+the (vectorized) sniff; decoded features drop the payload column so the heavy
+bytes never flow downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# magic-byte prefixes → media kind (deterministic sniff table)
+MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mp3"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+    (b"<html", "text/html"),
+    (b"<!doc", "text/html"),
+    (b"<!DOC", "text/html"),
+]
+
+MEDIA_META_SCHEMA = pa.schema([
+    pa.field("url", pa.string()),
+    pa.field("kind", pa.string()),
+    pa.field("n_bytes", pa.int64()),
+])
+
+
+def sniff_kind(payload_prefixes: list[bytes | None]) -> list[str]:
+    # null payload → sentinel string (group keys must be non-null: Ray's
+    # sort-based groupby cannot order None against str)
+    out = []
+    for p in payload_prefixes:
+        if p is None:
+            out.append("none/missing")
+            continue
+        kind = "application/octet-stream"
+        for magic, k in MAGIC:
+            if p[: len(magic)] == magic:
+                kind = k
+                break
+        out.append(kind)
+    return out
+
+
+def payload_metadata(ds: rd.Dataset, id_col: str = "url",
+                     payload_col: str = "html") -> rd.Dataset:
+    """(id, kind, n_bytes) per payload — stateless, vectorized where possible."""
+
+    def meta(batch: pa.Table) -> pa.Table:
+        n_bytes = pc.coalesce(
+            pc.binary_length(batch[payload_col]), pa.scalar(0)).cast(pa.int64())
+        prefixes = [
+            None if v is None else bytes(v)[:8]
+            for v in batch[payload_col].to_pylist()
+        ]
+        return pa.table({
+            "url": batch[id_col].cast(pa.string()),
+            "kind": pa.array(sniff_kind(prefixes), pa.string()),
+            "n_bytes": n_bytes,
+        }, schema=MEDIA_META_SCHEMA)
+
+    return ds.select_columns([id_col, payload_col]).map_batches(
+        meta, batch_format="pyarrow")
+
+
+class DecodeStage:
+    """Actor-pool decode → feature-extract stage over a binary media column.
+
+    Output schema: (url, kind, width, height, n_channels, feat: list<float>).
+    A real deployment replaces ``_decode_real`` with a PIL/ffmpeg call; setup
+    (model/codec load) belongs in ``__init__``, once per actor.
+    """
+
+    FEAT_DIM = 8
+
+    def __init__(self, id_col: str = "url", payload_col: str = "html",
+                 fake: bool = False, target_size: tuple[int, int] = (64, 64)):
+        if not fake:
+            raise NotImplementedError(
+                "image/audio codecs are not available in this environment; "
+                "construct with fake=True for the deterministic stub decoder")
+        self.id_col, self.payload_col = id_col, payload_col
+        self.target_size = target_size
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        """Deterministic fake decode: payload bytes → small 'pixel' array."""
+        h = np.frombuffer(payload, dtype=np.uint8)
+        side = int(np.sqrt(len(h))) or 1
+        img = h[: side * side].reshape(side, side).astype(np.float64)
+        return img
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, kinds, ws, hs, chans, feats = [], [], [], [], [], []
+        prefixes = [None if v is None else bytes(v)[:8]
+                    for v in batch[self.payload_col].to_pylist()]
+        kind_list = sniff_kind(prefixes)
+        for rid, payload, kind in zip(
+                batch[self.id_col].to_pylist(),
+                batch[self.payload_col].to_pylist(), kind_list):
+            if payload is None:
+                continue
+            img = self._decode_fake(bytes(payload))
+            # 'resize': mean-pool to target (deterministic)
+            urls.append(str(rid))
+            kinds.append(kind)
+            ws.append(img.shape[1])
+            hs.append(img.shape[0])
+            chans.append(1)
+            # feature extract: fixed-dim histogram (stands in for an encoder)
+            hist, _ = np.histogram(img, bins=self.FEAT_DIM, range=(0, 256))
+            feats.append((hist / max(img.size, 1)).astype(np.float32))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_channels": pa.array(chans, pa.int32()),
+            "feat": pa.array([f.tolist() for f in feats],
+                             pa.list_(pa.float32())),
+        })
+
+
+def decode_features(ds: rd.Dataset, id_col: str = "url",
+                    payload_col: str = "html", fake: bool = True,
+                    batch_size: int = 256, concurrency=2) -> rd.Dataset:
+    """Actor-pool decode/feature stage; small batches for large payloads."""
+    return ds.select_columns([id_col, payload_col]).map_batches(
+        DecodeStage,
+        fn_constructor_kwargs=dict(id_col=id_col, payload_col=payload_col,
+                                   fake=fake),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+class FrameSampleStage:
+    """Video frame-sampling stub: emits every-nth 'frame' offsets per payload.
+
+    Real impl would demux with ffmpeg; the stub derives deterministic frame
+    boundaries from payload length so the flat-map layout (1 payload → N
+    frame rows keyed by (url, frame_idx)) is exercised for real.
+    """
+
+    def __init__(self, id_col: str = "url", payload_col: str = "html",
+                 every_n: int = 10, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "video demuxing unavailable; construct with fake=True")
+        self.id_col, self.payload_col, self.every_n = id_col, payload_col, every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, idxs, offs = [], [], []
+        for rid, payload in zip(batch[self.id_col].to_pylist(),
+                                batch[self.payload_col].to_pylist()):
+            if payload is None:
+                continue
+            n_frames = max(1, len(payload) // 1024)
+            for fi in range(0, n_frames, self.every_n):
+                urls.append(str(rid))
+                idxs.append(fi)
+                offs.append(fi * 1024)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "byte_offset": pa.array(offs, pa.int64()),
+        })

@@ -1,0 +1,616 @@
+"""sf_dir-parameterized query pipelines — the driver/judge-facing operator
+surface (one callable per SURVEY.md §2 row, wired up in ``__ray_entry__``).
+
+Every callable takes an ``sf_dir`` (``/root/testdata/sf0.01``-style) and
+returns a lazy ``ray.data.Dataset`` (or a small Arrow table). Column names
+match the DuckDB oracle SQL in ``__ray_entry__.oracle_sql`` exactly; float
+aggregates are rounded identically on both sides (half away from zero).
+
+Reference-parity mapping (SURVEY.md §2 row ids) is noted per function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..checks.vocab import ISO_639_1
+from ..functions.hashing import md5_hex, rolling_fingerprint, simhash64
+from ..functions.text import lang_id, quality_features, token_counts
+from ..relational import (broadcast_join, partial_groupby_agg, read,
+                          read_table, round_half_away, topk)
+
+# thresholds shared verbatim with the oracle SQL
+JACCARD_THRESHOLD = 0.3
+COSINE_THRESHOLD = 0.3
+Q1_CUTOFF = np.datetime64("1998-09-02", "us")
+EVENTS_TS_MAX = np.datetime64("2024-01-30", "us")
+STOPWORD_SQL_LIST = "'the','a','of','and','to','in','is','on','for','with'"
+
+
+def _round_stage(cols: dict[str, int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for name, nd in cols.items():
+            i = batch.column_names.index(name)
+            batch = batch.set_column(
+                i, name,
+                pc.round(batch[name], ndigits=nd,
+                         round_mode="half_towards_infinity"))
+        return batch
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational pipelines (A1/A4/J1/J2/J3/O1 semantics)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """Map-side partial aggregation (A4) over the fact table.
+
+    Reference analog: global counters merged in one process
+    (``curation/check_fackel_references.py:32-37``), made distributive.
+    """
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch["l_shipdate"], pa.scalar(Q1_CUTOFF))
+        batch = batch.filter(mask)
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    agg = partial_groupby_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"),
+         ("l_extendedprice", "sum", "sum_base_price"),
+         ("disc_price", "sum", "sum_disc_price"),
+         ("l_quantity", "mean", "avg_qty"),
+         ("l_quantity", "count", "count_order")],
+        pre=pre,
+    )
+    return agg.map_batches(_round_stage(
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6}),
+        batch_format="pyarrow")
+
+
+def q3_top_orders(sf_dir: str) -> rd.Dataset:
+    """Hash shuffle join (lineitem ⋈ orders) + broadcast semi + top-k (O1)."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
+               .select(["c_custkey"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_join(orders, cust, "o_custkey", "c_custkey", how="semi")
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = line.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue_part", disc)
+
+    agg = partial_groupby_agg(joined, ["l_orderkey", "o_orderdate"],
+                              [("revenue_part", "sum", "revenue")], pre=pre)
+    agg = agg.map_batches(_round_stage({"revenue": 2}), batch_format="pyarrow")
+    out = topk(agg, [("revenue", True), ("l_orderkey", False)], 10)
+    return out.rename_columns({"l_orderkey": "o_orderkey"})
+
+
+def q5_regional_revenue(sf_dir: str) -> rd.Dataset:
+    """Multi-way join: one hash shuffle + three broadcast dims (J1)."""
+    nation = read_table(sf_dir, "nation")
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # fold dims driver-side: c_custkey → n_name (dims are tiny; J1 note in
+    # SURVEY.md — never shuffle-join the small side)
+    n_idx = pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"])
+    cust = cust.append_column("n_name", pc.take(nation["n_name"], n_idx))
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_1996(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+        return batch.filter(pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi)))
+
+    orders = orders.map_batches(in_1996, batch_format="pyarrow")
+    orders = broadcast_join(orders, cust.select(["c_custkey", "n_name"]),
+                            "o_custkey", "c_custkey", how="inner")
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = line.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue_part", disc)
+
+    agg = partial_groupby_agg(joined, ["n_name"],
+                              [("revenue_part", "sum", "revenue")], pre=pre)
+    return agg.map_batches(_round_stage({"revenue": 2}), batch_format="pyarrow")
+
+
+def j_enrich_customer(sf_dir: str) -> rd.Dataset:
+    """Broadcast enrichment join chain (J6: append columns, new snapshot)."""
+    nation = read_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table(sf_dir, "region")
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = broadcast_join(cust, nation, "c_nationkey", "n_nationkey", how="left")
+    out = broadcast_join(out, region, "n_regionkey", "r_regionkey", how="left")
+    return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
+
+
+def j_anti_customers_no_events(sf_dir: str) -> rd.Dataset:
+    """Anti-join referential check (J2,
+    ≙ ``curation/check_authors_exist_in_listperson.py:21-25``)."""
+    users = read(sf_dir, "events", ["user_id"]).unique("user_id")
+    users_tbl = pa.table({"user_id": pa.array(sorted(users), pa.int64())})
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_join(cust, users_tbl, "c_custkey", "user_id", how="anti")
+
+
+def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
+    """Semi-join existence probe (J3, ≙ ``make_texts.py:363-366``)."""
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+    err_users = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["user_id"]),
+        batch_format="pyarrow").unique("user_id")
+    users_tbl = pa.table({"user_id": pa.array(sorted(err_users), pa.int64())})
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_join(cust, users_tbl, "c_custkey", "user_id", how="semi")
+
+
+def a_dup_user_event(sf_dir: str) -> rd.Dataset:
+    """Group-count + having(count>1) (A1,
+    ≙ duplicate counting ``check_fackel_references.py:32-37``)."""
+    ev = read(sf_dir, "events", ["user_id", "event_type", "event_id"])
+    agg = partial_groupby_agg(ev, ["user_id", "event_type"],
+                              [("event_id", "count", "n")])
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow")
+
+
+def a_collect_event_types(sf_dir: str) -> rd.Dataset:
+    """Group-collect list agg (A2, ≙ ``check_fackel_references.py:40-52``);
+    deterministic order inside the collected list (SURVEY.md §7.4)."""
+    ev = read(sf_dir, "events", ["user_id", "event_type", "event_id"])
+
+    def collect(group: pa.Table) -> pa.Table:
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        ei = np.asarray(group["event_id"].to_pylist())
+        order = np.lexsort((ei, et))
+        return pa.table({
+            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+            "types": pa.array([",".join(et[order])], pa.string()),
+            "n_events": pa.array([len(et)], pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(collect, batch_format="pyarrow")
+
+
+def a_lang_source_counts(sf_dir: str) -> rd.Dataset:
+    """Distinct pairs + counts (A3-adjacent exact distinct)."""
+    docs = read(sf_dir, "documents", ["lang", "source", "doc_id"])
+    return partial_groupby_agg(docs, ["lang", "source"],
+                               [("doc_id", "count", "n")])
+
+
+def o_topk_orders(sf_dir: str) -> rd.Dataset:
+    """Sort desc + limit (O1/O3, ≙ ``check_fackel_references.py:33-35``)."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return topk(orders, [("o_totalprice", True), ("o_orderkey", False)], 10)
+
+
+def o_union_priority(sf_dir: str) -> rd.Dataset:
+    """Union of violation-style streams (O5, ≙ graph merges
+    ``make_rdf.py:68``)."""
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    urgent_open = orders.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b["o_orderpriority"], "1-URGENT"),
+                                   pc.equal(b["o_orderstatus"], "O"))),
+        batch_format="pyarrow")
+    low_final = orders.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b["o_orderpriority"], "5-LOW"),
+                                   pc.equal(b["o_orderstatus"], "F"))),
+        batch_format="pyarrow")
+    return urgent_open.union(low_final)
+
+
+def m_part_classify(sf_dir: str) -> rd.Dataset:
+    """Regex parse (M5) + rule-table classification (M10,
+    ≙ ``curation/work_type_mapping.py:1-23``) + label synthesis (M12)."""
+    part = read(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_brand"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        first_word = pc.coalesce(
+            pc.struct_field(
+                pc.extract_regex(batch["p_name"], r"^(?P<w>\w+)"), "w"),
+            pa.scalar(""))
+        ptype = np.asarray(batch["p_type"].to_pylist(), dtype=object)
+        type_class = np.select(
+            [ptype == "PROMO", np.isin(ptype, ["ECONOMY", "SMALL"])],
+            ["promo", "value"], default="standard")
+        label = pc.binary_join_element_wise(
+            pa.scalar("part: "), batch["p_name"], pa.scalar(""))
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "first_word": first_word,
+            "type_class": pa.array(type_class.astype(object), pa.string()),
+            "brand_uc": pc.utf8_upper(batch["p_brand"]),
+            "label": label,
+        })
+
+    return part.map_batches(classify, batch_format="pyarrow")
+
+
+def m_orders_per_year(sf_dir: str) -> rd.Dataset:
+    """Date-part projection (M6) + grouped count."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "year", pc.year(batch["o_orderdate"]).cast(pa.int64()))
+
+    return partial_groupby_agg(orders, ["year"],
+                               [("o_orderkey", "count", "n_orders")], pre=pre)
+
+
+def m_doc_tokens(sf_dir: str) -> rd.Dataset:
+    """Child-group enumeration flat-map (M11, ≙ ordinal-minting
+    ``make_texts.py:375-383``): (doc_id, ordinal, token) child table."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["doc_id"], 20))
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ordinal": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string())})
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths.astype(np.float64), nan=0.0).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_rep = np.repeat(ids, lengths)
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        ordinal = np.arange(int(lengths.sum())) - np.repeat(offsets, lengths)
+        return pa.table({
+            "doc_id": pa.array(doc_rep, pa.int64()),
+            "ordinal": pa.array(ordinal, pa.int64()),
+            "token": flat,
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregate + sessionization (SURVEY.md §2.7 batch-window)
+# ---------------------------------------------------------------------------
+
+
+def e_hourly_windows(sf_dir: str) -> rd.Dataset:
+    """Tumbling-hour windowed aggregate via key projection + grouped agg."""
+    ev = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "hour", pc.floor_temporal(batch["ts"], unit="hour"))
+
+    agg = partial_groupby_agg(
+        ev, ["hour", "event_type"],
+        [("value", "sum", "sum_value"), ("value", "count", "n_events")],
+        pre=pre)
+    return agg.map_batches(_round_stage({"sum_value": 2}),
+                           batch_format="pyarrow")
+
+
+def e_sessionize(sf_dir: str) -> rd.Dataset:
+    """Sessionization (30-min inactivity gap) per user via sorted map_groups —
+    the custom 'windowed/stateful' operator class (SURVEY.md §2 custom ops)."""
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(30, "m")
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].to_numpy(zero_copy_only=False))
+        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents (Beyond-the-reference components)
+# ---------------------------------------------------------------------------
+
+
+def t_token_stats(sf_dir: str) -> rd.Dataset:
+    """Token counting (whitespace regex) — vectorized (M3-adjacent)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": token_counts(batch["text"]).cast(pa.int64()),
+            "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def t_quality(sf_dir: str) -> rd.Dataset:
+    """Quality scoring: length/punct/digit/stopword ratios, mean token len."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        f = quality_features(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "digit_ratio": pa.array(round_half_away(f["digit_ratio"], 6)),
+            "punct_ratio": pa.array(round_half_away(f["punct_ratio"], 6)),
+            "stopword_ratio": pa.array(round_half_away(f["stopword_ratio"], 6)),
+            "mean_token_len": pa.array(round_half_away(f["mean_token_len"], 6)),
+        })
+
+    return docs.map_batches(q, batch_format="pyarrow")
+
+
+def t_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Document fingerprinting: md5 (oracle-matched)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(md5_hex(batch["text"].to_pylist()), pa.string()),
+        })
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def t_fingerprint_extra(sf_dir: str) -> rd.Dataset:
+    """Rolling-hash winnowing fingerprint + 64-bit SimHash (rows-only)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "rolling_fp": pa.array(
+                np.array([rolling_fingerprint(t or "") for t in texts],
+                         dtype=np.uint64), pa.uint64()),
+            "simhash": pa.array(
+                np.array([simhash64(t or []) for t in toks.to_pylist()],
+                         dtype=np.uint64), pa.uint64()),
+        })
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def t_lang_id(sf_dir: str) -> rd.Dataset:
+    """Stopword-profile language ID (rows-only; heuristic, deterministic)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lid(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(lang_id(batch["text"]), pa.string()),
+        })
+
+    return docs.map_batches(lid, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# validation-check queries over testdata tables (C-suite re-expressed)
+# ---------------------------------------------------------------------------
+
+
+def v_events_ts_range(sf_dir: str) -> rd.Dataset:
+    """Timestamp range check (C4 analog over events)."""
+    ev = read(sf_dir, "events", ["event_id", "ts"])
+    return ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["ts"], pa.scalar(EVENTS_TS_MAX))),
+        batch_format="pyarrow")
+
+
+def v_doc_suite(sf_dir: str) -> rd.Dataset:
+    """Fused per-row check suite over documents → violation rows
+    (C2 non-null, C3 vocab, consistency, quality gate) — one pass."""
+    docs = read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    vocab = pa.array(sorted(ISO_639_1))
+
+    def checks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_c, out_i, out_d = [], [], []
+
+        def emit(check_id, mask, detail):
+            sel = ids[np.asarray(mask)]
+            out_c.extend([check_id] * len(sel))
+            out_i.extend(sel)
+            out_d.extend([detail] * len(sel))
+
+        text_empty = pc.or_kleene(
+            pc.is_null(batch["text"]),
+            pc.equal(pc.coalesce(pc.utf8_length(batch["text"]), pa.scalar(0)), 0))
+        emit("c2_nonnull", text_empty.to_numpy(zero_copy_only=False),
+             "text null/empty")
+        bad_lang = pc.invert(pc.is_in(batch["lang"], value_set=vocab))
+        emit("c3_lang_vocab", bad_lang.to_numpy(zero_copy_only=False),
+             "lang_not_in_vocab")
+        mismatch = pc.not_equal(
+            batch["n_chars"],
+            pc.coalesce(pc.utf8_length(batch["text"]).cast(pa.int64()),
+                        pa.scalar(-1, pa.int64())))
+        emit("c7_nchars_consistent", mismatch.to_numpy(zero_copy_only=False),
+             "n_chars != length(text)")
+        emit("c8_quality_short",
+             pc.less(batch["n_chars"], 100).to_numpy(zero_copy_only=False),
+             "n_chars<100")
+        return pa.table({
+            "check_id": pa.array(out_c, pa.string()),
+            "doc_id": pa.array(out_i, pa.int64()),
+            "detail": pa.array(out_d, pa.string()),
+        })
+
+    return docs.map_batches(checks, batch_format="pyarrow")
+
+
+def v_unique_doc_ids(sf_dir: str) -> pa.Table:
+    """Global uniqueness of doc_id (C1 analog) via grouped count>1.
+
+    Materialized with an explicit schema: an all-unique table yields ZERO
+    violation rows, and an empty Dataset would otherwise lose its schema."""
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+    agg = partial_groupby_agg(docs, ["doc_id"], [("lang", "count", "n")])
+    dups = agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow")
+    pdf = dups.to_pandas()
+    schema = pa.schema([("doc_id", pa.int64()), ("n", pa.int64())])
+    if pdf.empty:
+        return schema.empty_table()
+    return pa.Table.from_pandas(pdf[["doc_id", "n"]],
+                                preserve_index=False).cast(schema)
+
+
+# ---------------------------------------------------------------------------
+# pages-table pipelines (the flagship surface; deterministic synthetic fixture
+# sized to the sf dir — BASELINE.json input_hint shape)
+# ---------------------------------------------------------------------------
+
+
+def _pages_fixture(sf_dir: str) -> str:
+    from ..sources.pages import ensure_pages, pages_nrows_for_sf
+
+    return ensure_pages(pages_nrows_for_sf(sf_dir))
+
+
+def pages_validate(sf_dir: str) -> pa.Table:
+    """Flagship: full constraint suite (C0-C6) over the pages table;
+    returns the violation rows (≙ the reference's frozen review artifacts,
+    ``AmbiguousFackelReferences.txt``, ``check_fackel_references.py:74-76``)."""
+    import os
+
+    from .validate import load_violations, run_validation
+
+    fix = _pages_fixture(sf_dir)
+    n = os.path.basename(fix)
+    out = f"/tmp/lk_out/pages_{n}"
+    run_validation(os.path.join(fix, "pages"), out,
+                   lang_hist_path=os.path.join(fix, "lang_hist.parquet"))
+    viol = load_violations(out)
+    return viol.select(["check_id", "url", "detail"]).sort_by(
+        [("check_id", "ascending"), ("url", "ascending"),
+         ("detail", "ascending")])
+
+
+def pages_links(sf_dir: str) -> rd.Dataset:
+    """Outbound-link extraction flat-map (M1/M11): pages → child table
+    keyed by (src_url, ordinal) (≙ mention enumeration
+    ``make_texts.py:375-383``)."""
+    import os
+
+    from ..functions.extract import extract_links
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "html"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs, ords, dsts, anchors = [], [], [], []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for i, (href, anchor) in enumerate(extract_links(h)):
+                srcs.append(u)
+                ords.append(i)
+                dsts.append(href)
+                anchors.append(anchor)
+        return pa.table({
+            "src_url": pa.array(srcs, pa.string()),
+            "ordinal": pa.array(ords, pa.int32()),
+            "dst_url": pa.array(dsts, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        })
+
+    return pages.map_batches(explode, batch_format="pyarrow")
+
+
+def mm_payload_meta(sf_dir: str) -> rd.Dataset:
+    """Multimodal: binary payload sniff + per-kind byte accounting."""
+    import os
+
+    from .multimodal import payload_metadata
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "html"])
+    meta = payload_metadata(pages)
+    return partial_groupby_agg(
+        meta, ["kind"],
+        [("n_bytes", "sum", "total_bytes"), ("n_bytes", "count", "n")])
+
+
+def mm_decode_feats(sf_dir: str) -> rd.Dataset:
+    """Multimodal: stubbed decode/feature actor stage (fake decoder)."""
+    import os
+
+    from .multimodal import decode_features
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "html"]).limit(2048)
+    feats = decode_features(pages, fake=True)
+    return feats.select_columns(["url", "kind", "width", "height",
+                                 "n_channels"])
+
+
+def approx_stats(sf_dir: str) -> pa.Table:
+    """Sketch sidecar (A6): HLL cardinalities + t-digest quantiles over
+    documents, computed as mergeable per-batch partials (exact counterparts
+    asserted in pytest; rows-only here — estimates are approximate by design)."""
+    from ..sketches import HyperLogLog, TDigest
+
+    docs = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h_doc, h_lang, td = HyperLogLog(12), HyperLogLog(12), TDigest()
+        h_doc.update_strings(np.array(
+            [str(v) for v in batch["doc_id"].to_pylist()], dtype=object))
+        h_lang.update_strings(np.array(
+            [v or "" for v in batch["lang"].to_pylist()], dtype=object))
+        tl = pc.utf8_length(batch["text"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        td.update(tl[~np.isnan(tl)])
+        return pa.table({
+            "h_doc": pa.array([h_doc.to_bytes()], pa.binary()),
+            "h_lang": pa.array([h_lang.to_bytes()], pa.binary()),
+            "td": pa.array([td.to_bytes()], pa.binary()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    h_doc, h_lang, td = HyperLogLog(12), HyperLogLog(12), TDigest()
+    n = 0
+    for p in parts:
+        h_doc = h_doc.merge(HyperLogLog.from_bytes(p["h_doc"]))
+        h_lang = h_lang.merge(HyperLogLog.from_bytes(p["h_lang"]))
+        td = td.merge(TDigest.from_bytes(p["td"]))
+        n += p["n"]
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "doc_id_card_est": pa.array([round(h_doc.estimate(), 1)], pa.float64()),
+        "lang_card_est": pa.array([round(h_lang.estimate(), 1)], pa.float64()),
+        "textlen_p50_est": pa.array([round(td.quantile(0.5), 1)], pa.float64()),
+        "textlen_p99_est": pa.array([round(td.quantile(0.99), 1)], pa.float64()),
+    })

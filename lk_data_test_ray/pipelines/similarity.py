@@ -1,0 +1,231 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+No reference analog (the reference joins on exact string keys only,
+SURVEY.md §2.4) — this is the 'Beyond the reference' similarity-search
+component: brute-force cosine top-k as the exact baseline, and an LSH
+(random-hyperplane) bucketed variant as the scale path.
+
+Scale shape (brute force): the query matrix is broadcast ONCE via ``ray.put``
+(never re-shipped per batch), each batch does one float64 matmul against it,
+and only per-batch top-k survivors (k × n_queries rows per batch) flow into
+the final merge — the full similarity matrix never materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceScorer:
+    """Actor: cosine of every batch row against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.qmat = _normalize(qmat.astype(np.float64))
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        cos = self.qmat @ _normalize(mat).T  # (n_q, n_batch)
+        # self-matches excluded
+        self_mask = ids[None, :] == self.qids[:, None]
+        cos[self_mask] = -np.inf
+        k = min(self.k, cos.shape[1])
+        # per-query local top-k (argpartition: O(n) per query)
+        part = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_c = [], [], []
+        for qi in range(cos.shape[0]):
+            sel = part[qi]
+            keep = np.isfinite(cos[qi, sel])
+            out_q.extend([self.qids[qi]] * int(keep.sum()))
+            out_n.extend(ids[sel[keep]])
+            out_c.extend(cos[qi, sel[keep]])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+
+def _final_topk(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        nid = np.asarray(group["neighbor_id"].to_pylist())
+        cos = np.asarray(group["cos"].to_pylist())
+        # deterministic total order: cos desc, neighbor_id asc
+        order = np.lexsort((nid, -cos))[:k]
+        qid = group["query_id"][0].as_py()
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "neighbor_id": pa.array(nid[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return merge
+
+
+def ann_brute_force(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    k: int = 5, concurrency=None) -> rd.Dataset:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1-based."""
+    ref = ray.put(queries)
+    partial = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col,
+                                   vec_col=vec_col, k=k),
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else 4)
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+class LshBucketer:
+    """Sign-random-projection bucket id per vector (+ multiprobe neighbors)."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int, multiprobe: int):
+        self.planes = _planes(dim, n_planes, seed)
+        self.multiprobe = multiprobe
+        self.n_planes = n_planes
+
+    def buckets_for(self, mat: np.ndarray) -> list[list[int]]:
+        bits = (mat @ self.planes.T) > 0  # (n, planes)
+        base = (bits.astype(np.uint64)
+                << np.arange(self.n_planes, dtype=np.uint64)).sum(axis=1)
+        out = []
+        for i in range(mat.shape[0]):
+            b = [int(base[i])]
+            for p in range(min(self.multiprobe, self.n_planes)):
+                b.append(int(base[i]) ^ (1 << p))  # flip one plane
+            out.append(b)
+        return out
+
+
+class LshAssign:
+    def __init__(self, dim, n_planes, seed, multiprobe, id_col, vec_col,
+                 probe: bool):
+        self.b = LshBucketer(dim, n_planes, seed, multiprobe if probe else 0)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        bks = self.b.buckets_for(_normalize(mat))
+        out_i, out_b, out_v = [], [], []
+        for i, bl in enumerate(bks):
+            for bk in bl:
+                out_i.append(ids[i])
+                out_b.append(bk)
+                out_v.append(mat[i])
+        return pa.table({
+            self.id_col: pa.array(out_i, pa.int64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            self.vec_col: pa.array(out_v),
+        })
+
+
+def ann_lsh(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
+            id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+            n_planes: int = 8, seed: int = 11, multiprobe: int = 4) -> rd.Dataset:
+    """Approximate top-k: compare queries only against same-bucket vectors.
+
+    Dataset side: each vector lands in exactly one bucket (no row blowup);
+    query side: multiprobe (flip one plane) widens recall. Returns the same
+    (query_id, neighbor_id, rank) layout as the brute-force baseline so
+    recall@k can be measured directly against it.
+    """
+    qids, qmat = queries
+    dim = qmat.shape[1]
+    assigned = ds.map_batches(
+        LshAssign, fn_constructor_kwargs=dict(
+            dim=dim, n_planes=n_planes, seed=seed, multiprobe=multiprobe,
+            id_col=id_col, vec_col=vec_col, probe=False),
+        batch_format="pyarrow", concurrency=2)
+
+    qb = LshBucketer(dim, n_planes, seed, multiprobe)
+    qnorm = _normalize(qmat.astype(np.float64))
+    qbuckets = qb.buckets_for(qnorm)
+    # bucket → list of query indices probing it (small: broadcast)
+    probe_map: dict[int, list[int]] = {}
+    for qi, bl in enumerate(qbuckets):
+        for bk in bl:
+            probe_map.setdefault(bk, []).append(qi)
+    probe_ref = ray.put((probe_map, qids, qnorm))
+
+    class ScoreBuckets:
+        def __init__(self, ref, kk):
+            self.probe_map, self.qids, self.qnorm = ray.get(ref)
+            self.k = kk
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_q, out_n, out_c = [], [], []
+            buckets = np.asarray(batch["bucket"].to_pylist())
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = _normalize(np.asarray(batch[vec_col].to_pylist(),
+                                        dtype=np.float64))
+            for bk in np.unique(buckets):
+                qis = self.probe_map.get(int(bk))
+                if not qis:
+                    continue
+                sel = buckets == bk
+                sub_ids, sub = ids[sel], mat[sel]
+                cos = self.qnorm[qis] @ sub.T
+                for row, qi in enumerate(qis):
+                    mask = sub_ids != self.qids[qi]
+                    out_q.extend([self.qids[qi]] * int(mask.sum()))
+                    out_n.extend(sub_ids[mask])
+                    out_c.extend(cos[row][mask])
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            })
+
+    scored = assigned.map_batches(
+        ScoreBuckets, fn_constructor_kwargs=dict(ref=probe_ref, kk=k),
+        batch_format="pyarrow", concurrency=2)
+
+    def merge(group: pa.Table) -> pa.Table:
+        nid = np.asarray(group["neighbor_id"].to_pylist())
+        cos = np.asarray(group["cos"].to_pylist())
+        # multiprobe may see the same neighbor via several buckets → dedup
+        uniq, first = np.unique(nid, return_index=True)
+        cos = cos[first]
+        order = np.lexsort((uniq, -cos))[:k]
+        qid = group["query_id"][0].as_py()
+        return pa.table({
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "neighbor_id": pa.array(uniq[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def load_queries(sf_dir: str, n_queries: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """First n_queries embeddings (by id) as the broadcastable query matrix."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=[id_col, vec_col])
+    ids = np.asarray(t[id_col].to_pylist())
+    order = np.argsort(ids)[:n_queries]
+    qids = ids[order]
+    qmat = np.asarray([t[vec_col][int(i)].as_py() for i in order], dtype=np.float64)
+    return qids, qmat

@@ -1,0 +1,220 @@
+"""Generic relational operators, Ray-Data-first.
+
+These re-express the reference's join/aggregate shapes (SURVEY.md §2.4/§2.5)
+as scale-conscious Ray Data primitives:
+
+* **Broadcast joins** (J1/J2/J3/J6): the reference probes small in-memory
+  dicts built before its main loop (``scripts/make_texts.py:150-271`` probed
+  at ``:362-366, 419, 436``). Here the small side is shipped ONCE via
+  ``ray.put`` and probed per batch with vectorized ``pc.index_in`` — never a
+  shuffle, never re-serialized per batch.
+* **Map-side partial aggregation** (A4): per-batch Arrow ``group_by`` partials
+  → a tiny final shuffle over (keys × batches) partial rows instead of the
+  full fact table. At 10^12 rows this is the difference between shuffling
+  terabytes and shuffling megabytes.
+* **Distributed top-k** (O1): per-batch local top-k, then a global sort+limit
+  over ≤ k×num_batches survivors.
+
+Reference analogs cited per function; none of the reference's execution code
+is reused (it is single-threaded lxml/rdflib, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# broadcast joins
+# ---------------------------------------------------------------------------
+
+
+# Per-worker-process cache of prepared (key array, payload table) broadcast
+# sides, keyed by ObjectRef hex — ray.get of a shared-memory Arrow table is
+# zero-copy, but preparing (combine_chunks, rename) is done once per worker.
+_BCAST_CACHE: dict = {}
+
+
+def _prepared_side(ref, right_on: str, suffix: str):
+    key = (ref.hex(), right_on, suffix)
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        small: pa.Table = ray.get(ref)
+        keys = small[right_on].combine_chunks()
+        payload = small.drop_columns([right_on])
+        if suffix:
+            payload = payload.rename_columns(
+                [c + suffix for c in payload.column_names])
+        hit = (keys, payload)
+        _BCAST_CACHE[key] = hit
+    return hit
+
+
+def broadcast_join(big: rd.Dataset, small: pa.Table, left_on: str, right_on: str,
+                   how: str = "inner", suffix: str = "",
+                   concurrency: int | None = None) -> rd.Dataset:
+    """Join a big Dataset against a small Arrow table without a shuffle.
+
+    Modes:
+      * ``inner`` / ``left``: append the small side's payload columns
+        (≙ enrichment join J6, ``scripts/enrich_person_indices.py:23-57``)
+      * ``semi``: keep rows whose key exists in the small side
+        (≙ existence probe J3, ``scripts/make_texts.py:363-366``)
+      * ``anti``: keep rows whose key does NOT exist — referential-integrity
+        check (J2, ``curation/check_authors_exist_in_listperson.py:21-25``)
+
+    Runs as STATELESS tasks, not an actor pool: the probe holds no expensive
+    state (the broadcast table lives in the object store, read zero-copy and
+    prepared once per worker process via ``_BCAST_CACHE``), and task-based
+    stages can't starve peer stages of CPU slots the way stacked actor pools
+    do. The ``concurrency`` arg caps the stage's parallelism if given.
+    """
+    ref = ray.put(small)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys, payload = _prepared_side(ref, right_on, suffix)
+        idx = pc.index_in(batch[left_on], value_set=keys)
+        if how == "semi":
+            return batch.filter(pc.is_valid(idx))
+        if how == "anti":
+            return batch.filter(pc.is_null(idx))
+        if how == "inner":
+            mask = pc.is_valid(idx)
+            batch = batch.filter(mask)
+            idx = idx.filter(mask)
+        out = batch
+        for name in payload.column_names:
+            out = out.append_column(name, pc.take(payload[name], idx))
+        return out
+
+    kwargs = dict(batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return big.map_batches(probe, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# map-side partial aggregation (combiner before the shuffle)
+# ---------------------------------------------------------------------------
+
+_ARROW_OP = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+# merge op applied to partials of each base op
+_MERGE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def partial_groupby_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+    pre: "callable | None" = None,
+) -> rd.Dataset:
+    """``GROUP BY keys`` with aggregation pushed map-side.
+
+    specs: (column, op, out_name) with op ∈ {sum, count, min, max, mean}.
+    ``pre``: optional pa.Table → pa.Table projection applied per batch before
+    aggregating (e.g. compute a revenue expression).
+
+    Per batch: Arrow ``Table.group_by`` produces one partial row per distinct
+    key in the batch; the global shuffle then moves only those partials
+    (reference analog: global counters accumulated in one process,
+    ``curation/check_fackel_references.py:32-37`` — here made distributive).
+    """
+    base: list[tuple[str, str]] = []
+    for col, op, _out in specs:
+        if op == "mean":
+            base += [(col, "sum"), (col, "count")]
+        else:
+            base.append((col, _ARROW_OP[op]))
+    base = sorted(set(base))
+    partial_names = [f"{c}_{o}" for c, o in base]
+
+    def make_partials(batch: pa.Table) -> pa.Table:
+        if pre is not None:
+            batch = pre(batch)
+        return batch.group_by(keys).aggregate(base)
+
+    def merge(group: pa.Table) -> pa.Table:
+        out = {k: [group[k][0].as_py()] for k in keys}
+        merged = {}
+        for (c, o), pn in zip(base, partial_names):
+            col = group[pn]
+            if _MERGE_OP[o] == "sum":
+                merged[pn] = pc.sum(col).as_py()
+            elif _MERGE_OP[o] == "min":
+                merged[pn] = pc.min(col).as_py()
+            else:
+                merged[pn] = pc.max(col).as_py()
+        for col, op, outn in specs:
+            if op == "mean":
+                cnt = merged[f"{col}_count"]
+                out[outn] = [merged[f"{col}_sum"] / cnt if cnt else None]
+            else:
+                out[outn] = [merged[f"{col}_{_ARROW_OP[op]}"]]
+        return pa.table(out)
+
+    partials = ds.map_batches(make_partials, batch_format="pyarrow")
+    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed top-k (sort + limit with per-batch pruning)
+# ---------------------------------------------------------------------------
+
+
+def topk(ds: rd.Dataset, sort_keys: list[tuple[str, bool]], k: int) -> rd.Dataset:
+    """Top-k by (col, descending) keys: local per-batch top-k, global sort+limit.
+
+    Reference analog: sort-by-count-desc report ordering
+    (``curation/check_fackel_references.py:33-35``) — distributive here so the
+    global sort sees ≤ k rows per batch instead of the whole table.
+    """
+    names = [c for c, _ in sort_keys]
+    orders = ["descending" if d else "ascending" for _, d in sort_keys]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(
+            batch, sort_keys=[(n, o) for n, o in zip(names, orders)])
+        return batch.take(idx[:k])
+
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.sort(names, descending=[d for _, d in sort_keys]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# misc small helpers
+# ---------------------------------------------------------------------------
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Column-pruned parquet read of one testdata table."""
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def read_table(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side Arrow read of a SMALL dimension table."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    """Round half away from zero (DuckDB ROUND semantics; np.round is banker's)."""
+    p = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Round float columns (half away from zero — DuckDB ROUND semantics)."""
+    for name, nd in cols.items():
+        i = tbl.column_names.index(name)
+        tbl = tbl.set_column(
+            i, name,
+            pc.round(tbl[name], ndigits=nd, round_mode="half_towards_infinity"))
+    return tbl
