@@ -18,4 +18,6 @@ Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — sessions are
 owned by the caller (bench.py, CLI, pytest fixture, or the external driver).
 """
 
+from . import _env  # noqa: F401  (thread-safe fsspec/http import shim)
+
 __version__ = "0.1.0"

@@ -55,6 +55,7 @@ class RowChecker:
                  vocab=None, check_extract: bool = True):
         self.partition_of = partition_of or {}
         self.vocab = frozenset(vocab) if vocab is not None else ISO_639_1
+        self.vocab_arr = pa.array(sorted(self.vocab))  # for vectorized is_in
         self.check_extract = check_extract
         self.ts_lo = np.datetime64(WARC_TS_MIN, "us")
         self.ts_hi = np.datetime64(WARC_TS_MAX, "us")
@@ -93,6 +94,11 @@ class RowChecker:
                 details = [details] * n
             cols["detail"].extend(details)
 
+        def flagged_urls(mask: pa.Array) -> list:
+            # convert ONLY flagged rows to python (violations are rare —
+            # never materialize the whole url column for emission)
+            return batch["url"].filter(mask).to_pylist()
+
         # --- C0 schema conformance ------------------------------------------
         if [f.name for f in batch.schema] != [f.name for f in PAGES_SCHEMA] or any(
             not batch.schema.field(f.name).type.equals(f.type) for f in PAGES_SCHEMA
@@ -101,68 +107,73 @@ class RowChecker:
                  f"batch schema {batch.schema!s} != declared pages schema")
             return _finish(cols, pid, None)
 
-        url = np.asarray(batch["url"].to_pandas(), dtype=object)
+        url_col = batch["url"]
         text_col = batch["text"]
-        lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
-        html_null = np.asarray(pc.is_null(batch["html"]))
-        text_null = np.asarray(pc.is_null(text_col))
-        text_empty = text_null | np.asarray(
-            pc.equal(pc.coalesce(pc.utf8_length(text_col), pa.scalar(0)), 0)
-        )
+        lang_col = batch["lang"]
+        html_null = pc.is_null(batch["html"])
+        text_null = pc.is_null(text_col)
+        text_empty = pc.or_(
+            text_null,
+            pc.equal(pc.coalesce(pc.utf8_length(text_col), pa.scalar(0)), 0))
 
         # --- C2 html↔text referential non-nullity ---------------------------
-        bad = (~html_null) & text_empty
-        emit("c2_nonnull", list(url[bad]), "error",
+        c2 = pc.and_(pc.invert(html_null), text_empty)
+        emit("c2_nonnull", flagged_urls(c2), "error",
              "html non-null but text null/empty")
 
-        # --- C3 lang ∈ vocabulary -------------------------------------------
-        in_vocab = np.fromiter(
-            ((v in self.vocab) if v is not None else False for v in lang),
-            dtype=bool, count=len(lang),
-        )
-        bad = ~in_vocab
-        emit("c3_lang_vocab", list(url[bad]), "error",
-             [f"lang={v!r}" for v in lang[bad]])
+        # --- C3 lang ∈ vocabulary (vectorized set probe) --------------------
+        c3 = pc.coalesce(
+            pc.invert(pc.is_in(lang_col, value_set=self.vocab_arr)),
+            pa.scalar(True))  # null lang → violation
+        emit("c3_lang_vocab", flagged_urls(c3), "error",
+             [f"lang={v!r}" for v in lang_col.filter(c3).to_pylist()])
 
         # --- C4 warc_ts range -----------------------------------------------
         ts = batch["warc_ts"].to_numpy(zero_copy_only=False)  # datetime64[us], NaT for null
         ts_ok = (ts >= self.ts_lo) & (ts < self.ts_hi)  # NaT compares False
-        bad = ~ts_ok
-        emit("c4_ts_range", list(url[bad]), "error", [str(v) for v in ts[bad]])
+        c4 = pa.array(~ts_ok)
+        emit("c4_ts_range", flagged_urls(c4), "error",
+             [str(v) for v in ts[~ts_ok]])
 
         # --- C6 extraction determinism (byte-identical text per url) --------
         if self.check_extract:
-            html_py = batch["html"].to_pylist()
-            text_py = text_col.to_pylist()
-            bad_idx = [
-                i for i in range(len(html_py))
-                if html_py[i] is not None and text_py[i] is not None
-                and extract_text(html_py[i]) != text_py[i]
+            # only rows with BOTH html and text present can mismatch
+            cand = pc.and_(pc.invert(html_null), pc.invert(text_null))
+            sub = batch.filter(cand)
+            html_py = sub["html"].to_pylist()
+            text_py = sub["text"].to_pylist()
+            url_py = sub["url"].to_pylist()
+            bad_urls = [
+                url_py[i] for i in range(len(html_py))
+                if extract_text(html_py[i]) != text_py[i]
             ]
-            emit("c6_extract_match", [url[i] for i in bad_idx], "error",
+            emit("c6_extract_match", bad_urls, "error",
                  "extract_text(html) != text")
 
         # --- stats partial ---------------------------------------------------
+        url_np = np.asarray(url_col.to_pandas(), dtype=object)
         hll_url = HyperLogLog(12)
-        hll_url.update_strings(url)
+        hll_url.update_strings(url_np)
+        lang_vc = pc.value_counts(lang_col)
+        lang_counts = {
+            (lang_vc[i][0].as_py() or ""): lang_vc[i][1].as_py()
+            for i in range(len(lang_vc))
+            if lang_vc[i][0].as_py() is not None
+        }
         hll_lang = HyperLogLog(12)
-        hll_lang.update_strings(np.array([v if v is not None else "" for v in lang],
-                                         dtype=object))
+        hll_lang.update_strings(np.array(list(lang_counts), dtype=object))
         td = TDigest()
         tl = pc.utf8_length(text_col).to_numpy(zero_copy_only=False).astype(np.float64)
         td.update(tl[~np.isnan(tl)] if np.isnan(tl).any() else tl)
-        lang_mask = np.fromiter((v is not None for v in lang), dtype=bool,
-                                count=len(lang))
-        vals, cnts = np.unique(lang[lang_mask].astype(str), return_counts=True)
         ts_valid = ts[~np.isnat(ts)]
         stats = {
             "n_rows": batch.num_rows,
             "hll_url": hll_url.to_bytes(),
             "hll_lang": hll_lang.to_bytes(),
             "tdigest_textlen": td.to_bytes(),
-            "lang_counts": {str(a): int(b) for a, b in zip(vals, cnts)},
-            "html_null": int(html_null.sum()),
-            "text_null": int(text_null.sum()),
+            "lang_counts": lang_counts,
+            "html_null": int(pc.sum(html_null.cast(pa.int64())).as_py() or 0),
+            "text_null": int(pc.sum(text_null.cast(pa.int64())).as_py() or 0),
             "ts_min": str(ts_valid.min()) if ts_valid.size else None,
             "ts_max": str(ts_valid.max()) if ts_valid.size else None,
         }
@@ -193,6 +204,69 @@ def _finish(cols, pid: int, stats: dict | None) -> pa.Table:
         },
         schema=COMBINED_SCHEMA,
     )
+
+
+_FN_CACHE: dict = {}
+
+
+def plan_scan_items(files: list[str], partition_of: dict[str, int],
+                    target_rows: int = 32_768) -> list[dict]:
+    """Split input files into (path, row-group range, pid) scan items.
+
+    One item ≈ ``target_rows`` rows → enough tasks to saturate the cluster
+    even when files ≫ cores are unavailable; parquet footers only are read
+    here (driver-side, cheap).
+    """
+    import pyarrow.parquet as pq
+
+    items = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        n_rg = pf.metadata.num_row_groups
+        rows_per_rg = max(1, pf.metadata.num_rows // max(1, n_rg))
+        step = max(1, target_rows // rows_per_rg)
+        for lo in range(0, n_rg, step):
+            items.append({"path": f, "rg_lo": lo,
+                          "rg_hi": min(n_rg, lo + step),
+                          "pid": partition_of[f]})
+    return items
+
+
+def make_scan_check_fn(check_extract: bool = True, vocab=None):
+    """Fused read+check stage over a Dataset of scan items.
+
+    The heavy html/text blocks NEVER enter the object store: each task reads
+    its row-group range directly from parquet and emits only violations +
+    stats partials (a few KB). Versus read_parquet → map_batches this removes
+    the full materialization of ~100 TB of blocks into plasma — the single
+    biggest data-movement saving available to this job — while Ray Data still
+    provides streaming, backpressure and lineage retries over the item list.
+    (Also: ``include_paths=True`` attribution builds a per-row path string
+    column, measured at ~10s per 2.4M rows — item-level ``pid`` is free.)
+
+    Runs as stateless tasks with a per-worker cached RowChecker: an actor
+    pool would pay pool-size × process-spawn per wave for state that is just
+    a vocab array.
+    """
+
+    def scan_check(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        key = ("scan", check_extract)
+        rc = _FN_CACHE.get(key)
+        if rc is None:
+            rc = RowChecker(vocab=vocab, check_extract=check_extract)
+            _FN_CACHE[key] = rc
+        out = []
+        for path, lo, hi, pid in zip(batch["path"].to_pylist(),
+                                     batch["rg_lo"].to_pylist(),
+                                     batch["rg_hi"].to_pylist(),
+                                     batch["pid"].to_pylist()):
+            tbl = pq.ParquetFile(path).read_row_groups(list(range(lo, hi)))
+            out.append(rc._process(tbl, pid))
+        return pa.concat_tables(out) if out else COMBINED_SCHEMA.empty_table()
+
+    return scan_check
 
 
 def split_combined(tables: list[pa.Table]) -> tuple[pa.Table, list[tuple[int, dict]]]:

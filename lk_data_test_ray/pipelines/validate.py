@@ -32,7 +32,8 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..checks.drift import chi_square_drift
-from ..checks.row import RowChecker, merge_stats, split_combined
+from ..checks.row import (make_scan_check_fn, merge_stats, plan_scan_items,
+                          split_combined)
 from ..checks.uniqueness import duplicates_to_violations, find_duplicate_urls
 from ..schema import VIOLATIONS_SCHEMA
 from ..state.manifest import ManifestStore
@@ -59,12 +60,14 @@ def run_validation(
     lang_hist_path: str | None = None,
     resume: bool = True,
     wave_size: int = 8,
-    batch_size: int = 2048,
+    batch_size: int | None = None,
     concurrency: int | tuple | None = None,
     check_extract: bool = True,
     drift_alpha: float = 1e-3,
 ) -> dict:
     """Run the full suite; returns the summary dict (also written as JSON)."""
+    import threading
+
     t0 = time.time()
     files = _pages_files(pages_path)
     partition_of = {f: i for i, f in enumerate(files)}
@@ -76,25 +79,33 @@ def run_validation(
     todo = [f for f in files if partition_of[f] not in done]
     n_rows_total = 0
 
+    # ---- global C1 uniqueness runs CONCURRENTLY with the row phase ----------
+    # (independent datasets: C1 re-reads only the url column; Ray Data
+    # schedules both pipelines side by side, hiding the shuffle latency)
+    c1_result: dict = {}
+
+    def _c1():
+        try:
+            c1_result["dups"] = find_duplicate_urls(files)
+        except Exception as ex:  # surface after the row phase
+            c1_result["error"] = ex
+
+    c1_thread = threading.Thread(target=_c1, daemon=True)
+    c1_thread.start()
+
     # ---------------- row phase, in waves ------------------------------------
+    # fused read+check over a Dataset of (file, row-group range) scan items:
+    # html/text bytes never enter the object store; only violations + stats
+    # partials (KBs) flow out of each task (see make_scan_check_fn)
     for w in range(0, len(todo), wave_size):
         wave = todo[w:w + wave_size]
-        ds = rd.read_parquet(wave, include_paths=True)
-        if concurrency is None:
-            import ray
-
-            # actor pool sized to the session, leaving headroom for read tasks
-            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-        kwargs = dict(
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-            fn_constructor_kwargs={
-                "partition_of": partition_of,
-                "check_extract": check_extract,
-            },
-        )
-        combined = ds.map_batches(RowChecker, **kwargs)
+        items = plan_scan_items(wave, partition_of)
+        ds = rd.from_items(items, override_num_blocks=len(items))
+        kwargs = dict(batch_format="pyarrow", batch_size=1)
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+        combined = ds.map_batches(
+            make_scan_check_fn(check_extract=check_extract), **kwargs)
         violations, partials = split_combined(_collect_arrow(combined))
 
         # group by partition, commit each
@@ -132,8 +143,10 @@ def run_validation(
     global_stats = merge_stats(all_stats)
 
     # ---------------- global phase: C1 uniqueness ----------------------------
-    dups = find_duplicate_urls(files)
-    c1_viol = duplicates_to_violations(dups)
+    c1_thread.join()
+    if "error" in c1_result:
+        raise c1_result["error"]
+    c1_viol = duplicates_to_violations(c1_result["dups"])
 
     # ---------------- global phase: C5 drift ---------------------------------
     drift = None

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.extract import extract_text
+from ..functions.extract import EXTRACT_VERSION, extract_text
 from ..schema import LANG_HIST_SCHEMA, LINKS_SCHEMA, PAGES_SCHEMA
 
 # Head-heavy lang mixture (FIXTURES.md F1; mirrors web-corpus skew).
@@ -238,7 +238,7 @@ def generate_pages(out_dir: str, n_rows: int, seed: int = 42,
             "dup_pairs": n_dup_pairs, "ts_oor": n_oor, "html_null": n_html_null,
             "text_null": n_text_null, "text_mutated": n_mut, "bad_lang": n_bad_lang,
         },
-        "extract_version": 1,
+        "extract_version": EXTRACT_VERSION,
     }
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -250,8 +250,12 @@ def generate_pages(out_dir: str, n_rows: int, seed: int = 42,
 
 def ensure_pages(n_rows: int, seed: int = 42, base: str = "/tmp/lk_pages",
                  lang_mix=None, tag: str = "") -> str:
-    """Idempotent cached generation; returns the fixture dir."""
-    out = os.path.join(base, f"n{n_rows}_s{seed}{tag}")
+    """Idempotent cached generation; returns the fixture dir.
+
+    Cache key includes EXTRACT_VERSION: the generator stamps
+    ``text = extract_text(html)``, so a new extraction version invalidates
+    cached fixtures (C6 re-derives with the same function)."""
+    out = os.path.join(base, f"n{n_rows}_s{seed}_x{EXTRACT_VERSION}{tag}")
     if not os.path.exists(os.path.join(out, "meta.json")):
         generate_pages(out, n_rows, seed=seed, lang_mix=lang_mix)
     return out

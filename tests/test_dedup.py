@@ -1,0 +1,94 @@
+"""Unit tests for the dedup family: exact, first-wins, shingle Jaccard,
+MinHash+LSH, SimHash, embedding cosine."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lk_data_test_ray.pipelines import dedup
+
+DOCS = pa.table({
+    "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+    "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "another unrelated document about databases",
+        "short",
+    ],
+})
+
+
+def _ds():
+    return rd.from_arrow(DOCS)
+
+
+def test_exact_dedup_groups():
+    out = dedup.exact_dedup_groups(_ds(), "doc_id", "text").to_pandas()
+    dups = out[out["n_rows"] > 1]
+    assert len(dups) == 1
+    assert dups.iloc[0]["keeper_id"] == 0  # min id wins, order-independent
+    assert dups.iloc[0]["n_rows"] == 2
+    assert len(out) == 5  # 5 distinct texts
+
+
+def test_first_wins():
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b"], "id": pa.array([7, 3, 9], pa.int64())}))
+    out = dedup.first_wins(ds, ["k"], "id").to_pandas()
+    got = {r["k"]: (r["keeper_id"], r["group_size"])
+           for _, r in out.iterrows()}
+    assert got == {"a": (3, 2), "b": (9, 1)}
+
+
+def _jaccard(a: str, b: str, k: int = 2) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)} \
+            if len(toks) >= k else {" ".join(toks)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_shingle_jaccard_pairs_exact():
+    out = dedup.shingle_jaccard_pairs(_ds(), "doc_id", "text", k=2,
+                                      threshold=0.5).to_pandas()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for _, r in out.iterrows()}
+    # exact dup pair (0,3) at J=1.0; near-dup (0,1) and (1,3)
+    assert pairs[(0, 3)] == 1.0
+    exp = _jaccard(DOCS["text"][0].as_py(), DOCS["text"][1].as_py())
+    assert abs(pairs[(0, 1)] - round(exp, 6)) < 1e-9
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups():
+    out = dedup.minhash_lsh_pairs(_ds(), "doc_id", "text", num_perm=64,
+                                  bands=16, threshold=0.5).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # J≈0.78 → collision prob ≈ 1 at 16 bands of 4
+    est = dict(zip(zip(out["id_a"], out["id_b"]), out["est_jaccard"]))
+    assert est[(0, 3)] == 1.0
+
+
+def test_simhash_pairs():
+    out = dedup.simhash_pairs(_ds(), "doc_id", "text",
+                              max_hamming=6).to_pandas()
+    pairs = dict(zip(zip(out["id_a"], out["id_b"]), out["hamming"]))
+    assert pairs[(0, 3)] == 0  # identical text → identical simhash
+
+
+def test_embedding_cosine_pairs():
+    vecs = np.eye(4, dtype=np.float64)
+    vecs = np.vstack([vecs, [1.0, 0.02, 0.0, 0.0]])  # ≈ e0
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(range(5), pa.int64()),
+        "vec": [list(v) for v in vecs],
+        "block": pa.array([0] * 5, pa.int32()),
+    }))
+    out = dedup.embedding_cosine_pairs(ds, "id", "vec", "block",
+                                       threshold=0.95).to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 4)}
+    assert out.iloc[0]["cosine"] > 0.999

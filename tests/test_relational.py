@@ -1,0 +1,84 @@
+"""Unit tests for the generic relational operators (broadcast joins,
+map-side partial aggregation, distributed top-k)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lk_data_test_ray.relational import broadcast_join, partial_groupby_agg, topk
+
+
+@pytest.fixture
+def big_ds():
+    return rd.from_arrow(pa.table({
+        "k": [1, 2, 3, 4, 2, None],
+        "v": [10.0, 20.0, 30.0, 40.0, 21.0, 0.0],
+    }))
+
+
+DIM = pa.table({"k2": [1, 2, 5], "name": ["a", "b", "e"]})
+
+
+def test_broadcast_inner(big_ds):
+    out = broadcast_join(big_ds, DIM, "k", "k2", how="inner").to_pandas()
+    assert sorted(out["name"]) == ["a", "b", "b"]
+    assert set(out.columns) == {"k", "v", "name"}
+
+
+def test_broadcast_left(big_ds):
+    out = broadcast_join(big_ds, DIM, "k", "k2", how="left").to_pandas()
+    assert len(out) == 6
+    assert out["name"].isna().sum() == 3  # 3, 4, None unmatched
+
+
+def test_broadcast_semi_anti(big_ds):
+    semi = broadcast_join(big_ds, DIM, "k", "k2", how="semi").to_pandas()
+    anti = broadcast_join(big_ds, DIM, "k", "k2", how="anti").to_pandas()
+    assert sorted(semi["k"]) == [1, 2, 2]
+    assert len(anti) == 3
+    assert set(semi.columns) == {"k", "v"}  # no payload appended
+
+
+def test_partial_groupby_agg_matches_pandas():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 1000),
+        "h": rng.choice(["x", "y"], 1000),
+        "v": rng.normal(size=1000),
+    })
+    ds = rd.from_pandas(df, override_num_blocks=7)  # multi-block → real merge
+    out = partial_groupby_agg(
+        ds, ["g", "h"],
+        [("v", "sum", "s"), ("v", "count", "c"), ("v", "min", "mn"),
+         ("v", "max", "mx"), ("v", "mean", "avg")],
+    ).to_pandas().sort_values(["g", "h"]).reset_index(drop=True)
+    exp = df.groupby(["g", "h"])["v"].agg(
+        s="sum", c="count", mn="min", mx="max", avg="mean").reset_index()
+    exp = exp.sort_values(["g", "h"]).reset_index(drop=True)
+    assert (out["c"] == exp["c"]).all()
+    for col in ["s", "mn", "mx", "avg"]:
+        np.testing.assert_allclose(out[col], exp[col], atol=1e-12)
+
+
+def test_partial_groupby_pre_projection():
+    ds = rd.from_arrow(pa.table({"g": [1, 1, 2], "a": [2.0, 3.0, 4.0]}))
+
+    def pre(b):
+        import pyarrow.compute as pc
+
+        return b.append_column("double_a", pc.multiply(b["a"], 2.0))
+
+    out = partial_groupby_agg(ds, ["g"], [("double_a", "sum", "s")],
+                              pre=pre).to_pandas()
+    assert dict(zip(out["g"], out["s"])) == {1: 10.0, 2: 8.0}
+
+
+def test_topk_matches_sorted():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"id": np.arange(500), "score": rng.normal(size=500)})
+    ds = rd.from_pandas(df, override_num_blocks=9)
+    out = topk(ds, [("score", True), ("id", False)], 7).to_pandas()
+    exp = df.sort_values(["score", "id"], ascending=[False, True]).head(7)
+    assert list(out["id"]) == list(exp["id"])

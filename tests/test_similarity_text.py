@@ -1,0 +1,120 @@
+"""Tests: ANN search (brute force vs numpy oracle, LSH recall), text-analysis
+kernels (token counts, quality features, language ID), multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lk_data_test_ray.functions.text import (lang_id, quality_features,
+                                             stopword_ratio, token_counts)
+from lk_data_test_ray.pipelines import multimodal, similarity
+
+
+def _emb_ds(n=200, dim=16, seed=9):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": [list(v) for v in mat],
+    })
+    return rd.from_arrow(tbl), mat
+
+
+def _numpy_topk(mat, qidx, k):
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qi in qidx:
+        cos = normed @ normed[qi]
+        cos[qi] = -np.inf
+        order = np.lexsort((np.arange(len(cos)), -cos))[:k]
+        out[qi] = list(order)
+    return out
+
+
+def test_ann_brute_force_matches_numpy():
+    ds, mat = _emb_ds()
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    res = similarity.ann_brute_force(
+        ds, (qids, mat[qids]), k=5).to_pandas()
+    exp = _numpy_topk(mat, [0, 1, 2], 5)
+    for qi in [0, 1, 2]:
+        got = list(res[res["query_id"] == qi].sort_values("rank")["neighbor_id"])
+        assert got == exp[qi]
+
+
+def test_ann_lsh_recall():
+    ds, mat = _emb_ds()
+    qids = np.arange(10, dtype=np.int64)
+    exact = _numpy_topk(mat, list(range(10)), 5)
+    res = similarity.ann_lsh(ds, (qids, mat[qids]), k=5, n_planes=6,
+                             multiprobe=6).to_pandas()
+    hits = total = 0
+    for qi in range(10):
+        got = set(res[res["query_id"] == qi]["neighbor_id"])
+        hits += len(got & set(exact[qi]))
+        total += 5
+    # approximate by design; multiprobe over 6 planes must beat random
+    assert hits / total > 0.2
+
+
+def test_token_counts_and_stopwords():
+    texts = pa.array(["the cat sat", "a b", ""])
+    assert token_counts(texts).to_pylist() == [3, 2, 1]
+    sr = stopword_ratio(texts)
+    assert abs(sr[0] - 1 / 3) < 1e-12  # "the"
+    assert abs(sr[1] - 1 / 2) < 1e-12  # "a"
+
+
+def test_quality_features():
+    f = quality_features(pa.array(["ab1! cd2?", "xyz"]))
+    assert f["n_chars"][0] == 9
+    assert f["n_tokens"][0] == 2
+    assert abs(f["digit_ratio"][0] - 2 / 9) < 1e-12
+    assert abs(f["punct_ratio"][0] - 2 / 9) < 1e-12
+    assert abs(f["mean_token_len"][0] - 4.0) < 1e-12
+    assert f["punct_ratio"][1] == 0.0
+
+
+def test_lang_id_real_snippets():
+    out = lang_id(pa.array([
+        "the cat is on the mat and it was happy",
+        "der Hund und die Katze sind nicht im Haus",
+        "le chat est dans la maison et il est content",
+        "zzz qqq vvv",  # no stopword hits
+    ]))
+    assert list(out) == ["en", "de", "fr", "und"]
+
+
+def test_sniff_and_payload_meta():
+    kinds = multimodal.sniff_kind(
+        [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xffdata", b"<html><b>", None,
+         b"random bytes"])
+    assert kinds == ["image/png", "image/jpeg", "text/html", "none/missing",
+                     "application/octet-stream"]
+
+
+def test_decode_stage_stub_and_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeStage(fake=False)
+    stage = multimodal.DecodeStage(fake=True)
+    batch = pa.table({
+        "url": ["u1", "u2"],
+        "html": pa.array([b"<html>x</html>" * 40, None], pa.binary()),
+    })
+    out = stage(batch)
+    assert out.num_rows == 1  # null payload skipped
+    assert out.schema.names == ["url", "kind", "width", "height",
+                                "n_channels", "feat"]
+    out2 = stage(batch)
+    assert out.equals(out2)  # deterministic fake decode
+
+
+def test_frame_sample_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.FrameSampleStage(fake=False)
+    stage = multimodal.FrameSampleStage(fake=True, every_n=2)
+    batch = pa.table({"url": ["v"], "html": pa.array([b"x" * 5200], pa.binary())})
+    out = stage(batch)  # 5200 // 1024 = 5 frames, every 2nd sampled
+    assert list(out["frame_idx"].to_pylist()) == [0, 2, 4]
+    assert list(out["byte_offset"].to_pylist()) == [0, 2048, 4096]
