@@ -137,6 +137,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "s_ann_topk": _s_ann_topk,
         "s_ann_lsh": _s_ann_lsh,
+        # best-match / key-rewrite / inverse edges / sampling / rule table
+        "j_best_match_lineitem": q.j_best_match_lineitem,
+        "m_lang_remap": q.m_lang_remap,
+        "o_inverse_edges": q.o_inverse_edges,
+        "o_sample_orders": q.o_sample_orders,
+        "v_rules_demo": q.v_rules_demo,
         # pages flagship + multimodal + sketches (rows-only)
         "pages_validate": q.pages_validate,
         "pages_links": q.pages_links,
@@ -358,7 +364,49 @@ def oracle_sql() -> dict[str, str]:
                   FROM s) t
             WHERE rank <= 5
         """,
-        # no oracle (rows-only): t_fingerprint_extra, t_lang_id,
+        "j_best_match_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                         row_number() OVER (PARTITION BY l_orderkey
+                             ORDER BY l_extendedprice DESC, l_linenumber ASC)
+                             AS rn
+                  FROM lineitem) t
+            WHERE rn = 1
+        """,
+        "m_lang_remap": """
+            SELECT doc_id,
+                   CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu'
+                             WHEN 'fr' THEN 'fra' WHEN 'es' THEN 'spa'
+                             WHEN 'zh' THEN 'zho' ELSE lang END AS lang_new
+            FROM documents
+        """,
+        "o_inverse_edges": """
+            SELECT DISTINCT a, b FROM (
+                SELECT lang AS a, source AS b FROM documents
+                UNION ALL
+                SELECT source AS a, lang AS b FROM documents)
+        """,
+        "v_rules_demo": f"""
+            SELECT 'r_lang_vocab' AS check_id, doc_id,
+                   'lang_not_in_vocab' AS detail
+            FROM documents WHERE lang NOT IN ({_ISO_SQL})
+            UNION ALL
+            SELECT 'r_text_nonnull', doc_id, 'text null/empty'
+            FROM documents WHERE text IS NULL OR length(text) = 0
+            UNION ALL
+            SELECT 'r_nchars_range', doc_id, 'n_chars outside [100, 100000)'
+            FROM documents
+            WHERE n_chars IS NULL OR n_chars < 100 OR n_chars >= 100000
+            UNION ALL
+            SELECT 'r_source_format', doc_id, 'source !~ src[0-9]+'
+            FROM documents
+            WHERE source IS NULL OR NOT regexp_full_match(source, 'src[0-9]+')
+            UNION ALL
+            SELECT 'r_nchars_consistent', doc_id, 'n_chars != length(text)'
+            FROM documents WHERE n_chars <> coalesce(length(text), -1)
+        """,
+        # no oracle (rows-only): o_sample_orders (engine-specific sampling),
+        # t_fingerprint_extra, t_lang_id,
         # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate, pages_links,
         # mm_payload_meta, mm_decode_feats, approx_stats — non-SQL-expressible
         # (sketches, LSH, stubbed decode) or over the generated pages fixture.

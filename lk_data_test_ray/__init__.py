@@ -6,13 +6,15 @@ idiomatic Ray Data engine over Parquet tables of Common-Crawl-style web pages
 ``(url, warc_ts, html, text, lang)``.
 
 Layout:
-    functions/  pure deterministic row/batch functions (extract, hashing, text stats)
-    sketches/   mergeable streaming sketches (HyperLogLog, Bloom, t-digest)
-    sources/    synthetic pages generator + parquet readers
-    stages/     generic Ray Data operators (joins, dedup, ANN, multimodal)
-    checks/     the constraint-check plugin suite (C0..C6)
-    pipelines/  end-to-end pipelines (validation job, TPC-H-ish queries, text pipes)
-    state/      lineage manifests / checkpoint-resume store
+    functions/     pure deterministic row/batch kernels (extract, hashing, text)
+    sketches/      mergeable streaming sketches (HyperLogLog, Bloom, t-digest)
+    sources/       synthetic pages generator + parquet readers
+    relational.py  generic operators (broadcast joins, partial agg, top-k, argmax)
+    checks/        constraint suite (C0..C6) + data-driven Rule protocol
+    pipelines/     end-to-end pipelines (validation job, queries, dedup, ANN,
+                   multimodal stages)
+    state/         lineage manifests / checkpoint-resume store
+    __main__.py    CLI (`python -m lk_data_test_ray validate ...`)
 
 Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — sessions are
 owned by the caller (bench.py, CLI, pytest fixture, or the external driver).

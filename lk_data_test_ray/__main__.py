@@ -1,0 +1,75 @@
+"""CLI: ``python -m lk_data_test_ray <command>``.
+
+The validation job as a submittable entry point (≙ the reference's
+``build.sh:3-8`` pipeline chain; on a real cluster this is the target of
+``ray job submit -- python -m lk_data_test_ray validate ...``). Owns its Ray
+session (the library never calls ray.init — SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lk_data_test_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the full constraint suite")
+    v.add_argument("pages_path", help="dir of pages parquet files (or one file)")
+    v.add_argument("out_dir", help="output dir (violations/, manifests/, summary.json)")
+    v.add_argument("--lang-hist", default=None,
+                   help="parquet with (lang, expected_fraction) for the drift check")
+    v.add_argument("--no-resume", action="store_true",
+                   help="ignore committed manifests and recompute everything")
+    v.add_argument("--wave-size", type=int, default=8)
+    v.add_argument("--concurrency", type=int, default=None)
+    v.add_argument("--no-extract-check", action="store_true",
+                   help="skip the (expensive) C6 extraction-equality check")
+    v.add_argument("--num-cpus", type=int, default=None)
+
+    g = sub.add_parser("generate", help="generate a synthetic pages fixture")
+    g.add_argument("out_dir")
+    g.add_argument("--rows", type=int, default=60_000)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "generate":
+        from lk_data_test_ray.sources.pages import generate_pages
+
+        meta = generate_pages(args.out_dir, args.rows, seed=args.seed)
+        print(json.dumps({"out_dir": args.out_dir, "n_rows": meta["n_rows"],
+                          "injected": meta["injected"]}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from lk_data_test_ray.pipelines.validate import run_validation
+
+    summary = run_validation(
+        args.pages_path, args.out_dir,
+        lang_hist_path=args.lang_hist,
+        resume=not args.no_resume,
+        wave_size=args.wave_size,
+        concurrency=args.concurrency,
+        check_extract=not args.no_extract_check,
+    )
+    print(json.dumps(summary, default=str))
+    ray.shutdown()
+    return 0 if summary["passed"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

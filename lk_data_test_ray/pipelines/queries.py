@@ -614,3 +614,88 @@ def approx_stats(sf_dir: str) -> pa.Table:
         "textlen_p50_est": pa.array([round(td.quantile(0.5), 1)], pa.float64()),
         "textlen_p99_est": pa.array([round(td.quantile(0.99), 1)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: J4 best-match, J7 key-rewrite, J5 inverse edges,
+# O4 sampling, §2.8 data-driven rule checks
+# ---------------------------------------------------------------------------
+
+
+def j_best_match_lineitem(sf_dir: str) -> rd.Dataset:
+    """Best-match resolution per key (J4, ≙ staged match with tiebreaks
+    ``scripts/enrich_fackel_bibls.py:67-117``): for each order, the lineitem
+    with max extendedprice, ties broken by lowest linenumber."""
+    from ..relational import argmax_per_key
+
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    win = argmax_per_key(line, "l_orderkey",
+                         [("l_extendedprice", True), ("l_linenumber", False)])
+    return win.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+
+# J7 key-rewrite map (shared verbatim with the oracle CASE expression)
+LANG_REMAP = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "zh": "zho"}
+
+
+def m_lang_remap(sf_dir: str) -> rd.Dataset:
+    """Key-rewrite join (J7, ≙ old-key→new-key remap
+    ``curation/fix_journal_keys.py:8-23``): broadcast map, unmatched keys
+    pass through unchanged."""
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+    keys = pa.array(list(LANG_REMAP))
+    vals = pa.array(list(LANG_REMAP.values()))
+
+    def remap(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["lang"], value_set=keys)
+        new = pc.coalesce(pc.take(vals, idx), batch["lang"])
+        return pa.table({"doc_id": batch["doc_id"], "lang_new": new})
+
+    return docs.map_batches(remap, batch_format="pyarrow")
+
+
+def o_inverse_edges(sf_dir: str) -> rd.Dataset:
+    """Inverse-edge derivation + global distinct (J5/A3,
+    ≙ ``scripts/owl_inverse_props.py:99-134``): forward (lang→source) edges
+    unioned with their inverses, exact-deduped."""
+    docs = read(sf_dir, "documents", ["lang", "source"])
+    fwd = docs.map_batches(
+        lambda b: pa.table({"a": b["lang"], "b": b["source"]}),
+        batch_format="pyarrow")
+    inv = docs.map_batches(
+        lambda b: pa.table({"a": b["source"], "b": b["lang"]}),
+        batch_format="pyarrow")
+    edges = fwd.union(inv)
+    distinct = partial_groupby_agg(
+        edges.map_batches(lambda b: b.append_column(
+            "one", pa.array([1] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["a", "b"], [("one", "count", "n")])
+    return distinct.select_columns(["a", "b"])
+
+
+def o_sample_orders(sf_dir: str) -> rd.Dataset:
+    """Seeded random sample (O4; rows-only — sampling is engine-specific)."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return orders.random_sample(0.1, seed=42)
+
+
+def v_rules_demo(sf_dir: str) -> rd.Dataset:
+    """§2.8 user-extension surface: constraints as DATA (≙ the rule table
+    ``curation/work_type_mapping.py:1-23``); one fused pass for all rules."""
+    from ..checks.protocol import Rule, run_rule_checks
+    from ..checks.vocab import ISO_639_1
+
+    rules = [
+        Rule("r_lang_vocab", "lang", "in_set", values=tuple(sorted(ISO_639_1)),
+             detail="lang_not_in_vocab"),
+        Rule("r_text_nonnull", "text", "not_null", detail="text null/empty"),
+        Rule("r_nchars_range", "n_chars", "range", lo=100, hi=100_000,
+             detail="n_chars outside [100, 100000)"),
+        Rule("r_source_format", "source", "regex_match", pattern=r"src[0-9]+",
+             detail="source !~ src[0-9]+"),
+        Rule("r_nchars_consistent", "n_chars", "consistent_len",
+             of_column="text", detail="n_chars != length(text)"),
+    ]
+    return run_rule_checks(read(sf_dir, "documents"), rules, id_col="doc_id")

@@ -218,3 +218,32 @@ def round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
             i, name,
             pc.round(tbl[name], ndigits=nd, round_mode="half_towards_infinity"))
     return tbl
+
+
+def argmax_per_key(ds: rd.Dataset, key: str,
+                   sort_keys: list[tuple[str, bool]]) -> rd.Dataset:
+    """Best-match resolution (J4): one winning row per key.
+
+    Reference analog: multi-condition best-match join with tiebreaks
+    (``scripts/enrich_fackel_bibls.py:67-117`` — exact key equality, then
+    page-bound filters, then title tiebreak). Distributive: each batch keeps
+    its local winner per key (first row in (key, sort_keys) order), the
+    groupby then resolves winners-of-winners — the shuffle moves ≤ one row
+    per key per batch, never the fact table.
+    """
+    names = [key] + [c for c, _ in sort_keys]
+    orders = ["ascending"] + ["descending" if d else "ascending"
+                              for _, d in sort_keys]
+
+    def local_winners(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=list(zip(names, orders)))
+        sorted_tbl = batch.take(idx)
+        keys_np = np.asarray(sorted_tbl[key].to_pandas())
+        _, first = np.unique(keys_np, return_index=True)
+        return sorted_tbl.take(pa.array(np.sort(first)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        return local_winners(group)
+
+    return ds.map_batches(local_winners, batch_format="pyarrow") \
+             .groupby(key).map_groups(pick, batch_format="pyarrow")

@@ -1,0 +1,78 @@
+"""Tests: data-driven Rule checks, argmax_per_key, CLI validate command."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lk_data_test_ray.checks.protocol import Rule, run_rule_checks
+from lk_data_test_ray.relational import argmax_per_key
+
+DOCS = pa.table({
+    "id": pa.array([1, 2, 3, 4], pa.int64()),
+    "lang": ["en", "xx", "de", None],
+    "text": ["hello", "", "welt", "ok"],
+    "n": pa.array([5, 0, 4, 99], pa.int64()),
+})
+
+
+def test_rule_checks_fused_pass():
+    rules = [
+        Rule("c_lang", "lang", "in_set", values=("en", "de")),
+        Rule("c_text", "text", "not_null"),
+        Rule("c_n_range", "n", "range", lo=1, hi=50),
+        Rule("c_n_len", "n", "consistent_len", of_column="text"),
+    ]
+    out = run_rule_checks(rd.from_arrow(DOCS), rules, id_col="id").to_pandas()
+    got = set(zip(out["check_id"], out["id"]))
+    assert got == {
+        ("c_lang", 2), ("c_lang", 4),       # xx, None
+        ("c_text", 2),                       # empty text
+        ("c_n_range", 2), ("c_n_range", 4),  # 0 below lo, 99 above hi
+        ("c_n_len", 4),                      # 99 != len("ok")
+    }
+
+
+def test_rule_regex():
+    rules = [Rule("c_fmt", "lang", "regex_match", pattern="[a-z]{2}")]
+    out = run_rule_checks(rd.from_arrow(DOCS), rules, id_col="id").to_pandas()
+    assert set(out["id"]) == {4}  # only the null fails the full-match
+
+
+def test_argmax_per_key():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 500),
+        "v": rng.normal(size=500),
+        "tie": rng.integers(0, 1000, 500),
+    })
+    ds = rd.from_pandas(df, override_num_blocks=6)
+    out = argmax_per_key(ds, "k", [("v", True), ("tie", False)]).to_pandas()
+    exp = df.sort_values(["k", "v", "tie"],
+                         ascending=[True, False, True]).groupby("k").head(1)
+    out = out.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
+    assert (out["tie"].to_numpy() == exp["tie"].to_numpy()).all()
+
+
+@pytest.mark.slow
+def test_cli_validate(tmp_path):
+    from lk_data_test_ray.sources.pages import ensure_pages
+
+    fix = ensure_pages(6000, seed=123)
+    p = subprocess.run(
+        [sys.executable, "-m", "lk_data_test_ray", "validate",
+         f"{fix}/pages", str(tmp_path / "out"),
+         "--lang-hist", f"{fix}/lang_hist.parquet", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["n_rows"] == 6000
+    assert p.returncode == 1  # injected violations ⇒ suite fails
+    assert summary["per_check_violations"]["c1_url_unique"] == 3
