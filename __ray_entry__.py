@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "s_ann_topk": _s_ann_topk,
         "s_ann_lsh": _s_ann_lsh,
+        "m_normalize_text": q.m_normalize_text,
+        "pages_url_canon": q.pages_url_canon,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
         "m_lang_remap": q.m_lang_remap,
@@ -363,6 +365,12 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cos DESC, neighbor_id) AS rank
                   FROM s) t
             WHERE rank <= 5
+        """,
+        "m_normalize_text": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS norm_text
+            FROM documents
         """,
         "j_best_match_lineitem": """
             SELECT l_orderkey, l_linenumber, l_extendedprice

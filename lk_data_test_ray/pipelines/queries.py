@@ -699,3 +699,39 @@ def v_rules_demo(sf_dir: str) -> rd.Dataset:
              of_column="text", detail="n_chars != length(text)"),
     ]
     return run_rule_checks(read(sf_dir, "documents"), rules, id_col="doc_id")
+
+
+def m_normalize_text(sf_dir: str) -> rd.Dataset:
+    """String normalizer (M3, ≙ normalize_string: whitespace-collapse/trim,
+    ``scripts/make_texts.py:293,377,392``) + casefold (M4) — pure Arrow
+    kernels, no Python loop."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            batch["text"].combine_chunks(), r"\s+", " ")
+        t = pc.utf8_lower(pc.utf8_trim_whitespace(t))
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def pages_url_canon(sf_dir: str) -> rd.Dataset:
+    """Url canonicalization stage (M4 key-canonicalization before any
+    shuffle/join; rows-only): per-host counts of canonicalized urls."""
+    import os
+
+    from ..functions.urls import normalize_urls_batch
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"), columns=["url"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        canon_urls = normalize_urls_batch(batch["url"])
+        host = pc.replace_substring_regex(
+            canon_urls, r"^https?://([^/]*).*$", r"\1")
+        return pa.table({"host": host,
+                         "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+    hosts = pages.map_batches(canon, batch_format="pyarrow")
+    return partial_groupby_agg(hosts, ["host"], [("one", "count", "n_pages")])

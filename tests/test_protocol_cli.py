@@ -76,3 +76,16 @@ def test_cli_validate(tmp_path):
     assert summary["n_rows"] == 6000
     assert p.returncode == 1  # injected violations ⇒ suite fails
     assert summary["per_check_violations"]["c1_url_unique"] == 3
+
+
+def test_normalize_url():
+    from lk_data_test_ray.functions.urls import normalize_url, point_wkt
+
+    assert normalize_url("HTTPS://Example.COM:443/Path#frag") == \
+        "https://example.com/Path"
+    assert normalize_url("http://a.b:80") == "http://a.b/"
+    assert normalize_url("http://a.b/x?q=1#f") == "http://a.b/x?q=1"
+    assert normalize_url(None) is None
+    assert normalize_url("not a url") == "not a url"
+    pts = point_wkt(pa.array([" 16.37  48.21 ", "1 2"]))
+    assert pts.to_pylist() == ["POINT(16.37 48.21)", "POINT(1 2)"]
