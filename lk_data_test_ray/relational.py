@@ -124,6 +124,8 @@ def partial_groupby_agg(
     (reference analog: global counters accumulated in one process,
     ``curation/check_fackel_references.py:32-37`` — here made distributive).
     """
+    from ray.data.aggregate import Max, Min, Sum
+
     base: list[tuple[str, str]] = []
     for col, op, _out in specs:
         if op == "mean":
@@ -138,27 +140,29 @@ def partial_groupby_agg(
             batch = pre(batch)
         return batch.group_by(keys).aggregate(base)
 
-    def merge(group: pa.Table) -> pa.Table:
-        out = {k: [group[k][0].as_py()] for k in keys}
-        merged = {}
-        for (c, o), pn in zip(base, partial_names):
-            col = group[pn]
-            if _MERGE_OP[o] == "sum":
-                merged[pn] = pc.sum(col).as_py()
-            elif _MERGE_OP[o] == "min":
-                merged[pn] = pc.min(col).as_py()
-            else:
-                merged[pn] = pc.max(col).as_py()
+    # merge partials with Ray's VECTORIZED built-in aggregations — never
+    # map_groups, which invokes a Python function once per group and melts
+    # down on high-cardinality keys (e.g. 10^7 near-dup candidate pairs)
+    merge_aggs = []
+    for (c, o), pn in zip(base, partial_names):
+        mo = _MERGE_OP[o]
+        cls = {"sum": Sum, "min": Min, "max": Max}[mo]
+        merge_aggs.append(cls(pn, alias_name=pn))
+    partials = ds.map_batches(make_partials, batch_format="pyarrow")
+    merged = partials.groupby(keys).aggregate(*merge_aggs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = {k: batch[k] for k in keys}
         for col, op, outn in specs:
             if op == "mean":
-                cnt = merged[f"{col}_count"]
-                out[outn] = [merged[f"{col}_sum"] / cnt if cnt else None]
+                out[outn] = pc.divide(
+                    pc.cast(batch[f"{col}_sum"], pa.float64()),
+                    pc.cast(batch[f"{col}_count"], pa.float64()))
             else:
-                out[outn] = [merged[f"{col}_{_ARROW_OP[op]}"]]
+                out[outn] = batch[f"{col}_{_ARROW_OP[op]}"]
         return pa.table(out)
 
-    partials = ds.map_batches(make_partials, batch_format="pyarrow")
-    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+    return merged.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -247,3 +251,40 @@ def argmax_per_key(ds: rd.Dataset, key: str,
 
     return ds.map_batches(local_winners, batch_format="pyarrow") \
              .groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
+def salted_groupby_count(ds: rd.Dataset, key: str, salt_buckets: int = 16,
+                         out_name: str = "n") -> rd.Dataset:
+    """Skew-safe grouped count: group on ``(key, salt)`` then merge salts.
+
+    The north-rule's hot-host scenario: a Zipf-skewed key (one host = 20% of
+    rows) makes a single reducer the straggler in a plain ``groupby(key)``.
+    Salting splits every hot key across ``salt_buckets`` reducers; the second
+    reduce merges ≤ salt_buckets tiny partial rows per key. The salt is
+    derived from a stable row hash (never ``random`` — permutation-invariant,
+    SURVEY.md §4 'Skew').
+
+    Note: the engine's own C5 drift check needs NO salting — per-batch
+    map-side partials (checks/row.py) shrink the shuffle to (#langs ×
+    #batches) rows before any exchange. Salting is for groupbys that must
+    move raw rows, e.g. per-host accounting below a cardinality where
+    map-side combine stops helping.
+    """
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # counts are invariant to the salt assignment, so a round-robin salt
+        # (deterministic, no RNG, no process-salted hash()) suffices to
+        # spread a hot key's rows across salt_buckets reducers
+        salt = (np.arange(batch.num_rows, dtype=np.int64)
+                % salt_buckets).astype(np.int32)
+        return pa.table({
+            key: batch[key],
+            "salt": pa.array(salt, pa.int32()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    per_salt = partial_groupby_agg(salted, [key, "salt"],
+                                   [("one", "count", "c")])
+    merged = partial_groupby_agg(per_salt, [key], [("c", "sum", out_name)])
+    return merged

@@ -82,3 +82,17 @@ def test_topk_matches_sorted():
     out = topk(ds, [("score", True), ("id", False)], 7).to_pandas()
     exp = df.sort_values(["score", "id"], ascending=[False, True]).head(7)
     assert list(out["id"]) == list(exp["id"])
+
+
+def test_salted_groupby_count_matches_plain():
+    from lk_data_test_ray.relational import salted_groupby_count
+
+    rng = np.random.default_rng(7)
+    # Zipf-hot key: one value dominates (the skew scenario salting targets)
+    keys = np.where(rng.random(5000) < 0.4, "hot.example.org",
+                    rng.choice([f"h{i}" for i in range(50)], 5000))
+    ds = rd.from_arrow(pa.table({"host": pa.array(keys, pa.string())}))
+    out = salted_groupby_count(ds, "host", salt_buckets=8).to_pandas()
+    exp = pd.Series(keys).value_counts()
+    got = dict(zip(out["host"], out["n"]))
+    assert got == exp.to_dict()
