@@ -62,7 +62,9 @@ def _dd_first_wins(sf_dir: str):
 
 
 def _dd_shingle_jaccard(sf_dir: str):
-    return _dedup.shingle_jaccard_pairs(
+    # exact all-pairs via blocked matmul (falls back to the inverted-index
+    # plan when the doc×shingle matrix would not fit densely)
+    return _dedup.shingle_jaccard_pairs_matmul(
         read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
         k=2, threshold=q.JACCARD_THRESHOLD)
 
@@ -138,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_topk": _s_ann_topk,
         "s_ann_lsh": _s_ann_lsh,
         "m_normalize_text": q.m_normalize_text,
+        "a_lang_fractions": q.a_lang_fractions,
         "pages_url_canon": q.pages_url_canon,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
@@ -365,6 +368,12 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cos DESC, neighbor_id) AS rank
                   FROM s) t
             WHERE rank <= 5
+        """,
+        "a_lang_fractions": """
+            SELECT lang, count(*) AS n,
+                   round(count(*) * 1.0 /
+                         (SELECT count(*) FROM documents), 6) AS fraction
+            FROM documents GROUP BY lang
         """,
         "m_normalize_text": """
             SELECT doc_id,

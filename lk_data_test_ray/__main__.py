@@ -29,6 +29,9 @@ def main(argv=None):
     v.add_argument("--concurrency", type=int, default=None)
     v.add_argument("--no-extract-check", action="store_true",
                    help="skip the (expensive) C6 extraction-equality check")
+    v.add_argument("--max-partitions", type=int, default=None,
+                   help="smoke mode: validate only the first K input files "
+                        "(≙ the reference's LIMIT env gate, make_rdf.py:25-29)")
     v.add_argument("--num-cpus", type=int, default=None)
 
     g = sub.add_parser("generate", help="generate a synthetic pages fixture")
@@ -58,8 +61,20 @@ def main(argv=None):
 
     from lk_data_test_ray.pipelines.validate import run_validation
 
+    pages_path = args.pages_path
+    if args.max_partitions is not None:
+        import glob as _glob
+        import tempfile
+
+        files = sorted(_glob.glob(os.path.join(args.pages_path, "*.parquet")))
+        smoke = files[: args.max_partitions]
+        link_dir = tempfile.mkdtemp(prefix="lk_smoke_")
+        for f in smoke:
+            os.symlink(f, os.path.join(link_dir, os.path.basename(f)))
+        pages_path = link_dir
+
     summary = run_validation(
-        args.pages_path, args.out_dir,
+        pages_path, args.out_dir,
         lang_hist_path=args.lang_hist,
         resume=not args.no_resume,
         wave_size=args.wave_size,

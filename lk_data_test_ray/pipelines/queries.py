@@ -735,3 +735,20 @@ def pages_url_canon(sf_dir: str) -> rd.Dataset:
 
     hosts = pages.map_batches(canon, batch_format="pyarrow")
     return partial_groupby_agg(hosts, ["host"], [("one", "count", "n_pages")])
+
+
+def a_lang_fractions(sf_dir: str) -> rd.Dataset:
+    """Distribution check input (A7/C5, ≙ histogram reports
+    ``check_fackel_references.py:32-37``): per-lang counts + fraction of
+    total, computed from map-side partials + one broadcast total."""
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = partial_groupby_agg(docs, ["lang"], [("doc_id", "count", "n")])
+    total = read(sf_dir, "documents", ["doc_id"]).count()
+
+    def frac(batch: pa.Table) -> pa.Table:
+        f = pc.divide(pc.cast(batch["n"], pa.float64()), float(total))
+        return batch.append_column(
+            "fraction",
+            pc.round(f, ndigits=6, round_mode="half_towards_infinity"))
+
+    return counts.map_batches(frac, batch_format="pyarrow")

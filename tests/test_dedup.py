@@ -92,3 +92,15 @@ def test_embedding_cosine_pairs():
                                        threshold=0.95).to_pandas()
     assert set(zip(out["id_a"], out["id_b"])) == {(0, 4)}
     assert out.iloc[0]["cosine"] > 0.999
+
+
+def test_shingle_jaccard_matmul_equals_inverted_index():
+    a = dedup.shingle_jaccard_pairs(_ds(), "doc_id", "text", k=2,
+                                    threshold=0.5).to_pandas()
+    b = dedup.shingle_jaccard_pairs_matmul(_ds(), "doc_id", "text", k=2,
+                                           threshold=0.5).to_pandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert np.allclose(a["jaccard"], b["jaccard"], atol=1e-9)
