@@ -231,26 +231,36 @@ def argmax_per_key(ds: rd.Dataset, key: str,
     Reference analog: multi-condition best-match join with tiebreaks
     (``scripts/enrich_fackel_bibls.py:67-117`` — exact key equality, then
     page-bound filters, then title tiebreak). Distributive: each batch keeps
-    its local winner per key (first row in (key, sort_keys) order), the
-    groupby then resolves winners-of-winners — the shuffle moves ≤ one row
-    per key per batch, never the fact table.
+    its local winner per key (first row in (key, sort_keys) order), later
+    rounds resolve winners-of-winners — only ≤ one row per key per batch
+    ever moves, never the fact table.
+
+    Fully vectorized winner-halving: per-batch local winners (sort + first
+    per key), then repartition and re-reduce until one block holds the global
+    winners — never ``map_groups``, whose per-group Python call melts down at
+    high key cardinality. The final round concentrates ≤ one row per key; at
+    key cardinalities too large for one block, insert a hash exchange on the
+    key before the last round (the C1 exchange in checks/uniqueness.py is the
+    template).
     """
     names = [key] + [c for c, _ in sort_keys]
     orders = ["ascending"] + ["descending" if d else "ascending"
                               for _, d in sort_keys]
 
     def local_winners(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         idx = pc.sort_indices(batch, sort_keys=list(zip(names, orders)))
         sorted_tbl = batch.take(idx)
         keys_np = np.asarray(sorted_tbl[key].to_pandas())
         _, first = np.unique(keys_np, return_index=True)
         return sorted_tbl.take(pa.array(np.sort(first)))
 
-    def pick(group: pa.Table) -> pa.Table:
-        return local_winners(group)
-
-    return ds.map_batches(local_winners, batch_format="pyarrow") \
-             .groupby(key).map_groups(pick, batch_format="pyarrow")
+    cur = ds.map_batches(local_winners, batch_format="pyarrow")
+    for n_blocks in (8, 1):
+        cur = cur.repartition(n_blocks).map_batches(
+            local_winners, batch_format="pyarrow", batch_size=None)
+    return cur
 
 
 def salted_groupby_count(ds: rd.Dataset, key: str, salt_buckets: int = 16,
