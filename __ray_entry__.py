@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pages flagship + multimodal + sketches (rows-only)
         "pages_validate": q.pages_validate,
         "pages_links": q.pages_links,
+        "pages_dangling_links": q.pages_dangling_links,
         "mm_payload_meta": q.mm_payload_meta,
         "mm_decode_feats": q.mm_decode_feats,
         "approx_stats": q.approx_stats,

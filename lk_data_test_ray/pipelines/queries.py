@@ -752,3 +752,20 @@ def a_lang_fractions(sf_dir: str) -> rd.Dataset:
             pc.round(f, ndigits=6, round_mode="half_towards_infinity"))
 
     return counts.map_batches(frac, batch_format="pyarrow")
+
+
+def pages_dangling_links(sf_dir: str) -> pa.Table:
+    """C7 cross-document link integrity (north-star item): link rows whose
+    dst_url has no matching page — big-to-big anti-join via the raw-Ray
+    hash-membership exchange (checks/links.py). Rows-only here; the pytest
+    suite cross-checks against an exact DuckDB anti-join."""
+    import glob
+    import os
+
+    from ..checks.links import find_dangling_links
+
+    fix = _pages_fixture(sf_dir)
+    pages_files = sorted(glob.glob(os.path.join(fix, "pages", "*.parquet")))
+    links_file = os.path.join(fix, "links.parquet")
+    out = find_dangling_links(pages_files, [links_file])
+    return out.sort_by([("src_url", "ascending"), ("ordinal", "ascending")])

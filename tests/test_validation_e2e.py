@@ -120,3 +120,29 @@ def test_resume_skips_completed(result, tmp_path):
     after = load_violations(out)
     assert _key_set(before) == _key_set(after)
     assert summary2["per_check_violations"] == summary["per_check_violations"]
+
+
+def test_dangling_links_matches_duckdb(pages_fixture):
+    """C7 exchange result == exact DuckDB anti-join on the same fixture."""
+    import glob
+    import os
+
+    import duckdb
+
+    from lk_data_test_ray.checks.links import find_dangling_links
+
+    fix = pages_fixture
+    pages_files = sorted(glob.glob(os.path.join(fix, "pages", "*.parquet")))
+    links_file = os.path.join(fix, "links.parquet")
+    got = find_dangling_links(pages_files, [links_file]).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT l.* FROM read_parquet('{links_file}') l
+        WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{fix}/pages/*.parquet') p
+                          WHERE p.url = l.dst_url)
+    """).df()
+    assert len(got) == len(exp) > 0  # generator injects ~1% dangling targets
+    key = ["src_url", "ordinal", "dst_url"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert got_s[key].equals(exp_s[key])
