@@ -66,10 +66,10 @@ def payload_metadata(ds: rd.Dataset, id_col: str = "url",
     def meta(batch: pa.Table) -> pa.Table:
         n_bytes = pc.coalesce(
             pc.binary_length(batch[payload_col]), pa.scalar(0)).cast(pa.int64())
-        prefixes = [
-            None if v is None else bytes(v)[:8]
-            for v in batch[payload_col].to_pylist()
-        ]
+        # slice BEFORE materializing to python: only 8 bytes/row leave Arrow,
+        # not the full (possibly multi-MB) payloads
+        prefixes = pc.binary_slice(
+            batch[payload_col].combine_chunks(), 0, 8).to_pylist()
         return pa.table({
             "url": batch[id_col].cast(pa.string()),
             "kind": pa.array(sniff_kind(prefixes), pa.string()),
