@@ -29,6 +29,9 @@ def main(argv=None):
     v.add_argument("--concurrency", type=int, default=None)
     v.add_argument("--no-extract-check", action="store_true",
                    help="skip the (expensive) C6 extraction-equality check")
+    v.add_argument("--clean-dir", default=None,
+                   help="also write rows untouched by any row-phase violation "
+                        "to this dir as partitioned parquet (quarantine split)")
     v.add_argument("--max-partitions", type=int, default=None,
                    help="smoke mode: validate only the first K input files "
                         "(≙ the reference's LIMIT env gate, make_rdf.py:25-29)")
@@ -80,6 +83,7 @@ def main(argv=None):
         wave_size=args.wave_size,
         concurrency=args.concurrency,
         check_extract=not args.no_extract_check,
+        clean_dir=args.clean_dir,
     )
     print(json.dumps(summary, default=str))
     ray.shutdown()

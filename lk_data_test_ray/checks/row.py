@@ -232,7 +232,8 @@ def plan_scan_items(files: list[str], partition_of: dict[str, int],
     return items
 
 
-def make_scan_check_fn(check_extract: bool = True, vocab=None):
+def make_scan_check_fn(check_extract: bool = True, vocab=None,
+                       clean_dir: str | None = None):
     """Fused read+check stage over a Dataset of scan items.
 
     The heavy html/text blocks NEVER enter the object store: each task reads
@@ -250,6 +251,8 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None):
     """
 
     def scan_check(batch: pa.Table) -> pa.Table:
+        import os
+
         import pyarrow.parquet as pq
 
         key = ("scan", check_extract)
@@ -263,7 +266,23 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None):
                                      batch["rg_hi"].to_pylist(),
                                      batch["pid"].to_pylist()):
             tbl = pq.ParquetFile(path).read_row_groups(list(range(lo, hi)))
-            out.append(rc._process(tbl, pid))
+            combined = rc._process(tbl, pid)
+            out.append(combined)
+            if clean_dir is not None:
+                # quarantine split (the training-data use of validation):
+                # rows untouched by any row-phase violation stream straight
+                # to partitioned clean output — resumable (keyed by
+                # (pid, rg range)), atomic (tmp+rename), written in the same
+                # task so heavy columns still never cross the object store
+                viol = combined.filter(
+                    pc.equal(combined["kind"], "violation"))
+                bad_urls = pc.unique(viol["url"])
+                keep = pc.invert(pc.is_in(tbl["url"], value_set=bad_urls))
+                clean = tbl.filter(pc.coalesce(keep, pa.scalar(True)))
+                dst = os.path.join(clean_dir,
+                                   f"clean-{pid:05d}-{lo:05d}.parquet")
+                pq.write_table(clean, dst + ".tmp")
+                os.replace(dst + ".tmp", dst)
         return pa.concat_tables(out) if out else COMBINED_SCHEMA.empty_table()
 
     return scan_check

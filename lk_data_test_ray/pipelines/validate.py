@@ -64,6 +64,7 @@ def run_validation(
     concurrency: int | tuple | None = None,
     check_extract: bool = True,
     drift_alpha: float = 1e-3,
+    clean_dir: str | None = None,
 ) -> dict:
     """Run the full suite; returns the summary dict (also written as JSON)."""
     import threading
@@ -97,6 +98,8 @@ def run_validation(
     # fused read+check over a Dataset of (file, row-group range) scan items:
     # html/text bytes never enter the object store; only violations + stats
     # partials (KBs) flow out of each task (see make_scan_check_fn)
+    if clean_dir is not None:
+        os.makedirs(clean_dir, exist_ok=True)
     for w in range(0, len(todo), wave_size):
         wave = todo[w:w + wave_size]
         items = plan_scan_items(wave, partition_of)
@@ -105,7 +108,8 @@ def run_validation(
         if concurrency is not None:
             kwargs["concurrency"] = concurrency
         combined = ds.map_batches(
-            make_scan_check_fn(check_extract=check_extract), **kwargs)
+            make_scan_check_fn(check_extract=check_extract,
+                               clean_dir=clean_dir), **kwargs)
         violations, partials = split_combined(_collect_arrow(combined))
 
         # group by partition, commit each

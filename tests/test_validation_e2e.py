@@ -146,3 +146,37 @@ def test_dangling_links_matches_duckdb(pages_fixture):
     got_s = got.sort_values(key).reset_index(drop=True)
     exp_s = exp.sort_values(key).reset_index(drop=True)
     assert got_s[key].equals(exp_s[key])
+
+
+def test_clean_output_and_permutation_invariance(pages_fixture, tmp_path):
+    """Quarantine split: clean output re-validates with zero row-phase
+    violations; wave-size permutation does not change any verdict."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.validate import run_validation
+
+    out_a = str(tmp_path / "a")
+    clean = str(tmp_path / "clean")
+    s_a = run_validation(os.path.join(pages_fixture, "pages"), out_a,
+                         clean_dir=clean, wave_size=16)
+    # clean rows = total - rows touched by any row-phase violation
+    n_clean = sum(pq.read_metadata(f).num_rows
+                  for f in glob.glob(os.path.join(clean, "*.parquet")))
+    row_checks = ("c2_nonnull", "c3_lang_vocab", "c4_ts_range",
+                  "c6_extract_match")
+    flagged = sum(s_a["per_check_violations"][c] for c in row_checks)
+    assert n_clean == s_a["n_rows"] - flagged
+
+    # re-validate the clean output: row-phase checks all pass
+    out_b = str(tmp_path / "b")
+    s_b = run_validation(clean, out_b, check_extract=True)
+    assert all(s_b["per_check_violations"][c] == 0 for c in row_checks)
+
+    # permutation invariance: different wave partitioning, same verdicts
+    out_c = str(tmp_path / "c")
+    s_c = run_validation(os.path.join(pages_fixture, "pages"), out_c,
+                         wave_size=3)
+    assert s_c["per_check_violations"] == s_a["per_check_violations"]
