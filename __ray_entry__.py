@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_inverse_edges": q.o_inverse_edges,
         "o_sample_orders": q.o_sample_orders,
         "v_rules_demo": q.v_rules_demo,
+        "e_asof_last_order": q.e_asof_last_order,
+        "dd_clusters": q.dd_clusters,
         # pages flagship + multimodal + sketches (rows-only)
         "pages_validate": q.pages_validate,
         "pages_links": q.pages_links,
@@ -422,6 +424,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'r_nchars_consistent', doc_id, 'n_chars != length(text)'
             FROM documents WHERE n_chars <> coalesce(length(text), -1)
+        """,
+        "e_asof_last_order": """
+            SELECT e.event_id, e.user_id, o.o_totalprice AS last_totalprice
+            FROM events e LEFT JOIN LATERAL (
+                SELECT o_totalprice FROM orders
+                WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+                ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        """,
+        "dd_clusters": f"""
+            WITH RECURSIVE
+            arrs AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS shingle
+                   FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM inter
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE inter * 1.0 / (sa.sz + sb.sz - inter)
+                            >= {q.JACCARD_THRESHOLD}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT a AS src, b AS dst FROM edges
+                      UNION
+                      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+            SELECT src AS node, least(src, min(dst)) AS cluster
+            FROM reach GROUP BY src
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

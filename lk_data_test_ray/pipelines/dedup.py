@@ -384,3 +384,76 @@ def shingle_jaccard_pairs_matmul(
 
     return rd.from_items(blocks, override_num_blocks=len(blocks)).map_batches(
         block_pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
+    """Cluster ids from near-dup pairs: (node, cluster) with cluster = min
+    node id reachable — distributed min-label propagation.
+
+    Each round: every edge proposes min(label_a, label_b) to both endpoints;
+    a vectorized grouped-min adopts the smallest proposal; stop when no label
+    changed (checked via a cheap global sum of labels — strictly decreasing).
+    Rounds needed = graph diameter (near-dup clusters are tiny, so 2-4 rounds
+    in practice); all steps are partial_groupby_agg shuffles over (node,
+    label) pairs, never per-group Python.
+    """
+    edges = pairs.map_batches(
+        lambda b: pa.table({"a": b["id_a"].cast(pa.int64()),
+                            "b": b["id_b"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # initial labels: every endpoint labels itself
+    def init_labels(batch: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([batch["a"].combine_chunks(),
+                                  batch["b"].combine_chunks()])
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = partial_groupby_agg(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["node"], [("label", "min", "label")]).materialize()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur_sum = labels.sum("label")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        lbl_tbl = pa.table({
+            "node": pa.array(labels.to_pandas()["node"], pa.int64()),
+            "label": pa.array(labels.to_pandas()["label"], pa.int64()),
+        })
+        import ray as _ray
+
+        from ..relational import _prepared_side  # broadcast probe cache
+
+        ref = _ray.put(lbl_tbl)
+
+        def propose(batch: pa.Table, _ref=ref) -> pa.Table:
+            # labels broadcast per round (candidate-pair node sets are small
+            # relative to the corpus; a full-graph CC would shuffle-join the
+            # label table instead of broadcasting it)
+            keys, payload = _prepared_side(_ref, "node", "")
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            la = pc.take(payload["label"], pc.index_in(
+                batch["a"], value_set=keys)).to_numpy(zero_copy_only=False)
+            lb = pc.take(payload["label"], pc.index_in(
+                batch["b"], value_set=keys)).to_numpy(zero_copy_only=False)
+            m = np.minimum(la, lb)
+            return pa.table({
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "label": pa.array(np.concatenate([m, m]), pa.int64()),
+            })
+
+        proposals = edges.map_batches(propose, batch_format="pyarrow")
+        labels = partial_groupby_agg(
+            proposals, ["node"], [("label", "min", "label")]).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "cluster": b["label"]}),
+        batch_format="pyarrow")

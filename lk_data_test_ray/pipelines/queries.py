@@ -769,3 +769,35 @@ def pages_dangling_links(sf_dir: str) -> pa.Table:
     links_file = os.path.join(fix, "links.parquet")
     out = find_dangling_links(pages_files, [links_file])
     return out.sort_by([("src_url", "ascending"), ("ordinal", "ascending")])
+
+
+def e_asof_last_order(sf_dir: str) -> rd.Dataset:
+    """As-of join (custom operator; guide 'as-of / range join'): for each
+    event, the customer's latest order at-or-before the event time, with a
+    deterministic tiebreak on order key."""
+    from ..relational import asof_join
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    orders = orders.rename_columns({"o_custkey": "user_id"})
+    out = asof_join(ev, orders, "user_id", "ts", "o_orderdate",
+                    left_cols=["event_id"], right_cols=["o_totalprice"],
+                    right_tiebreak="o_orderkey")
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"],
+                            "user_id": b["user_id"],
+                            "last_totalprice": b["o_totalprice"]}),
+        batch_format="pyarrow")
+
+
+def dd_clusters(sf_dir: str) -> rd.Dataset:
+    """Near-dup clustering: connected components (min-label propagation)
+    over exact shingle-Jaccard pairs — pairs → clusters, the step a real
+    dedup pipeline needs before choosing keepers."""
+    from .dedup import connected_components, shingle_jaccard_pairs_matmul
+
+    pairs = shingle_jaccard_pairs_matmul(
+        read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        k=2, threshold=JACCARD_THRESHOLD)
+    return connected_components(pairs)

@@ -298,3 +298,60 @@ def salted_groupby_count(ds: rd.Dataset, key: str, salt_buckets: int = 16,
                                    [("one", "count", "c")])
     merged = partial_groupby_agg(per_salt, [key], [("c", "sum", out_name)])
     return merged
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
+              left_ts: str, right_ts: str, left_cols: list[str],
+              right_cols: list[str],
+              right_tiebreak: str | None = None) -> rd.Dataset:
+    """Backward as-of join: for each left row, the latest right row of the
+    same key with right_ts ≤ left_ts (a custom operator Ray Data lacks;
+    SURVEY.md §2 'custom operators' — no reference analog, J4's containment
+    fallback is the closest shape).
+
+    Plan: tag and union both sides, hash-group by key, per-group
+    ``pd.merge_asof`` over the ts-sorted slices — co-partitioning comes from
+    ONE shuffle on the key; within a group everything is vectorized pandas.
+    Output columns: ``[key, left_ts] + left_cols + right_cols`` (right cols
+    null when no right row precedes). Partitioning assumption: one key's rows
+    fit a worker (a skewed key would need a ts-range sub-split).
+    """
+    import pandas as pd
+
+    r_keep = list(dict.fromkeys(
+        right_cols + ([right_tiebreak] if right_tiebreak
+                      and right_tiebreak not in right_cols else [])))
+    # union requires identical schemas: both sides carry the full column set,
+    # null-filled for the columns the other side owns
+    l_types = {f.name: f.type for f in left.schema().base_schema}
+    r_types = {f.name: f.type for f in right.schema().base_schema}
+    all_cols = ([(c, l_types[c], 0) for c in left_cols]
+                + [(c, r_types[c], 1) for c in r_keep])
+
+    def tag(side: int, ts_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {key: batch[key], "__ts": batch[ts_col]}
+            for c, typ, owner in all_cols:
+                cols[c] = batch[c] if owner == side else pa.nulls(n, typ)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_ts), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_ts), batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == 0].sort_values("__ts", kind="mergesort")
+        # deterministic among equal right timestamps: last row (the one
+        # merge_asof picks) = max tiebreak
+        r_sort = ["__ts"] + ([right_tiebreak] if right_tiebreak else [])
+        rg = group[group["__side"] == 1].sort_values(r_sort, kind="mergesort")
+        out = pd.merge_asof(
+            lg[[key, "__ts"] + left_cols],
+            rg[["__ts"] + right_cols],
+            on="__ts", direction="backward")
+        return out.rename(columns={"__ts": left_ts})
+
+    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")

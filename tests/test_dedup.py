@@ -104,3 +104,37 @@ def test_shingle_jaccard_matmul_equals_inverted_index():
     b = b.sort_values(key).reset_index(drop=True)
     assert a[key].equals(b[key])
     assert np.allclose(a["jaccard"], b["jaccard"], atol=1e-9)
+
+
+def test_connected_components():
+    # two components: {1,2,3,7} (chain) and {10,11}; min-label clusters
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 7, 10], pa.int64()),
+        "id_b": pa.array([2, 3, 3, 11], pa.int64()),
+    }))
+    out = dedup.connected_components(pairs).to_pandas()
+    got = dict(zip(out["node"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_asof_join():
+    from lk_data_test_ray.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 2], pa.int64()),
+        "lt": pa.array([10, 25, 5, 30], pa.int64()),
+        "ev": ["a", "b", "c", "d"],
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "rt": pa.array([8, 20, 40], pa.int64()),
+        "val": pa.array([100, 200, 300], pa.int64()),
+    }))
+    out = asof_join(left, right, "k", "lt", "rt",
+                    left_cols=["ev"], right_cols=["val"]).to_pandas()
+    got = {(r["k"], r["lt"]): r["val"] for _, r in out.iterrows()}
+    assert got[(1, 10)] == 100   # latest right ts ≤ 10 is 8
+    assert got[(1, 25)] == 200   # 20
+    assert np.isnan(got[(2, 5)])  # nothing precedes 5
+    assert np.isnan(got[(2, 30)])  # right ts 40 is after
+    assert len(out) == 4
