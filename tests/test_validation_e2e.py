@@ -180,3 +180,25 @@ def test_clean_output_and_permutation_invariance(pages_fixture, tmp_path):
     s_c = run_validation(os.path.join(pages_fixture, "pages"), out_c,
                          wave_size=3)
     assert s_c["per_check_violations"] == s_a["per_check_violations"]
+
+
+def test_drift_fails_on_shifted_mixture(tmp_path):
+    """C5 negative path (FIXTURES.md F2): a corpus generated from a shifted
+    lang mixture must FAIL the chi-square drift check against the original
+    reference histogram."""
+    import os
+
+    from lk_data_test_ray.sources.pages import ensure_pages
+    from lk_data_test_ray.pipelines.validate import run_validation
+
+    base = ensure_pages(6000, seed=77)
+    shifted_mix = [("en", 0.10), ("de", 0.60), ("fr", 0.10), ("es", 0.10),
+                   ("ru", 0.10)]
+    shifted = ensure_pages(6000, seed=77, lang_mix=shifted_mix, tag="_shift")
+    out = str(tmp_path / "drift")
+    s = run_validation(
+        os.path.join(shifted, "pages"), out,
+        lang_hist_path=os.path.join(base, "lang_hist.parquet"),
+        check_extract=False)
+    assert s["drift"] is not None and not s["drift"]["passed"]
+    assert s["per_check_violations"]["c5_lang_drift"] == 1
