@@ -93,6 +93,12 @@ def _s_ann_topk(sf_dir: str):
         _sim.load_queries(sf_dir, 10), k=5)
 
 
+def _s_ann_ivf(sf_dir: str):
+    return _sim.ann_ivf(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _sim.load_queries(sf_dir, 10), k=5, n_cells=16, nprobe=6)
+
+
 def _s_ann_lsh(sf_dir: str):
     return _sim.ann_lsh(
         read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -157,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_payload_meta": q.mm_payload_meta,
         "mm_decode_feats": q.mm_decode_feats,
         "approx_stats": q.approx_stats,
+        "td_curate": q.td_curate,
+        "s_ann_ivf": _s_ann_ivf,
     }
 
 

@@ -406,6 +406,11 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
         lambda b: pa.table({"a": b["id_a"].cast(pa.int64()),
                             "b": b["id_b"].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # empty graph → empty labelling (an empty Dataset loses its schema
+        # through groupby, so return an explicit empty table)
+        return rd.from_arrow(pa.schema(
+            [("node", pa.int64()), ("cluster", pa.int64())]).empty_table())
 
     # initial labels: every endpoint labels itself
     def init_labels(batch: pa.Table) -> pa.Table:

@@ -801,3 +801,25 @@ def dd_clusters(sf_dir: str) -> rd.Dataset:
         read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
         k=2, threshold=JACCARD_THRESHOLD)
     return connected_components(pairs)
+
+
+def td_curate(sf_dir: str) -> pa.Table:
+    """End-to-end training-data curation funnel over the pages fixture
+    (validate → clean split → LSH dedup → quality filter); returns the
+    one-row funnel so the driver sees a deterministic shape (rows-only)."""
+    import os
+    import shutil
+
+    from .training_data import curate_pages
+
+    fix = _pages_fixture(sf_dir)
+    out = f"/tmp/lk_out/curate_{os.path.basename(fix)}"
+    shutil.rmtree(out, ignore_errors=True)
+    funnel = curate_pages(os.path.join(fix, "pages"), out,
+                          lang_hist_path=os.path.join(fix, "lang_hist.parquet"))
+    return pa.table({
+        "n_input": pa.array([funnel["n_input"]], pa.int64()),
+        "n_clean": pa.array([funnel["n_clean"]], pa.int64()),
+        "n_after_dedup": pa.array([funnel["n_after_dedup"]], pa.int64()),
+        "n_curated": pa.array([funnel["n_curated"]], pa.int64()),
+    })

@@ -229,3 +229,90 @@ def load_queries(sf_dir: str, n_queries: int = 10,
     qids = ids[order]
     qmat = np.asarray([t[vec_col][int(i)].as_py() for i in order], dtype=np.float64)
     return qids, qmat
+
+
+# ---------------------------------------------------------------------------
+# IVF variant: coarse quantizer (deterministic k-means) + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 10,
+                    seed: int = 13) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the coarse
+    quantizer of an IVF index; seeded init, fixed iteration count — identical
+    across runs and workers)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float64))
+    init = rng.choice(len(sample), size=min(n_cells, len(sample)),
+                      replace=False)
+    cents = sample[np.sort(init)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ann_ivf(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
+            id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+            n_cells: int = 16, nprobe: int = 4, train_sample: int = 2048,
+            seed: int = 13) -> rd.Dataset:
+    """IVF-bucketed ANN: assign every vector to its nearest centroid cell;
+    each query scores only vectors in its ``nprobe`` nearest cells.
+
+    Scale path for similarity search (SURVEY.md 'Beyond' item): the dataset
+    side is one extra int column + a cell-partitioned probe — candidate sets
+    shrink by ~n_cells/nprobe versus brute force. Centroids are trained on a
+    driver-side sample and broadcast once.
+    """
+    qids, qmat = queries
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = np.asarray(list(sample_rows[vec_col]), dtype=np.float64)
+    cents = train_centroids(sample, n_cells, seed=seed)
+    qnorm = _normalize(qmat.astype(np.float64))
+    # query → its nprobe nearest cells
+    q_cells = np.argsort(-(qnorm @ cents.T), axis=1)[:, :nprobe]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    state_ref = ray.put((cents, cell_to_queries, qids, qnorm))
+
+    class ScoreCells:
+        def __init__(self, ref, kk):
+            (self.cents, self.cell_to_queries, self.qids,
+             self.qnorm) = ray.get(ref)
+            self.k = kk
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = _normalize(np.asarray(batch[vec_col].to_pylist(),
+                                        dtype=np.float64))
+            cells = np.argmax(mat @ self.cents.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for c in np.unique(cells):
+                qis = self.cell_to_queries.get(int(c))
+                if not qis:
+                    continue
+                sel = cells == c
+                sub_ids, sub = ids[sel], mat[sel]
+                cos = self.qnorm[qis] @ sub.T
+                for row, qi in enumerate(qis):
+                    mask = sub_ids != self.qids[qi]
+                    out_q.extend([self.qids[qi]] * int(mask.sum()))
+                    out_n.extend(sub_ids[mask])
+                    out_c.extend(cos[row][mask])
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            })
+
+    scored = ds.map_batches(
+        ScoreCells, fn_constructor_kwargs=dict(ref=state_ref, kk=k),
+        batch_format="pyarrow", concurrency=2)
+    return scored.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")

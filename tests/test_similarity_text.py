@@ -118,3 +118,14 @@ def test_frame_sample_stub():
     out = stage(batch)  # 5200 // 1024 = 5 frames, every 2nd sampled
     assert list(out["frame_idx"].to_pylist()) == [0, 2, 4]
     assert list(out["byte_offset"].to_pylist()) == [0, 2048, 4096]
+
+
+def test_ann_ivf_recall():
+    ds, mat = _emb_ds()
+    qids = np.arange(10, dtype=np.int64)
+    exact = _numpy_topk(mat, list(range(10)), 5)
+    res = similarity.ann_ivf(ds, (qids, mat[qids]), k=5, n_cells=8,
+                             nprobe=4).to_pandas()
+    hits = sum(len(set(res[res["query_id"] == qi]["neighbor_id"])
+                   & set(exact[qi])) for qi in range(10))
+    assert hits / 50 > 0.4  # nprobe=4 of 8 cells must beat random by far

@@ -202,3 +202,42 @@ def test_drift_fails_on_shifted_mixture(tmp_path):
         check_extract=False)
     assert s["drift"] is not None and not s["drift"]["passed"]
     assert s["per_check_violations"]["c5_lang_drift"] == 1
+
+
+def test_curate_pages_funnel(pages_fixture, tmp_path):
+    """End-to-end curation: funnel counts are consistent, and crafted
+    near-duplicate documents are collapsed to one keeper each."""
+    import glob
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.training_data import curate_pages
+
+    # corpus = first fixture file + 5 near-dup copies of its first rows
+    # under fresh urls (the fixture's injected "dups" duplicate URLS, not
+    # content — near-dup dedup needs content twins)
+    src = sorted(glob.glob(os.path.join(pages_fixture, "pages",
+                                        "*.parquet")))[0]
+    base = pq.read_table(src)
+    twins = base.slice(0, 5)
+    twins = twins.set_column(
+        0, "url",
+        pa.array([f"https://twin.example/{i}" for i in range(5)], pa.string()))
+    pages_dir = str(tmp_path / "pages")
+    os.makedirs(pages_dir)
+    pq.write_table(base, os.path.join(pages_dir, "part-00000.parquet"))
+    pq.write_table(twins, os.path.join(pages_dir, "part-00001.parquet"))
+
+    out = str(tmp_path / "curated")
+    funnel = curate_pages(pages_dir, out)
+    assert funnel["n_input"] == base.num_rows + 5
+    assert funnel["n_clean"] <= funnel["n_input"]
+    # each twin shares its source's text → identical shingle sets →
+    # identical MinHash signatures → same cluster; one of each pair dropped
+    assert funnel["n_near_dup_dropped"] >= 5
+    assert (funnel["n_curated"] <= funnel["n_after_dedup"]
+            <= funnel["n_clean"])
+    assert funnel["n_curated"] > 0.8 * funnel["n_input"] - 10
