@@ -18,7 +18,7 @@ Supported ops (all pyarrow-vectorized):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 import pyarrow.compute as pc

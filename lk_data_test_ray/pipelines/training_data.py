@@ -23,11 +23,8 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
-import ray
 import ray.data as rd
 
-from ..functions.hashing import md5_hex
 from ..functions.text import quality_features
 from ..relational import broadcast_join
 from .dedup import connected_components, minhash_lsh_pairs

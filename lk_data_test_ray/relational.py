@@ -21,7 +21,6 @@ is reused (it is single-threaded lxml/rdflib, SURVEY.md §4).
 
 from __future__ import annotations
 
-from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
