@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_sample_orders": q.o_sample_orders,
         "v_rules_demo": q.v_rules_demo,
         "e_asof_last_order": q.e_asof_last_order,
+        "j_range_quantity_bands": q.j_range_quantity_bands,
         "dd_clusters": q.dd_clusters,
         # pages flagship + multimodal + sketches (rows-only)
         "pages_validate": q.pages_validate,
@@ -432,6 +433,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'r_nchars_consistent', doc_id, 'n_chars != length(text)'
             FROM documents WHERE n_chars <> coalesce(length(text), -1)
+        """,
+        "j_range_quantity_bands": """
+            SELECT b.band, count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem l
+            JOIN (VALUES (0.0, 10.0, 'tiny'), (10.0, 20.0, 'small'),
+                         (20.0, 35.0, 'medium'), (35.0, 51.0, 'large'))
+                 b(lo, hi, band)
+              ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+            GROUP BY 1
         """,
         "e_asof_last_order": """
             SELECT e.event_id, e.user_id, o.o_totalprice AS last_totalprice

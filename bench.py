@@ -179,10 +179,11 @@ def scaling_run(sf_dir: str) -> dict:
         "rows_per_sec": {str(c): results[c]["rows_per_sec"]
                          for c in (2, 8, 32)},
         "wall_sec": {str(c): results[c]["value"] for c in (2, 8, 32)},
-        "note": ("8->32 on one box shares a single memory controller; the "
-                 "regex-extraction row phase saturates local memory bandwidth "
-                 "past ~8-16 cores (multi-node clusters scale per-node "
-                 "bandwidth). 2->8 is the CPU-bound pair."),
+        "note": ("8->32 hits a host-level ceiling on this single box (shared "
+                 "memory bandwidth / virtualized CPU overcommit — a raw "
+                 "multiprocessing probe shows the same inflation without "
+                 "Ray); multi-node clusters scale those per node. 2->8 is "
+                 "the CPU-bound pair."),
     }
 
 

@@ -823,3 +823,27 @@ def td_curate(sf_dir: str) -> pa.Table:
         "n_after_dedup": pa.array([funnel["n_after_dedup"]], pa.int64()),
         "n_curated": pa.array([funnel["n_curated"]], pa.int64()),
     })
+
+
+# quantity bands for the range join (mirrored in the oracle VALUES list)
+QTY_BANDS = [(0.0, 10.0, "tiny"), (10.0, 20.0, "small"),
+             (20.0, 35.0, "medium"), (35.0, 51.0, "large")]
+
+
+def j_range_quantity_bands(sf_dir: str) -> rd.Dataset:
+    """Range/interval join (custom operator): each lineitem's quantity band
+    via a broadcast sorted-interval probe; grouped count+revenue per band."""
+    from ..relational import interval_join
+
+    bands = pa.table({
+        "lo": pa.array([b[0] for b in QTY_BANDS], pa.float64()),
+        "hi": pa.array([b[1] for b in QTY_BANDS], pa.float64()),
+        "band": pa.array([b[2] for b in QTY_BANDS], pa.string()),
+    })
+    line = read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    banded = interval_join(line, bands, "l_quantity")
+    agg = partial_groupby_agg(
+        banded, ["band"],
+        [("l_quantity", "count", "n"), ("l_extendedprice", "sum", "sum_price")])
+    return agg.map_batches(_round_stage({"sum_price": 2}),
+                           batch_format="pyarrow")

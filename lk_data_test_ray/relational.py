@@ -354,3 +354,38 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
         return out.rename(columns={"__ts": left_ts})
 
     return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def interval_join(points: rd.Dataset, intervals: pa.Table, value_col: str,
+                  lo_col: str = "lo", hi_col: str = "hi") -> rd.Dataset:
+    """Range join: attach the interval [lo, hi) containing each point value
+    (the 'range join' custom operator; reference analog: the containment
+    fallback of the staged match, ``scripts/enrich_fackel_bibls.py:103-117``).
+
+    The interval table is broadcast once; each batch probes with one
+    ``np.searchsorted`` over the sorted interval bounds — O(log n_intervals)
+    per row, no shuffle. Assumes non-overlapping, sorted intervals (the
+    banding case); points outside every interval get null payload columns.
+    """
+    order = pc.sort_indices(intervals, sort_keys=[(lo_col, "ascending")])
+    intervals = intervals.take(order)
+    ref = ray.put(intervals)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        iv: pa.Table = ray.get(ref)
+        lo = np.asarray(iv[lo_col].to_pylist(), dtype=np.float64)
+        hi = np.asarray(iv[hi_col].to_pylist(), dtype=np.float64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        valid = (idx >= 0) & (v < hi[np.clip(idx, 0, len(hi) - 1)])
+        idx_arr = pa.array(np.where(valid, idx, -1), pa.int64())
+        take_idx = pc.if_else(pc.equal(idx_arr, -1),
+                              pa.scalar(None, pa.int64()), idx_arr)
+        out = batch
+        for name in iv.column_names:
+            if name in (lo_col, hi_col):
+                continue
+            out = out.append_column(name, pc.take(iv[name], take_idx))
+        return out
+
+    return points.map_batches(probe, batch_format="pyarrow")

@@ -96,3 +96,13 @@ def test_salted_groupby_count_matches_plain():
     exp = pd.Series(keys).value_counts()
     got = dict(zip(out["host"], out["n"]))
     assert got == exp.to_dict()
+
+
+def test_interval_join():
+    from lk_data_test_ray.relational import interval_join
+
+    bands = pa.table({"lo": [0.0, 10.0], "hi": [10.0, 20.0],
+                      "band": ["low", "high"]})
+    pts = rd.from_arrow(pa.table({"v": [5.0, 10.0, 19.9, 25.0, 0.0]}))
+    out = interval_join(pts, bands, "v").to_pandas()
+    assert list(out["band"]) == ["low", "high", "high", None, "low"]
