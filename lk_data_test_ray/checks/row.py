@@ -232,6 +232,26 @@ def plan_scan_items(files: list[str], partition_of: dict[str, int],
     return items
 
 
+class ScanCheckActor:
+    """Actor-pool form of the fused scan+check stage.
+
+    Use when the per-actor state is genuinely heavy (a model scorer, a large
+    compiled automaton): ``__init__`` runs once per actor, ``__call__`` per
+    scan-item batch. For the built-in constraint suite the state is a vocab
+    array, so the stateless-task form (``make_scan_check_fn``) is the default
+    — it reuses warm worker processes instead of paying pool-size × process
+    spawn per execution (measured ~2s/actor in BASELINE.md).
+    """
+
+    def __init__(self, check_extract: bool = True, vocab=None,
+                 clean_dir: str | None = None):
+        self._fn = make_scan_check_fn(check_extract=check_extract,
+                                      vocab=vocab, clean_dir=clean_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._fn(batch)
+
+
 def make_scan_check_fn(check_extract: bool = True, vocab=None,
                        clean_dir: str | None = None):
     """Fused read+check stage over a Dataset of scan items.

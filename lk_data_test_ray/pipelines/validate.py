@@ -65,6 +65,7 @@ def run_validation(
     check_extract: bool = True,
     drift_alpha: float = 1e-3,
     clean_dir: str | None = None,
+    use_actor_pool: bool = False,
 ) -> dict:
     """Run the full suite; returns the summary dict (also written as JSON)."""
     import threading
@@ -107,9 +108,20 @@ def run_validation(
         kwargs = dict(batch_format="pyarrow", batch_size=1)
         if concurrency is not None:
             kwargs["concurrency"] = concurrency
-        combined = ds.map_batches(
-            make_scan_check_fn(check_extract=check_extract,
-                               clean_dir=clean_dir), **kwargs)
+        if use_actor_pool:
+            # actor-pool mode for heavy per-actor state (model scorers):
+            # setup once per actor in __init__, work per batch in __call__
+            from ..checks.row import ScanCheckActor
+
+            kwargs.setdefault("concurrency", 8)
+            combined = ds.map_batches(
+                ScanCheckActor,
+                fn_constructor_kwargs=dict(check_extract=check_extract,
+                                           clean_dir=clean_dir), **kwargs)
+        else:
+            combined = ds.map_batches(
+                make_scan_check_fn(check_extract=check_extract,
+                                   clean_dir=clean_dir), **kwargs)
         violations, partials = split_combined(_collect_arrow(combined))
 
         # group by partition, commit each

@@ -241,3 +241,18 @@ def test_curate_pages_funnel(pages_fixture, tmp_path):
     assert (funnel["n_curated"] <= funnel["n_after_dedup"]
             <= funnel["n_clean"])
     assert funnel["n_curated"] > 0.8 * funnel["n_input"] - 10
+
+
+def test_actor_pool_mode_same_verdicts(pages_fixture, tmp_path):
+    """The actor-pool scan form produces identical verdicts to the
+    stateless-task default."""
+    import os
+
+    from lk_data_test_ray.pipelines.validate import run_validation
+
+    a = run_validation(os.path.join(pages_fixture, "pages"),
+                       str(tmp_path / "tasks"), check_extract=False)
+    b = run_validation(os.path.join(pages_fixture, "pages"),
+                       str(tmp_path / "actors"), check_extract=False,
+                       use_actor_pool=True, concurrency=3)
+    assert a["per_check_violations"] == b["per_check_violations"]
