@@ -33,8 +33,11 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q5_regional_revenue",
     "e_hourly_windows",
+    "j_best_match_lineitem",
     "dd_minhash_lsh",
+    "dd_shingle_jaccard",
     "s_ann_topk",
+    "s_ann_ivf",
     "mm_payload_meta",
 ]
 
