@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events (windowed/stateful)
         "e_hourly_windows": q.e_hourly_windows,
         "e_sessionize": q.e_sessionize,
+        "e_sliding_windows": q.e_sliding_windows,
         # text analysis
         "t_token_stats": q.t_token_stats,
         "t_quality": q.t_quality,
@@ -267,6 +268,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    round(sum(value), 2) AS sum_value, count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "e_sliding_windows": """
+            SELECT ws, event_type, count(*) AS n FROM (
+                SELECT event_type, unnest([
+                    CAST(to_timestamp(floor(epoch(ts)/1800)*1800 - 1800)
+                         AS TIMESTAMP),
+                    CAST(to_timestamp(floor(epoch(ts)/1800)*1800)
+                         AS TIMESTAMP)]) AS ws
+                FROM events)
+            GROUP BY 1, 2
         """,
         "e_sessionize": """
             WITH d AS (

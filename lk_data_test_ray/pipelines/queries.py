@@ -847,3 +847,25 @@ def j_range_quantity_bands(sf_dir: str) -> rd.Dataset:
         [("l_quantity", "count", "n"), ("l_extendedprice", "sum", "sum_price")])
     return agg.map_batches(_round_stage({"sum_price": 2}),
                            batch_format="pyarrow")
+
+
+def e_sliding_windows(sf_dir: str) -> rd.Dataset:
+    """Sliding-window aggregate (1h windows, 30min hop): each event lands in
+    two windows via a vectorized flat-map on the epoch grid, then grouped
+    counts — the window assignment never leaves int64 arithmetic."""
+    ev = read(sf_dir, "events", ["ts", "event_type"])
+    HOP_US = 1_800_000_000  # 30 min in microseconds
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        grid = (ts // HOP_US) * HOP_US
+        starts = np.concatenate([grid - HOP_US, grid])
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ws": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(np.concatenate([et, et]), pa.string()),
+        })
+
+    win = ev.map_batches(explode, batch_format="pyarrow")
+    return partial_groupby_agg(win, ["ws", "event_type"],
+                               [("event_type", "count", "n")])

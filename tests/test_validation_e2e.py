@@ -256,3 +256,22 @@ def test_actor_pool_mode_same_verdicts(pages_fixture, tmp_path):
                        str(tmp_path / "actors"), check_extract=False,
                        use_actor_pool=True, concurrency=3)
     assert a["per_check_violations"] == b["per_check_violations"]
+
+
+def test_c0_schema_violation_direct():
+    """C0 fires on a wrong-schema batch (missing/extra/retyped columns)."""
+    import pyarrow as pa
+
+    from lk_data_test_ray.checks.row import RowChecker
+
+    rc = RowChecker(check_extract=False)
+    bad = pa.table({"url": pa.array(["u"], pa.string()),
+                    "warc_ts": pa.array([0], pa.int64()),  # wrong type
+                    "html": pa.array([b"x"], pa.binary()),
+                    "text": pa.array(["x"], pa.string()),
+                    "lang": pa.array(["en"], pa.string())})
+    out = rc._process(bad, 3)
+    viol = out.filter(__import__("pyarrow.compute", fromlist=["x"]).equal(
+        out["kind"], "violation"))
+    assert viol["check_id"].to_pylist() == ["c0_schema"]
+    assert viol["partition_id"].to_pylist() == [3]
