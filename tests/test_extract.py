@@ -40,3 +40,67 @@ def test_extract_links():
     assert extract_links(html) == [("https://a/1", "one"),
                                    ("https://a/2", "two words")]
     assert extract_links(None) == []
+
+
+def test_extraction_deterministic_across_workers():
+    """input_hint invariant: extract_text(html) is byte-identical no matter
+    which worker process computes it."""
+    import ray
+
+    from lk_data_test_ray.functions.extract import extract_text
+
+    html = ("<html><head><title>T&amp;T</title><style>.x{}</style></head>"
+            "<body><p>a  b c</p><script>s()</script>"
+            "<!-- c --><ul><li>x</li></ul></body></html>").encode()
+
+    @ray.remote
+    def remote_extract(h):
+        from lk_data_test_ray.functions.extract import extract_text as ex
+
+        return ex(h)
+
+    local = extract_text(html)
+    remote = ray.get([remote_extract.remote(html) for _ in range(4)])
+    assert all(r == local for r in remote)
+
+
+def test_extract_fuzz_hypothesis():
+    """Pure-function properties on arbitrary bytes: never raises, None-safe,
+    idempotent whitespace collapse, deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lk_data_test_ray.functions.extract import extract_links, extract_text
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def check(data):
+        out = extract_text(data)
+        assert out == extract_text(data)  # deterministic
+        assert isinstance(out, str)
+        assert "  " not in out and out == out.strip()  # collapsed + trimmed
+        extract_links(data)  # never raises
+
+    check()
+
+
+def test_hashing_fuzz_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lk_data_test_ray.functions.hashing import (minhash_signature,
+                                                    rolling_fingerprint,
+                                                    simhash64, stable_hash64)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=256))
+    def check(t):
+        assert stable_hash64(t) == stable_hash64(t)
+        assert rolling_fingerprint(t) == rolling_fingerprint(t)
+        toks = t.split()
+        assert simhash64(toks) == simhash64(toks)
+        sig = minhash_signature(toks, 16)
+        assert (sig == minhash_signature(toks, 16)).all()
+        assert len(sig) == 16
+
+    check()

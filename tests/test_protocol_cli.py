@@ -89,3 +89,24 @@ def test_normalize_url():
     assert normalize_url("not a url") == "not a url"
     pts = point_wkt(pa.array([" 16.37  48.21 ", "1 2"]))
     assert pts.to_pylist() == ["POINT(16.37 48.21)", "POINT(1 2)"]
+
+
+@pytest.mark.slow
+def test_cli_max_partitions_and_clean(tmp_path):
+    from lk_data_test_ray.sources.pages import ensure_pages
+
+    fix = ensure_pages(6000, seed=123)
+    clean = str(tmp_path / "clean")
+    p = subprocess.run(
+        [sys.executable, "-m", "lk_data_test_ray", "validate",
+         f"{fix}/pages", str(tmp_path / "out"),
+         "--max-partitions", "4", "--clean-dir", clean,
+         "--no-extract-check", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["n_partitions"] == 4  # smoke mode: first 4 files only
+    assert summary["n_rows"] == 4 * 375  # 6000 rows / 16 files
+    import glob
+
+    assert len(glob.glob(f"{clean}/*.parquet")) > 0
