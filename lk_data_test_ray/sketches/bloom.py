@@ -1,7 +1,12 @@
 """Bloom filter (Bloom 1970): membership pre-screen with zero false negatives.
 
-Used as the C1 map-side pre-screen and for broadcast semi/anti joins when the
-key set is too large to ship exactly. Mergeable by OR (same size/seeds).
+Available for broadcast semi/anti joins when the key set is too large to ship
+exactly. Mergeable by OR (same size/seeds). The C1 uniqueness check was
+originally planned around a Bloom pre-screen (SURVEY.md §7.1) but ships as a
+two-phase raw-Ray hash exchange instead — strictly less IO at every scale
+(8-byte hashes, no per-row filter pass; measured in BASELINE.md); the filter
+remains the right tool for one-sided membership at 10^12 keys where even the
+hash index exceeds a reducer's heap.
 """
 
 from __future__ import annotations
