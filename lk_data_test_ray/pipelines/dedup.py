@@ -160,46 +160,52 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     assert bands * rows == num_perm
 
-    def _band_key(b: bytes) -> int:
-        # stable across processes (builtin hash() is salted per process)
-        import hashlib
+    def _sig_matrix(batch: pa.Table) -> np.ndarray:
+        toks = pc.split_pattern_regex(
+            batch[text_col].combine_chunks(), TOKEN_SPLIT)
+        sigs = np.empty((batch.num_rows, num_perm), dtype=np.uint64)
+        for i, tl in enumerate(toks.to_pylist()):
+            tl = tl or []
+            if len(tl) >= shingle_k:
+                sh = [" ".join(tl[j:j + shingle_k])
+                      for j in range(len(tl) - shingle_k + 1)]
+            else:
+                sh = [" ".join(tl)] if tl else []
+            sigs[i] = minhash_signature(sh, num_perm)
+        return sigs
 
-        return int.from_bytes(
-            hashlib.blake2b(b, digest_size=8).digest(), "little") >> 1
+    def signer_bands(batch: pa.Table) -> pa.Table:
+        """Band-key rows only (no signatures): 20 bytes/row instead of 500+.
 
-    class Signer:
-        """Per-doc MinHash signatures; emits one row per band."""
+        Band keys are a vectorized FNV-1a fold over each band's signature
+        values — no per-band hashlib call.
+        """
+        sigs = _sig_matrix(batch)  # (n, num_perm)
+        per_band = sigs.reshape(len(sigs), bands, rows)
+        key = np.full((len(sigs), bands), 0xCBF29CE484222325, dtype=np.uint64)
+        for r in range(rows):
+            key = (key ^ per_band[:, :, r]) * np.uint64(0x100000001B3)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32),
+                                     len(sigs)), pa.int32()),
+            "bkey": pa.array((key.reshape(-1) >> np.uint64(1)).astype(np.int64),
+                             pa.int64()),
+        })
 
-        def __init__(self):
-            self.num_perm = num_perm
+    def signer_sigs(batch: pa.Table) -> pa.Table:
+        sigs = _sig_matrix(batch)
+        return pa.table({
+            id_col: batch[id_col],
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            toks = pc.split_pattern_regex(
-                batch[text_col].combine_chunks(), TOKEN_SPLIT)
-            ids, band_ids, band_keys, sigs = [], [], [], []
-            for rid, tl in zip(batch[id_col].to_pylist(), toks.to_pylist()):
-                tl = tl or []
-                if len(tl) >= shingle_k:
-                    sh = [" ".join(tl[i:i + shingle_k])
-                          for i in range(len(tl) - shingle_k + 1)]
-                else:
-                    sh = [" ".join(tl)] if tl else []
-                sig = minhash_signature(sh, self.num_perm)
-                sig_b = sig.tobytes()
-                for b in range(bands):
-                    band = sig[b * rows:(b + 1) * rows]
-                    ids.append(rid)
-                    band_ids.append(b)
-                    band_keys.append(_band_key(band.tobytes()))
-                    sigs.append(sig_b)
-            return pa.table({
-                id_col: pa.array(ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int32()),
-                "bkey": pa.array(band_keys, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
-            })
-
-    signed = ds.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+    # band rows materialized ONCE (consumed by both the hot-bucket count and
+    # the survivor filter — a lazy Dataset would re-run the signing stage per
+    # consumer); signatures are recomputed only for the tiny survivor set
+    band_rows = ds.map_batches(signer_bands,
+                               batch_format="pyarrow").materialize()
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         order = np.argsort(np.asarray(group[id_col].to_pylist()))
@@ -220,12 +226,94 @@ def minhash_lsh_pairs(
                          "id_b": pa.array(uniq_ids[ib], pa.int64()),
                          "est_jaccard": pa.array(est, pa.float64())})
 
-    pairs = signed.groupby(["band", "bkey"]).map_groups(
+    # hot-bucket pre-screen BEFORE any per-group work: almost every (band,
+    # bkey) bucket is a singleton — map_groups over all of them is a Python
+    # call per group (melted down at 600k docs × 16 bands = 9.6M groups).
+    # A vectorized count finds buckets with ≥2 members (tiny set: actual LSH
+    # collisions); only their rows reach the per-group pairing.
+    hot = _hot_buckets(band_rows, id_col)
+    survivors = _filter_to_hot(band_rows, hot).materialize()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    if survivors.count() == 0:
+        return rd.from_arrow(empty)
+    # signatures for the (tiny) survivor doc set only
+    surv_ids = np.unique(np.asarray(survivors.to_pandas()[id_col]))
+    id_tbl = pa.table({id_col: pa.array(surv_ids, pa.int64())})
+    from ..relational import broadcast_join
+
+    surv_docs = broadcast_join(ds.select_columns([id_col, text_col]), id_tbl,
+                               id_col, id_col, how="semi")
+    from ..relational import collect_tables
+
+    sig_tbl = collect_tables(
+        surv_docs.map_batches(signer_sigs, batch_format="pyarrow"),
+        pa.schema([(id_col, pa.int64()), ("sig", pa.binary())]))
+    with_sig = broadcast_join(survivors, sig_tbl, id_col, id_col, how="inner")
+    pairs = with_sig.groupby(["band", "bkey"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
     # same pair can surface from several bands → keep max estimate, dedup
     uniq = partial_groupby_agg(pairs, ["id_a", "id_b"],
                                [("est_jaccard", "max", "est_jaccard")])
     return uniq.filter(lambda r: r["est_jaccard"] >= threshold)
+
+
+def _combined_key(band: np.ndarray, bkey: np.ndarray) -> np.ndarray:
+    return (band.astype(np.int64) << np.int64(48)) ^ bkey.astype(np.int64)
+
+
+@ray.remote
+def _part_keys(tbl: pa.Table, p_bits: int):
+    """One block of band rows → P hash-range partitions of combined keys."""
+    key = _combined_key(tbl["band"].to_numpy(zero_copy_only=False),
+                        tbl["bkey"].to_numpy(zero_copy_only=False))
+    u = key.view(np.uint64)
+    bucket = (u >> np.uint64(64 - p_bits)).astype(np.int64)
+    return tuple(key[bucket == p] for p in range(1 << p_bits))
+
+
+@ray.remote
+def _reduce_dup_keys(*parts: np.ndarray) -> np.ndarray:
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    vals, counts = np.unique(np.concatenate(parts), return_counts=True)
+    return vals[counts > 1]
+
+
+def _hot_buckets(signed: rd.Dataset, id_col: str) -> pa.Table:
+    """(band, bkey) buckets containing ≥ 2 rows.
+
+    Raw-Ray hash exchange over the materialized band-row blocks (the C1
+    uniqueness pattern): a generic sort-based groupby over ~n_docs × bands
+    mostly-unique keys costs minutes at 10^7 rows; partition-by-hash-top-bits
+    + per-range ``np.unique`` costs seconds.
+    """
+    p_bits = 4
+    P = 1 << p_bits
+    per_block = [
+        _part_keys.options(num_returns=P).remote(ref, p_bits)
+        for ref in signed.to_arrow_refs()
+    ]
+    if P == 1:
+        per_block = [[r] for r in per_block]
+    hot = np.concatenate(ray.get([
+        _reduce_dup_keys.remote(*[refs[p] for refs in per_block])
+        for p in range(P)
+    ])) if per_block else np.empty(0, dtype=np.int64)
+    return pa.table({"hotkey": pa.array(hot, pa.int64())})
+
+
+def _filter_to_hot(signed: rd.Dataset, hot: pa.Table) -> rd.Dataset:
+    hot_ref = ray.put(np.sort(hot["hotkey"].to_numpy(zero_copy_only=False)))
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        key = _combined_key(batch["band"].to_numpy(zero_copy_only=False),
+                            batch["bkey"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(np.isin(key, hk)))
+
+    return signed.map_batches(keep_hot, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +366,11 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
                          "id_b": pa.array(uniq[ib][keep], pa.int64()),
                          "hamming": pa.array(ham[keep], pa.int32())})
 
-    pairs = signed.groupby(["band", "bkey"]).map_groups(
+    # hot-bucket pre-screen (see minhash_lsh_pairs): only buckets with ≥2
+    # members reach the per-group pairing
+    hot = _hot_buckets(signed, id_col)
+    survivors = _filter_to_hot(signed, hot)
+    pairs = survivors.groupby(["band", "bkey"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
     return partial_groupby_agg(pairs, ["id_a", "id_b"],
                                [("hamming", "min", "hamming")])
@@ -342,9 +434,10 @@ def shingle_jaccard_pairs_matmul(
     # vocabulary built driver-side (shingle text never leaves as pair rows)
     sh = ds.map_batches(
         lambda b: _shingle_rows(b, id_col, text_col, k), batch_format="pyarrow")
-    sh_tbl = pa.concat_tables(
-        [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-         for t in ray.get(sh.to_arrow_refs())])
+    from ..relational import collect_tables
+
+    sh_tbl = collect_tables(
+        sh, pa.schema([(id_col, pa.int64()), ("shingle", pa.string())]))
     import pandas as pd
 
     ids_np = np.asarray(sh_tbl[id_col].to_pandas())
@@ -422,15 +515,19 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
         edges.map_batches(init_labels, batch_format="pyarrow"),
         ["node"], [("label", "min", "label")]).materialize()
 
-    prev_sum = None
+    prev = None
     for _ in range(max_rounds):
-        cur_sum = labels.sum("label")
-        if prev_sum is not None and cur_sum == prev_sum:
+        # convergence via exact label comparison on the driver — the label
+        # table is bounded by the candidate-pair node set (small by
+        # construction). NOT labels.sum(): summing hash-derived int64 labels
+        # overflows int64 and crashes the Arrow conversion.
+        cur = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        if prev is not None and cur["label"].equals(prev["label"]):
             break
-        prev_sum = cur_sum
+        prev = cur
         lbl_tbl = pa.table({
-            "node": pa.array(labels.to_pandas()["node"], pa.int64()),
-            "label": pa.array(labels.to_pandas()["label"], pa.int64()),
+            "node": pa.array(cur["node"], pa.int64()),
+            "label": pa.array(cur["label"], pa.int64()),
         })
         import ray as _ray
 

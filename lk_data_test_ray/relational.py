@@ -389,3 +389,19 @@ def interval_join(points: rd.Dataset, intervals: pa.Table, value_col: str,
         return out
 
     return points.map_batches(probe, batch_format="pyarrow")
+
+
+def collect_tables(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL Dataset as one Arrow table with a fixed schema.
+
+    Empty blocks can pass through ``map_batches`` with their upstream schema
+    (Ray skips the UDF for zero-row blocks) — they are dropped here, and the
+    declared schema is returned even when every block is empty.
+    """
+    tables = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_batches([t])
+        if t.num_rows and set(schema.names) <= set(t.column_names):
+            tables.append(t.select(schema.names).cast(schema))
+    return pa.concat_tables(tables) if tables else schema.empty_table()
