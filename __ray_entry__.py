@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint": q.t_fingerprint,
         "t_fingerprint_extra": q.t_fingerprint_extra,
         "t_lang_id": q.t_lang_id,
+        "t_top_tokens": q.t_top_tokens,
         # validation checks over testdata tables
         "v_events_ts_range": q.v_events_ts_range,
         "v_doc_suite": q.v_doc_suite,
@@ -314,6 +315,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "t_top_tokens": f"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
         """,
         "v_events_ts_range": """
             SELECT event_id, ts FROM events

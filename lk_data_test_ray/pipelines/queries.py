@@ -869,3 +869,21 @@ def e_sliding_windows(sf_dir: str) -> rd.Dataset:
     win = ev.map_batches(explode, batch_format="pyarrow")
     return partial_groupby_agg(win, ["ws", "event_type"],
                                [("event_type", "count", "n")])
+
+
+def t_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Corpus word count, top 20 tokens (the canonical distributed
+    aggregation): vectorized token explode → map-side partial counts →
+    vectorized merge → distributed top-k with deterministic tiebreak."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+"))
+        return pa.table({"token": toks,
+                         "one": pa.array(np.ones(len(toks), dtype=np.int64))})
+
+    counts = partial_groupby_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["token"], [("one", "count", "n")])
+    return topk(counts, [("n", True), ("token", False)], 20)
