@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_lsh": _s_ann_lsh,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
+        "a_median_nchars": q.a_median_nchars,
         "pages_url_canon": q.pages_url_canon,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
@@ -404,6 +405,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    round(count(*) * 1.0 /
                          (SELECT count(*) FROM documents), 6) AS fraction
+            FROM documents GROUP BY lang
+        """,
+        "a_median_nchars": """
+            SELECT lang, round(median(n_chars), 2) AS median_nchars
             FROM documents GROUP BY lang
         """,
         "m_normalize_text": """

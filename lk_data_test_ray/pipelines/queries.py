@@ -887,3 +887,21 @@ def t_top_tokens(sf_dir: str) -> rd.Dataset:
         docs.map_batches(explode, batch_format="pyarrow"),
         ["token"], [("one", "count", "n")])
     return topk(counts, [("n", True), ("token", False)], 20)
+
+
+def a_median_nchars(sf_dir: str) -> rd.Dataset:
+    """Exact grouped median (per-group quantile; groups are few, rows per
+    group arbitrary — the one aggregate that genuinely needs the group's
+    values together, so map_groups is the right tool here)."""
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def med(group: pa.Table) -> pa.Table:
+        vals = group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "median_nchars": pa.array(
+                [float(round_half_away(np.array([np.median(vals)]), 2)[0])],
+                pa.float64()),
+        })
+
+    return docs.groupby("lang").map_groups(med, batch_format="pyarrow")
