@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint_extra": q.t_fingerprint_extra,
         "t_lang_id": q.t_lang_id,
         "t_top_tokens": q.t_top_tokens,
+        "t_quantiles_sketch": q.t_quantiles_sketch,
         # validation checks over testdata tables
         "v_events_ts_range": q.v_events_ts_range,
         "v_doc_suite": q.v_doc_suite,

@@ -905,3 +905,39 @@ def a_median_nchars(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.groupby("lang").map_groups(med, batch_format="pyarrow")
+
+
+def t_quantiles_sketch(sf_dir: str) -> rd.Dataset:
+    """Approximate grouped quantiles via mergeable t-digest partials (A6 as a
+    GROUPED aggregate): one digest per (batch, lang) → per-group merge of a
+    handful of sketch blobs — the group shuffle moves kilobytes of digests,
+    never the value column. Rows-only (approximate by design; ε asserted in
+    pytest against exact quantiles)."""
+    from ..sketches import TDigest
+
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs, blobs = [], []
+        tbl = batch.group_by(["lang"]).aggregate([("n_chars", "list")])
+        for i in range(tbl.num_rows):
+            td = TDigest()
+            td.update(np.asarray(tbl["n_chars_list"][i].as_py(),
+                                 dtype=np.float64))
+            langs.append(tbl["lang"][i].as_py())
+            blobs.append(td.to_bytes())
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        td = TDigest()
+        for blob in group["sketch"].to_pylist():
+            td = td.merge(TDigest.from_bytes(blob))
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "p50_est": pa.array([round(td.quantile(0.5), 1)], pa.float64()),
+            "p95_est": pa.array([round(td.quantile(0.95), 1)], pa.float64()),
+        })
+
+    return docs.map_batches(partials, batch_format="pyarrow") \
+               .groupby("lang").map_groups(merge, batch_format="pyarrow")

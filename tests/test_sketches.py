@@ -100,3 +100,20 @@ class TestTDigest:
         t.update(np.arange(1000.0))
         t2 = TDigest.from_bytes(t.to_bytes())
         assert t2.quantile(0.5) == pytest.approx(t.quantile(0.5))
+
+
+def test_grouped_tdigest_quantiles_close_to_exact():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import t_quantiles_sketch
+
+    sf = "/root/testdata/sf0.001"
+    est = t_quantiles_sketch(sf).to_pandas().set_index("lang")
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["lang", "n_chars"]).to_pandas()
+    for lang, grp in docs.groupby("lang"):
+        exact50 = np.median(grp["n_chars"])
+        exact95 = np.quantile(grp["n_chars"], 0.95)
+        assert abs(est.loc[lang, "p50_est"] - exact50) / exact50 < 0.1
+        assert abs(est.loc[lang, "p95_est"] - exact95) / exact95 < 0.1
