@@ -148,24 +148,41 @@ def j_enrich_customer(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
 
 
+def _batch_distinct(col: str):
+    """Map-side per-batch distinct: shrinks a key stream before a shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(batch[col].combine_chunks())})
+
+    return fn
+
+
 def j_anti_customers_no_events(sf_dir: str) -> rd.Dataset:
     """Anti-join referential check (J2,
-    ≙ ``curation/check_authors_exist_in_listperson.py:21-25``)."""
-    users = read(sf_dir, "events", ["user_id"]).unique("user_id")
-    users_tbl = pa.table({"user_id": pa.array(sorted(users), pa.int64())})
+    ≙ ``curation/check_authors_exist_in_listperson.py:21-25``).
+
+    Big-to-big shape: ``Dataset.join(left_anti)`` (hash shuffle) after a
+    map-side per-batch distinct on the probe side — round 1 pulled every
+    distinct user_id to the driver (``unique()`` + ``sorted``), a driver OOM
+    at 10⁹ distinct users."""
+    users = read(sf_dir, "events", ["user_id"]).map_batches(
+        _batch_distinct("user_id"), batch_format="pyarrow")
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return broadcast_join(cust, users_tbl, "c_custkey", "user_id", how="anti")
+    return cust.join(users, join_type="left_anti", num_partitions=8,
+                     on=("c_custkey",), right_on=("user_id",))
 
 
 def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
-    """Semi-join existence probe (J3, ≙ ``make_texts.py:363-366``)."""
+    """Semi-join existence probe (J3, ≙ ``make_texts.py:363-366``) — same
+    distributed shape as J2 (``left_semi``, no driver-side key set)."""
     ev = read(sf_dir, "events", ["user_id", "event_type"])
     err_users = ev.map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["user_id"]),
-        batch_format="pyarrow").unique("user_id")
-    users_tbl = pa.table({"user_id": pa.array(sorted(err_users), pa.int64())})
+        batch_format="pyarrow").map_batches(
+        _batch_distinct("user_id"), batch_format="pyarrow")
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return broadcast_join(cust, users_tbl, "c_custkey", "user_id", how="semi")
+    return cust.join(err_users, join_type="left_semi", num_partitions=8,
+                     on=("c_custkey",), right_on=("user_id",))
 
 
 def a_dup_user_event(sf_dir: str) -> rd.Dataset:
@@ -180,20 +197,34 @@ def a_dup_user_event(sf_dir: str) -> rd.Dataset:
 
 def a_collect_event_types(sf_dir: str) -> rd.Dataset:
     """Group-collect list agg (A2, ≙ ``check_fackel_references.py:40-52``);
-    deterministic order inside the collected list (SURVEY.md §7.4)."""
+    deterministic order inside the collected list (SURVEY.md §7.4).
+
+    Scale shape: ONE hash exchange co-locates each user's rows, then each
+    partition does a vectorized sort + Arrow ``group_by(...).aggregate(list)``
+    + ``binary_join`` — no per-group Python call (group-count-independent
+    wall time; round 1 paid one Python call per user here)."""
+    from ..relational import hash_repartition_map
+
     ev = read(sf_dir, "events", ["user_id", "event_type", "event_id"])
+    out_schema = pa.schema([("user_id", pa.int64()), ("types", pa.string()),
+                            ("n_events", pa.int64())])
 
-    def collect(group: pa.Table) -> pa.Table:
-        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
-        ei = np.asarray(group["event_id"].to_pylist())
-        order = np.lexsort((ei, et))
+    def collect_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        agg = tbl.group_by(["user_id"], use_threads=False).aggregate(
+            [("event_type", "list"), ("event_id", "count")])
         return pa.table({
-            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-            "types": pa.array([",".join(et[order])], pa.string()),
-            "n_events": pa.array([len(et)], pa.int64()),
-        })
+            "user_id": agg["user_id"],
+            "types": pc.binary_join(agg["event_type_list"], ","),
+            "n_events": agg["event_id_count"],
+        }, schema=out_schema)
 
-    return ev.groupby("user_id").map_groups(collect, batch_format="pyarrow")
+    return hash_repartition_map(ev, "user_id", collect_partition)
 
 
 def a_lang_source_counts(sf_dir: str) -> rd.Dataset:
@@ -314,21 +345,42 @@ def e_hourly_windows(sf_dir: str) -> rd.Dataset:
 
 
 def e_sessionize(sf_dir: str) -> rd.Dataset:
-    """Sessionization (30-min inactivity gap) per user via sorted map_groups —
-    the custom 'windowed/stateful' operator class (SURVEY.md §2 custom ops)."""
-    ev = read(sf_dir, "events", ["user_id", "ts", "event_id"])
-    gap = np.timedelta64(30, "m")
+    """Sessionization (30-min inactivity gap) per user — the custom
+    'windowed/stateful' operator class (SURVEY.md §2 custom ops).
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group["ts"].to_numpy(zero_copy_only=False))
-        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+    Scale shape: hash exchange on user_id, then per partition ONE sort by
+    (user, ts) + a segmented numpy diff marks session starts (new user OR
+    gap > 30 min) + vectorized grouped sum/count — no per-group Python."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_sessions", pa.int64()),
+                            ("n_events", pa.int64())])
+
+    def sessions_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_s = np.ones(len(uid), dtype=np.int64)
+        new_s[1:] = ((uid[1:] != uid[:-1])
+                     | ((ts[1:] - ts[:-1]) > gap_us)).astype(np.int64)
+        marked = pa.table({"user_id": pa.array(uid, pa.int64()),
+                           "new_s": pa.array(new_s, pa.int64())})
+        agg = marked.group_by(["user_id"], use_threads=False).aggregate(
+            [("new_s", "sum"), ("new_s", "count")])
         return pa.table({
-            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
-        })
+            "user_id": agg["user_id"],
+            "n_sessions": agg["new_s_sum"],
+            "n_events": agg["new_s_count"],
+        }, schema=out_schema)
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return hash_repartition_map(ev, "user_id", sessions_partition)
 
 
 # ---------------------------------------------------------------------------

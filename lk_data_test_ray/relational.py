@@ -299,6 +299,73 @@ def salted_groupby_count(ds: rd.Dataset, key: str, salt_buckets: int = 16,
     return merged
 
 
+def _bucket_of(col: pa.ChunkedArray | pa.Array, p_bits: int) -> np.ndarray:
+    """Stable hash bucket per row (top ``p_bits`` of a 64-bit hash)."""
+    from .functions.hashing import hash_strings64  # noqa: circular-safe
+
+    vals = col.to_numpy(zero_copy_only=False)
+    if vals.dtype == object:
+        h = hash_strings64(vals.astype(object))
+    else:
+        # integer keys: multiply-shift (Fibonacci) hash — uniform top bits
+        h = (vals.astype(np.int64).view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+    return (h >> np.uint64(64 - p_bits)).astype(np.int64)
+
+
+def default_p_bits() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(6, int(np.log2(max(2, cpus)))))
+
+
+def hash_repartition_map(ds: rd.Dataset, key: str, fn,
+                         p_bits: int | None = None) -> rd.Dataset:
+    """Hash-exchange on ``key`` then apply ``fn`` ONCE per co-located partition.
+
+    The scale-safe replacement for ``groupby(key).map_groups(fn_per_group)``
+    on high-cardinality keys: a raw-Ray two-phase exchange (the C1 uniqueness
+    pattern, ``checks/uniqueness.py``) moves each row to the partition owning
+    its key's hash range — no sort, no per-group Python call. ``fn`` receives
+    one Arrow table holding EVERY row of its keys and must itself be
+    vectorized (sort-within-block + segmented numpy / ``pa.Table.group_by``).
+
+    Partitioning assumption: one hash range fits a worker's heap; size
+    ``p_bits`` to the cluster (default ≈ log2(cores), capped). Wall time is
+    partition-count-parallel and group-count-independent.
+    """
+    if p_bits is None:
+        p_bits = default_p_bits()
+    P = 1 << p_bits
+    base_schema = ds.schema().base_schema
+
+    @ray.remote
+    def split(tbl, pb: int):
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_batches([tbl])
+        if tbl.num_rows == 0:
+            return tuple(tbl for _ in range(1 << pb))
+        bucket = _bucket_of(tbl[key], pb)
+        return tuple(tbl.filter(pa.array(bucket == p))
+                     for p in range(1 << pb))
+
+    @ray.remote
+    def apply_fn(*parts):
+        live = [p for p in parts if p.num_rows]
+        tbl = (pa.concat_tables(live) if live
+               else base_schema.empty_table())
+        return fn(tbl)
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(fn(base_schema.empty_table()))
+    per_block = [split.options(num_returns=P).remote(r, p_bits) for r in refs]
+    if P == 1:
+        per_block = [[r] for r in per_block]
+    out_refs = [apply_fn.remote(*[refs_[p] for refs_ in per_block])
+                for p in range(P)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
               left_ts: str, right_ts: str, left_cols: list[str],
               right_cols: list[str],
@@ -308,12 +375,17 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
     SURVEY.md §2 'custom operators' — no reference analog, J4's containment
     fallback is the closest shape).
 
-    Plan: tag and union both sides, hash-group by key, per-group
-    ``pd.merge_asof`` over the ts-sorted slices — co-partitioning comes from
-    ONE shuffle on the key; within a group everything is vectorized pandas.
-    Output columns: ``[key, left_ts] + left_cols + right_cols`` (right cols
-    null when no right row precedes). Partitioning assumption: one key's rows
-    fit a worker (a skewed key would need a ts-range sub-split).
+    Plan: tag and union both sides (null-filled opposite columns), ONE hash
+    exchange on the key co-locates each key's rows, then each partition runs
+    a single vectorized ``pd.merge_asof(..., by=key)`` over its ts-sorted
+    slice — one C call per PARTITION, never per key (a per-group Python
+    ``map_groups`` melts down at user-scale key cardinality). Output columns
+    are cast back to the DECLARED Arrow types: pandas upcasts nullable int64
+    to float64 inside the merge, which round 1 shipped as the
+    ``e_asof_last_order`` hash mismatch. Output: ``[key, left_ts] +
+    left_cols + right_cols`` (right cols null when no right row precedes).
+    Partitioning assumption: one hash range fits a worker; a single skewed
+    key would need a ts-range sub-split.
     """
     import pandas as pd
 
@@ -326,6 +398,10 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
     r_types = {f.name: f.type for f in right.schema().base_schema}
     all_cols = ([(c, l_types[c], 0) for c in left_cols]
                 + [(c, r_types[c], 1) for c in r_keep])
+    out_schema = pa.schema(
+        [(key, l_types[key]), (left_ts, l_types[left_ts])]
+        + [(c, l_types[c]) for c in left_cols]
+        + [(c, r_types[c]) for c in right_cols])
 
     def tag(side: int, ts_col: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -341,19 +417,26 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
     lt = left.map_batches(tag(0, left_ts), batch_format="pyarrow")
     rt = right.map_batches(tag(1, right_ts), batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["__side"] == 0].sort_values("__ts", kind="mergesort")
+    def merge_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        lg = df[df["__side"] == 0].sort_values("__ts", kind="mergesort")
         # deterministic among equal right timestamps: last row (the one
         # merge_asof picks) = max tiebreak
         r_sort = ["__ts"] + ([right_tiebreak] if right_tiebreak else [])
-        rg = group[group["__side"] == 1].sort_values(r_sort, kind="mergesort")
+        rg = df[df["__side"] == 1].sort_values(r_sort, kind="mergesort")
         out = pd.merge_asof(
             lg[[key, "__ts"] + left_cols],
-            rg[["__ts"] + right_cols],
-            on="__ts", direction="backward")
-        return out.rename(columns={"__ts": left_ts})
+            rg[[key, "__ts"] + right_cols],
+            on="__ts", by=key, direction="backward")
+        out = out.rename(columns={"__ts": left_ts})
+        # cast back to declared types (pandas float64-upcast + NaN → null)
+        return pa.Table.from_arrays(
+            [pa.Array.from_pandas(out[f.name], type=f.type)
+             for f in out_schema], schema=out_schema)
 
-    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+    return hash_repartition_map(lt.union(rt), key, merge_partition)
 
 
 def interval_join(points: rd.Dataset, intervals: pa.Table, value_col: str,
