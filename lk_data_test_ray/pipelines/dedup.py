@@ -89,15 +89,18 @@ def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Tab
 def shingle_jaccard_pairs(
     ds: rd.Dataset, id_col: str, text_col: str, k: int = 2,
     threshold: float = 0.5, max_df: int | None = None,
+    _sh: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Exact Jaccard over word-k-shingle sets for all pairs sharing a shingle.
 
     Inverted-index plan: shingle rows → groupby(shingle) emits co-occurring
     id pairs → pair-count groupby = |A∩B| → broadcast set sizes → J =
     inter/(|A|+|B|-inter) ≥ threshold. ``max_df`` drops shingles hotter than
-    the cap (scale guard; leaves recall to the LSH path).
+    the cap (scale guard; leaves recall to the LSH path). ``_sh``: optional
+    precomputed (id, shingle) Dataset (the matmul fallback hands its
+    materialized shingle rows over so they are not recomputed).
     """
-    sh = ds.map_batches(
+    sh = _sh if _sh is not None else ds.map_batches(
         lambda b: _shingle_rows(b, id_col, text_col, k), batch_format="pyarrow")
 
     sizes_tbl = partial_groupby_agg(
@@ -428,12 +431,25 @@ def shingle_jaccard_pairs_matmul(
     Exact all-pairs is inherently O(n²) — this is the small/medium-corpus
     exact oracle; at 10^12 rows use ``minhash_lsh_pairs`` (sub-quadratic by
     construction). Falls back to the inverted-index plan when the dense
-    matrix would exceed ``max_dense_cells``.
+    matrix would exceed ``max_dense_cells`` — and the guard is computed from
+    DISTRIBUTED scalar aggregates BEFORE anything is collected to the driver
+    (round 1 collected the full (id, shingle) table first, so at the scale
+    that needs the fallback the driver would OOM before reaching it).
     """
-    # distinct shingles per doc (distributed pass), then a compact global
-    # vocabulary built driver-side (shingle text never leaves as pair rows)
     sh = ds.map_batches(
-        lambda b: _shingle_rows(b, id_col, text_col, k), batch_format="pyarrow")
+        lambda b: _shingle_rows(b, id_col, text_col, k),
+        batch_format="pyarrow").materialize()
+    # guard inputs: n_docs and Σ per-doc distinct shingles (an upper bound on
+    # the global vocabulary — conservative: may fall back a little early on
+    # heavily-shared vocabularies, never collects what it cannot hold)
+    sizes = partial_groupby_agg(sh, [id_col], [("shingle", "count", "sz")])
+    n_docs = sizes.count()
+    n_sh_upper = int(sizes.sum("sz") or 0)
+    if n_docs * n_sh_upper > max_dense_cells:
+        return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
+                                     threshold=threshold, _sh=sh)
+    # small by the guard: compact global vocabulary built driver-side
+    # (shingle text never leaves as pair rows)
     from ..relational import collect_tables
 
     sh_tbl = collect_tables(
@@ -444,9 +460,6 @@ def shingle_jaccard_pairs_matmul(
     sh_codes, _uniq = pd.factorize(np.asarray(sh_tbl["shingle"].to_pandas()))
     doc_ids, doc_codes = np.unique(ids_np, return_inverse=True)
     n_docs, n_sh = len(doc_ids), len(_uniq)
-    if n_docs * n_sh > max_dense_cells:
-        return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
-                                     threshold=threshold)
 
     S = np.zeros((n_docs, n_sh), dtype=np.float32)
     S[doc_codes, sh_codes] = 1.0

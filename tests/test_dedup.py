@@ -138,3 +138,18 @@ def test_asof_join():
     assert np.isnan(got[(2, 5)])  # nothing precedes 5
     assert np.isnan(got[(2, 30)])  # right ts 40 is after
     assert len(out) == 4
+
+
+def test_shingle_jaccard_matmul_fallback_guard():
+    """With a tiny max_dense_cells the guard must route to the inverted-index
+    plan BEFORE any driver collect — and results stay identical."""
+    a = dedup.shingle_jaccard_pairs_matmul(
+        _ds(), "doc_id", "text", k=2, threshold=0.5,
+        max_dense_cells=1).to_pandas()
+    b = dedup.shingle_jaccard_pairs(_ds(), "doc_id", "text", k=2,
+                                    threshold=0.5).to_pandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert np.allclose(a["jaccard"], b["jaccard"], atol=1e-9)

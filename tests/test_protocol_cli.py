@@ -110,3 +110,37 @@ def test_cli_max_partitions_and_clean(tmp_path):
     import glob
 
     assert len(glob.glob(f"{clean}/*.parquet")) > 0
+
+
+def test_normalize_urls_batch_equals_scalar():
+    """The Arrow-kernel batch canonicalizer is byte-equal to the scalar
+    reference (property-based + hand-picked tricky cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lk_data_test_ray.functions.urls import (normalize_url,
+                                                 normalize_urls_batch)
+
+    tricky = [
+        None, "", "  ", "not a url", "HTTPS://Example.COM:443/Path#frag",
+        "http://a.b:80", "http://a.b:80/", "https://a.b:80/x",
+        "http://a.b:8080/x", "ftp://a.b/x", "http://A.B/#",
+        "http://h/x?q=1#f#g", "HTTP://HÉ.example/Ü",
+        "http://a.b/line\nbreak#frag\nmore", "http://:80", "https://:443/",
+    ]
+    got = normalize_urls_batch(tricky).to_pylist()
+    assert got == [normalize_url(u) for u in tricky]
+
+    url_chars = st.text(
+        alphabet=st.sampled_from(list(
+            "abXY09.-_:/?#[]@!$&'()*+,;=%é \t\n")), max_size=40)
+    prefix = st.sampled_from(
+        ["http://", "https://", "HTTP://", "hTtPs://", "", "xx://"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix, url_chars)
+    def check(pre, rest):
+        u = pre + rest
+        assert normalize_urls_batch([u]).to_pylist() == [normalize_url(u)]
+
+    check()
