@@ -170,7 +170,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_stats": q.approx_stats,
         "td_curate": q.td_curate,
         "s_ann_ivf": _s_ann_ivf,
+        # round 2: Bloom membership e2e, M7 geo, O3 limit
+        "dd_bloom_incremental": q.dd_bloom_incremental,
+        "m_geo_wkt": q.m_geo_wkt,
+        "o_limit_orders": q.o_limit_orders,
     }
+
+
+def _pages_fixture_glob() -> str:
+    """Parquet glob of the sf0.01 pages fixture (the driver's correctness
+    scale) — generated here if absent so the DuckDB side can read it."""
+    from lk_data_test_ray.sources.pages import ensure_pages, pages_nrows_for_sf
+
+    import os
+
+    fix = ensure_pages(pages_nrows_for_sf("/root/testdata/sf0.01"))
+    return os.path.join(fix, "pages", "*.parquet")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -500,9 +515,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS node, least(src, min(dst)) AS cluster
             FROM reach GROUP BY src
         """,
+        "dd_bloom_incremental": """
+            SELECT e.event_id, e.user_id FROM events e
+            WHERE e.ts >= TIMESTAMP '2024-01-20' AND EXISTS (
+                SELECT 1 FROM events c
+                WHERE c.ts < TIMESTAMP '2024-01-20'
+                  AND c.user_id = e.user_id)
+        """,
+        "m_geo_wkt": """
+            SELECT c_custkey,
+                   'POINT(' || CAST(c_custkey % 360 - 180 AS VARCHAR) || ' '
+                            || CAST(c_custkey % 180 - 90 AS VARCHAR) || ')'
+                       AS wkt
+            FROM customer
+        """,
+        "o_limit_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey ASC LIMIT 100
+        """,
+        # the mm_* oracles read the deterministic pages fixture the Ray side
+        # uses (driver correctness scale sf0.01); the SQL re-implements the
+        # magic-byte sniff / fake-decode arithmetic independently. The
+        # fixture payloads are valid UTF-8, so the sniff's binary magics
+        # reduce to the ASCII html prefixes here.
+        "mm_payload_meta": f"""
+            SELECT CASE WHEN html IS NULL THEN 'none/missing'
+                        WHEN starts_with(decode(html), '<html')
+                             OR starts_with(decode(html), '<!doc')
+                             OR starts_with(decode(html), '<!DOC')
+                            THEN 'text/html'
+                        ELSE 'application/octet-stream' END AS kind,
+                   CAST(sum(coalesce(octet_length(html), 0)) AS BIGINT)
+                       AS total_bytes,
+                   count(*) AS n
+            FROM read_parquet('{_pages_fixture_glob()}')
+            GROUP BY 1
+        """,
+        "mm_decode_feats": f"""
+            SELECT url,
+                   CASE WHEN starts_with(decode(html), '<html')
+                             OR starts_with(decode(html), '<!doc')
+                             OR starts_with(decode(html), '<!DOC')
+                            THEN 'text/html'
+                        ELSE 'application/octet-stream' END AS kind,
+                   CAST(greatest(floor(sqrt(octet_length(html))), 1)
+                        AS INTEGER) AS width,
+                   CAST(greatest(floor(sqrt(octet_length(html))), 1)
+                        AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS n_channels
+            FROM read_parquet('{_pages_fixture_glob()}')
+            WHERE html IS NOT NULL
+        """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,
         # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate, pages_links,
-        # mm_payload_meta, mm_decode_feats, approx_stats — non-SQL-expressible
-        # (sketches, LSH, stubbed decode) or over the generated pages fixture.
+        # approx_stats (sketch estimates), td_curate (LSH-dependent funnel),
+        # s_ann_ivf (approximate by design; recall vs the exact baseline is
+        # asserted in tests/test_similarity_text.py).
     }

@@ -223,6 +223,13 @@ def plan_scan_items(files: list[str], partition_of: dict[str, int],
     for f in files:
         pf = pq.ParquetFile(f)
         n_rg = pf.metadata.num_row_groups
+        if n_rg == 0:
+            # a zero-row-group file still gets one (empty) scan item so its
+            # partition emits stats, commits to the manifest, and resume
+            # converges instead of leaving it 'todo' forever
+            items.append({"path": f, "rg_lo": 0, "rg_hi": 0,
+                          "pid": partition_of[f]})
+            continue
         rows_per_rg = max(1, pf.metadata.num_rows // max(1, n_rg))
         step = max(1, target_rows // rows_per_rg)
         for lo in range(0, n_rg, step):
@@ -270,12 +277,16 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
     a vocab array.
     """
 
+    # cache key carries the vocab identity: a later run with a custom vocab
+    # in the same worker process must not silently reuse the previous one
+    vocab_key = None if vocab is None else frozenset(vocab)
+
     def scan_check(batch: pa.Table) -> pa.Table:
         import os
 
         import pyarrow.parquet as pq
 
-        key = ("scan", check_extract)
+        key = ("scan", check_extract, vocab_key)
         rc = _FN_CACHE.get(key)
         if rc is None:
             rc = RowChecker(vocab=vocab, check_extract=check_extract)
@@ -285,7 +296,11 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
                                      batch["rg_lo"].to_pylist(),
                                      batch["rg_hi"].to_pylist(),
                                      batch["pid"].to_pylist()):
-            tbl = pq.ParquetFile(path).read_row_groups(list(range(lo, hi)))
+            pf = pq.ParquetFile(path)
+            if hi > lo:
+                tbl = pf.read_row_groups(list(range(lo, hi)))
+            else:  # zero-row-group file: empty table, real schema
+                tbl = pf.schema_arrow.empty_table()
             combined = rc._process(tbl, pid)
             out.append(combined)
             if clean_dir is not None:

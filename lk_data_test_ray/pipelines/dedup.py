@@ -493,6 +493,83 @@ def shingle_jaccard_pairs_matmul(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prescreened incremental membership (new batch vs committed corpus)
+# ---------------------------------------------------------------------------
+
+
+def bloom_incremental_members(
+    committed: rd.Dataset, incoming: rd.Dataset, key_cols: list[str],
+    capacity: int = 1 << 17, fp_rate: float = 0.01,
+) -> rd.Dataset:
+    """Incoming rows whose key already EXISTS in the committed corpus — the
+    one-sided membership shape an incremental ingest needs (today's batch vs
+    yesterday's 10^12-key corpus), exact despite the sketch.
+
+    Plan: (1) per-batch partial Bloom filters over the committed keys, merged
+    by OR on the driver (mergeable sketch, A6); (2) the merged filter is
+    broadcast ONCE and pre-screens the incoming stream — Bloom has ZERO false
+    negatives, so dropped rows are exactly right, and only the tiny
+    Bloom-positive candidate set (true members + ~fp_rate of the rest)
+    reaches (3) the exact verify, a hash semi-join against the committed
+    keys. The pre-screen cuts the shuffle volume of step (3) by ~1/fp_rate
+    for mostly-new batches. Reference analog: membership sets probed with
+    continue-on-miss (``curation/check_authors_exist_in_listperson.py:12-25``).
+
+    Size ``capacity`` to the committed key cardinality; at 10^12 keys shard
+    the filter by key-hash range instead of growing one array.
+    """
+    from ..sketches import BloomFilter
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        parts = [batch[c].cast(pa.string()) for c in key_cols]
+        key = (parts[0] if len(parts) == 1
+               else pc.binary_join_element_wise(*parts, "|"))
+        return batch.append_column("__key", key)
+
+    committed_k = committed.map_batches(with_key, batch_format="pyarrow")
+    incoming_k = incoming.map_batches(with_key, batch_format="pyarrow")
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add_strings(np.asarray(batch["__key"].to_pylist(), dtype=object))
+        return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
+
+    blobs = committed_k.map_batches(
+        bloom_partial, batch_format="pyarrow").take_all()
+    bf = BloomFilter(capacity, fp_rate)
+    for row in blobs:
+        bf = bf.merge(BloomFilter.from_bytes(row["blob"]))
+    bf_ref = ray.put(bf.to_bytes())
+
+    def screen(batch: pa.Table) -> pa.Table:
+        filt = _BLOOM_CACHE.get(bf_ref.hex())
+        if filt is None:
+            filt = BloomFilter.from_bytes(ray.get(bf_ref))
+            _BLOOM_CACHE[bf_ref.hex()] = filt
+        mask = filt.contains_strings(
+            np.asarray(batch["__key"].to_pylist(), dtype=object))
+        return batch.filter(pa.array(mask))
+
+    from ..relational import drop_empty_blocks
+
+    out_schema = pa.schema(list(incoming.schema().base_schema))
+    candidates = drop_empty_blocks(
+        incoming_k.map_batches(screen, batch_format="pyarrow"))
+    committed_keys = drop_empty_blocks(committed_k.map_batches(
+        lambda b: pa.table({"__ckey": pc.unique(b["__key"].combine_chunks())}),
+        batch_format="pyarrow"))
+    if candidates is None or committed_keys is None:
+        return rd.from_arrow(out_schema.empty_table())
+    verified = candidates.join(committed_keys, join_type="left_semi",
+                               num_partitions=8, on=("__key",),
+                               right_on=("__ckey",))
+    return verified.drop_columns(["__key"])
+
+
+_BLOOM_CACHE: dict = {}
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: connected components over candidate pairs
 # ---------------------------------------------------------------------------
 

@@ -176,11 +176,16 @@ def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
     """Semi-join existence probe (J3, ≙ ``make_texts.py:363-366``) — same
     distributed shape as J2 (``left_semi``, no driver-side key set)."""
     ev = read(sf_dir, "events", ["user_id", "event_type"])
-    err_users = ev.map_batches(
+    from ..relational import drop_empty_blocks
+
+    err_users = drop_empty_blocks(ev.map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["user_id"]),
         batch_format="pyarrow").map_batches(
-        _batch_distinct("user_id"), batch_format="pyarrow")
+        _batch_distinct("user_id"), batch_format="pyarrow"))
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    if err_users is None:
+        return rd.from_arrow(pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table())
     return cust.join(err_users, join_type="left_semi", num_partitions=8,
                      on=("c_custkey",), right_on=("user_id",))
 
@@ -614,14 +619,16 @@ def mm_payload_meta(sf_dir: str) -> rd.Dataset:
 
 
 def mm_decode_feats(sf_dir: str) -> rd.Dataset:
-    """Multimodal: stubbed decode/feature actor stage (fake decoder)."""
+    """Multimodal: stubbed decode/feature actor stage (fake decoder over the
+    whole fixture — the deterministic fake is oracle-expressible, so the
+    actor-pool plumbing is hash-checked end-to-end)."""
     import os
 
     from .multimodal import decode_features
 
     fix = _pages_fixture(sf_dir)
     pages = rd.read_parquet(os.path.join(fix, "pages"),
-                            columns=["url", "html"]).limit(2048)
+                            columns=["url", "html"])
     feats = decode_features(pages, fake=True)
     return feats.select_columns(["url", "kind", "width", "height",
                                  "n_channels"])
@@ -875,6 +882,67 @@ def td_curate(sf_dir: str) -> pa.Table:
         "n_after_dedup": pa.array([funnel["n_after_dedup"]], pa.int64()),
         "n_curated": pa.array([funnel["n_curated"]], pa.int64()),
     })
+
+
+# incremental split point shared verbatim with the oracle SQL
+BLOOM_SPLIT_TS = np.datetime64("2024-01-20", "us")
+
+
+def dd_bloom_incremental(sf_dir: str) -> pa.Table:
+    """Bloom-prescreened incremental membership (A6 put to work end-to-end):
+    events of 'today's batch' (ts ≥ split) whose user was already seen in the
+    committed corpus (ts < split) — Bloom pre-screen (zero false negatives)
+    + exact semi-join verify, so the result is exact and oracle-checkable
+    despite the sketch."""
+    from ..relational import collect_tables
+    from .dedup import bloom_incremental_members
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    split = pa.scalar(BLOOM_SPLIT_TS)
+
+    def side(new: bool):
+        op = pc.greater_equal if new else pc.less
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(op(batch["ts"], split)).select(
+                ["event_id", "user_id"])
+
+        return fn
+
+    committed = ev.map_batches(side(False), batch_format="pyarrow")
+    incoming = ev.map_batches(side(True), batch_format="pyarrow")
+    out = bloom_incremental_members(committed, incoming, ["user_id"],
+                                    capacity=1 << 16)
+    # explicit-schema materialization: an empty result must keep its columns
+    return collect_tables(out, pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64())]))
+
+
+def m_geo_wkt(sf_dir: str) -> rd.Dataset:
+    """Geo WKT point formatting (M7, ≙ ``utils/utilities.py:507-514``:
+    '"lon lat"' text → Point WKT literal). The lon/lat text is derived from
+    integer columns so string formatting is engine-independent."""
+    from ..functions.urls import point_wkt
+
+    cust = read(sf_dir, "customer", ["c_custkey"])
+
+    def wkt(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        lon = pa.array(key % 360 - 180, pa.int64())
+        lat = pa.array(key % 180 - 90, pa.int64())
+        lon_lat = pc.binary_join_element_wise(
+            pc.cast(lon, pa.string()), pc.cast(lat, pa.string()), " ")
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "wkt": point_wkt(lon_lat)})
+
+    return cust.map_batches(wkt, batch_format="pyarrow")
+
+
+def o_limit_orders(sf_dir: str) -> rd.Dataset:
+    """Deterministic limit/head (O3, ≙ the reference's LIMIT env gate
+    ``scripts/make_rdf.py:25-29``): first 100 orders by key."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return orders.sort("o_orderkey").limit(100)
 
 
 # quantity bands for the range join (mirrored in the oracle VALUES list)

@@ -91,7 +91,12 @@ def curate_pages(pages_path: str, out_dir: str,
     curated = deduped.map_batches(quality_mask, batch_format="pyarrow")
 
     # 5. stats + partitioned output (resumable layout: Ray writes one file
-    # per block; a rerun overwrites the directory atomically at the driver)
+    # per block). Clear the target first: a rerun that produces fewer blocks
+    # must not leave stale files inflating n_curated.
+    import shutil
+
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.makedirs(final_dir, exist_ok=True)
     curated = curated.drop_columns(["doc_id"])
     curated.write_parquet(final_dir)
     n_final = sum(

@@ -366,6 +366,26 @@ def hash_repartition_map(ds: rd.Dataset, key: str, fn,
     return rd.from_arrow_refs(out_refs)
 
 
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset | None:
+    """Remove zero-row blocks (which carry NO schema: Ray skips map UDFs on
+    empty blocks, so a filtered-to-empty block degrades to a column-less
+    table that ``Dataset.join``'s hash partitioner cannot key). The probe is
+    a remote row-count per block — block data never moves and never touches
+    the driver. Returns None when every block is empty (caller supplies the
+    typed empty result)."""
+
+    @ray.remote
+    def nrows(t) -> int:
+        return t.num_rows if hasattr(t, "num_rows") else len(t)
+
+    refs = ds.to_arrow_refs()
+    counts = ray.get([nrows.remote(r) for r in refs])
+    live = [r for r, n in zip(refs, counts) if n]
+    if not live:
+        return None
+    return rd.from_arrow_refs(live)
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
               left_ts: str, right_ts: str, left_cols: list[str],
               right_cols: list[str],

@@ -153,3 +153,25 @@ def test_shingle_jaccard_matmul_fallback_guard():
     b = b.sort_values(key).reset_index(drop=True)
     assert a[key].equals(b[key])
     assert np.allclose(a["jaccard"], b["jaccard"], atol=1e-9)
+
+
+def test_bloom_incremental_members_exact():
+    """Bloom pre-screen + exact verify equals a plain exact semi-join
+    (zero false negatives end-to-end), including key overlap and misses."""
+    committed = rd.from_arrow(pa.table({
+        "rid": pa.array([1, 2, 3], pa.int64()),
+        "k": ["a", "b", "c"],
+    }))
+    incoming = rd.from_arrow(pa.table({
+        "rid": pa.array([10, 11, 12, 13], pa.int64()),
+        "k": ["b", "x", "c", "y"],
+    }))
+    out = dedup.bloom_incremental_members(
+        committed, incoming, ["k"], capacity=1 << 10).to_pandas()
+    assert sorted(out["rid"]) == [10, 12]
+    # all-miss incoming → empty result, no crash on empty candidate blocks
+    none_in = rd.from_arrow(pa.table({
+        "rid": pa.array([20], pa.int64()), "k": ["zz"]}))
+    out2 = dedup.bloom_incremental_members(
+        committed, none_in, ["k"], capacity=1 << 10).to_pandas()
+    assert len(out2) == 0

@@ -275,3 +275,31 @@ def test_c0_schema_violation_direct():
         out["kind"], "violation"))
     assert viol["check_id"].to_pylist() == ["c0_schema"]
     assert viol["partition_id"].to_pylist() == [3]
+
+
+def test_empty_partition_commits_and_resumes(pages_fixture, tmp_path):
+    """A parquet file with zero row groups must still commit a manifest (one
+    empty scan item) so resume converges instead of re-scanning forever."""
+    import glob
+    import shutil
+
+    from lk_data_test_ray.schema import PAGES_SCHEMA
+    from lk_data_test_ray.state.manifest import ManifestStore
+
+    dst = str(tmp_path / "pages")
+    shutil.copytree(os.path.join(pages_fixture, "pages"), dst)
+    pq.write_table(PAGES_SCHEMA.empty_table(),
+                   os.path.join(dst, "part-99999.parquet"))
+    out = str(tmp_path / "out")
+    s = run_validation(dst, out,
+                       lang_hist_path=os.path.join(pages_fixture,
+                                                   "lang_hist.parquet"))
+    done = ManifestStore(os.path.join(out, "manifests")).completed()
+    n_files = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert len([k for k in done if k != "global"]) == n_files
+    # resume over a fully-committed run: identical verdicts, nothing re-runs
+    s2 = run_validation(dst, out,
+                        lang_hist_path=os.path.join(pages_fixture,
+                                                    "lang_hist.parquet"))
+    assert s2["per_check_violations"] == s["per_check_violations"]
+    assert s2["n_rows"] == s["n_rows"]
