@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extract import extract_text
+from ..functions.extract import binary_views, extract_text_bytes
 from ..schema import PAGES_SCHEMA, VIOLATIONS_SCHEMA, WARC_TS_MAX, WARC_TS_MIN
 from ..sketches import HyperLogLog, TDigest
 from .vocab import ISO_639_1
@@ -137,16 +137,19 @@ class RowChecker:
 
         # --- C6 extraction determinism (byte-identical text per url) --------
         if self.check_extract:
-            # only rows with BOTH html and text present can mismatch
-            cand = pc.and_(pc.invert(html_null), pc.invert(text_null))
-            sub = batch.filter(cand)
-            html_py = sub["html"].to_pylist()
-            text_py = sub["text"].to_pylist()
-            url_py = sub["url"].to_pylist()
-            bad_urls = [
-                url_py[i] for i in range(len(html_py))
-                if extract_text(html_py[i]) != text_py[i]
+            # zero-copy memoryviews of the html buffer: no per-row bytes
+            # allocation, extraction runs at the bytes level and decodes only
+            # the extracted text (functions/extract.py v3). Only rows with
+            # BOTH html and text present can mismatch.
+            views = binary_views(batch["html"])
+            text_py = text_col.to_pylist()
+            bad_idx = [
+                i for i, (v, t) in enumerate(zip(views, text_py))
+                if v is not None and t is not None
+                and extract_text_bytes(v) != t
             ]
+            bad_urls = ([url_col[i].as_py() for i in bad_idx]
+                        if bad_idx else [])
             emit("c6_extract_match", bad_urls, "error",
                  "extract_text(html) != text")
 

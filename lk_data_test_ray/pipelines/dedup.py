@@ -143,7 +143,7 @@ def shingle_jaccard_pairs(
 
     return inter.map_batches(Finish, fn_constructor_kwargs={
         "ref": sizes_ref, "thr": threshold}, batch_format="pyarrow",
-        concurrency=2)
+        concurrency=2, max_restarts=0)
 
 
 # ---------------------------------------------------------------------------
@@ -439,13 +439,27 @@ def shingle_jaccard_pairs_matmul(
     sh = ds.map_batches(
         lambda b: _shingle_rows(b, id_col, text_col, k),
         batch_format="pyarrow").materialize()
-    # guard inputs: n_docs and Σ per-doc distinct shingles (an upper bound on
-    # the global vocabulary — conservative: may fall back a little early on
-    # heavily-shared vocabularies, never collects what it cannot hold)
-    sizes = partial_groupby_agg(sh, [id_col], [("shingle", "count", "sz")])
-    n_docs = sizes.count()
-    n_sh_upper = int(sizes.sum("sz") or 0)
-    if n_docs * n_sh_upper > max_dense_cells:
+    # guard inputs from DISTRIBUTED partials: exact n_docs (tiny grouped
+    # count) + HLL-estimated global vocabulary size (per-batch sketch
+    # partials, OR-merged — ±2% at precision 12, padded 10%); Σ per-doc
+    # distinct would over-estimate shared vocabularies ~10x and push the
+    # dense path into the (much slower) inverted-index fallback needlessly
+    from ..sketches import HyperLogLog
+
+    n_docs = partial_groupby_agg(
+        sh, [id_col], [("shingle", "count", "sz")]).count()
+
+    def hll_partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(12)
+        h.update_strings(np.asarray(batch["shingle"].to_pylist(),
+                                    dtype=object))
+        return pa.table({"blob": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(12)
+    for row in sh.map_batches(hll_partial, batch_format="pyarrow").take_all():
+        merged = merged.merge(HyperLogLog.from_bytes(row["blob"]))
+    n_sh_est = int(merged.estimate() * 1.1) + 1
+    if n_docs * n_sh_est > max_dense_cells:
         return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
                                      threshold=threshold, _sh=sh)
     # small by the guard: compact global vocabulary built driver-side

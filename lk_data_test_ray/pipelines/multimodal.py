@@ -145,7 +145,8 @@ def decode_features(ds: rd.Dataset, id_col: str = "url",
         DecodeStage,
         fn_constructor_kwargs=dict(id_col=id_col, payload_col=payload_col,
                                    fake=fake),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        max_restarts=0)
 
 
 class FrameSampleStage:

@@ -81,7 +81,7 @@ def ann_brute_force(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
         BruteForceScorer,
         fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col,
                                    vec_col=vec_col, k=k),
-        batch_format="pyarrow",
+        batch_format="pyarrow", max_restarts=0,
         concurrency=concurrency if concurrency is not None else 4)
     return partial.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow")
@@ -156,7 +156,7 @@ def ann_lsh(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
         LshAssign, fn_constructor_kwargs=dict(
             dim=dim, n_planes=n_planes, seed=seed, multiprobe=multiprobe,
             id_col=id_col, vec_col=vec_col, probe=False),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=2, max_restarts=0)
 
     qb = LshBucketer(dim, n_planes, seed, multiprobe)
     qnorm = _normalize(qmat.astype(np.float64))
@@ -199,7 +199,7 @@ def ann_lsh(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
 
     scored = assigned.map_batches(
         ScoreBuckets, fn_constructor_kwargs=dict(ref=probe_ref, kk=k),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=2, max_restarts=0)
 
     def merge(group: pa.Table) -> pa.Table:
         nid = np.asarray(group["neighbor_id"].to_pylist())
@@ -313,6 +313,6 @@ def ann_ivf(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
 
     scored = ds.map_batches(
         ScoreCells, fn_constructor_kwargs=dict(ref=state_ref, kk=k),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=2, max_restarts=0)
     return scored.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow")

@@ -196,8 +196,19 @@ def topk(ds: rd.Dataset, sort_keys: list[tuple[str, bool]], k: int) -> rd.Datase
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned parquet read of one testdata table."""
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read of one testdata table.
+
+    An explicit metadata-free schema is passed: the testdata files carry a
+    ``pandas`` schema-metadata blob that makes ``pa.Schema`` unhashable,
+    which made every downstream schema-dedup log a
+    "Failed to hash the schemas" warning per block."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    full = pq.read_schema(path).remove_metadata()
+    schema = (pa.schema([full.field(c) for c in columns])
+              if columns is not None else full)
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def read_table(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:

@@ -78,8 +78,12 @@ def test_extract_fuzz_hypothesis():
         out = extract_text(data)
         assert out == extract_text(data)  # deterministic
         assert isinstance(out, str)
-        assert "  " not in out and out == out.strip()  # collapsed + trimmed
+        # collapsed + trimmed under v3's ASCII-whitespace semantics
+        assert "  " not in out and out == out.strip(" \t\r\n\v\f")
         extract_links(data)  # never raises
+        # zero-copy memoryview input must equal the bytes path
+        from lk_data_test_ray.functions.extract import extract_text_bytes
+        assert extract_text_bytes(memoryview(data)) == out
 
     check()
 
