@@ -170,10 +170,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_stats": q.approx_stats,
         "td_curate": q.td_curate,
         "s_ann_ivf": _s_ann_ivf,
-        # round 2: Bloom membership e2e, M7 geo, O3 limit
+        # round 2: Bloom membership e2e, M7 geo, O3 limit, frame sampling
         "dd_bloom_incremental": q.dd_bloom_incremental,
         "m_geo_wkt": q.m_geo_wkt,
         "o_limit_orders": q.o_limit_orders,
+        "mm_frame_sample": q.mm_frame_sample,
+        # round 2: grouped top-k, per-key rolling window, pivot/crosstab
+        "o_topk_per_cust": q.o_topk_per_cust,
+        "e_rolling_avg": q.e_rolling_avg,
+        "a_pivot_lang_source": q.a_pivot_lang_source,
     }
 
 
@@ -565,6 +570,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS n_channels
             FROM read_parquet('{_pages_fixture_glob()}')
             WHERE html IS NOT NULL
+        """,
+        "o_topk_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  FROM orders) t
+            WHERE rn <= 3
+        """,
+        "e_rolling_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS rolling_avg
+            FROM events
+        """,
+        "a_pivot_lang_source": """
+            SELECT lang,
+                   CAST(sum(CASE WHEN CAST(regexp_extract(source,
+                        'src([0-9]+)', 1) AS BIGINT) % 3 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS src_bucket0,
+                   CAST(sum(CASE WHEN CAST(regexp_extract(source,
+                        'src([0-9]+)', 1) AS BIGINT) % 3 = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS src_bucket1,
+                   CAST(sum(CASE WHEN CAST(regexp_extract(source,
+                        'src([0-9]+)', 1) AS BIGINT) % 3 = 2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS src_bucket2
+            FROM documents GROUP BY lang
+        """,
+        "mm_frame_sample": f"""
+            SELECT url, CAST((i - 1) * 10 AS INTEGER) AS frame_idx,
+                   CAST((i - 1) * 10 * 1024 AS BIGINT) AS byte_offset
+            FROM (SELECT url,
+                         greatest(CAST(floor(octet_length(html) / 1024)
+                                       AS BIGINT), 1) AS nf
+                  FROM read_parquet('{_pages_fixture_glob()}')
+                  WHERE html IS NOT NULL),
+                 unnest(generate_series(1, CAST(ceil(nf / 10.0) AS BIGINT)))
+                     AS t(i)
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

@@ -84,15 +84,14 @@ def run_flagship(sf_dir: str, fresh: bool = True,
     out = f"/tmp/lk_bench/pages_n{n}"
     if fresh:
         shutil.rmtree(out, ignore_errors=True)
-    # single-box tuning: the regex row phase saturates one machine's memory
-    # bandwidth past ~16 concurrent scan tasks (more workers run slower);
-    # on a multi-node cluster the cap would be ~cores-per-node × nodes
-    conc = min(16, num_cpus) if num_cpus else None
+    # one scan task per core (the v3 bytes-level extraction halved per-row
+    # bandwidth, so 32 workers now beat 16 on this box — round 1 capped at
+    # 16); ~16k-row scan items give ≥4 tasks per core for load balance
     t0 = time.time()
     summary = run_validation(
         os.path.join(fix, "pages"), out,
         lang_hist_path=os.path.join(fix, "lang_hist.parquet"),
-        wave_size=16, concurrency=conc)
+        wave_size=16, concurrency=num_cpus, scan_target_rows=16_384)
     wall = time.time() - t0
     return {"wall_sec": round(wall, 3), "rows": summary["n_rows"],
             "rows_per_sec": round(summary["n_rows"] / wall, 1),
@@ -150,15 +149,32 @@ SCALING_MULTIPLIER = 4  # scaling input = 4× the bench sf so that parallel
 # regime a 100 TB job is always in; both CPU levels use the SAME input
 
 
+def _control_probe(n: int) -> dict:
+    """No-Ray multiprocessing control at 8 and 32 workers (same row work)."""
+    p = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tools", "host_ceiling_probe.py"), str(n), "--pairs"],
+        capture_output=True, text=True)
+    try:
+        line = [ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+    except Exception:
+        return {}
+
+
 def scaling_run(sf_dir: str) -> dict:
     """Same flagship job at two N→4N parallelism pairs, fresh processes.
 
-    Reports 2→8 CPUs and 8→32 CPUs on the SAME input. On one box the 8→32
-    pair under-measures true multi-node scaling: all 32 workers share one
-    memory controller, and the row phase (regex extraction over html bytes)
-    is memory-bandwidth-bound past ~8-16 local cores — on a real 4N-node
-    cluster each node brings its own bandwidth. The 2→8 pair stays in the
-    CPU-bound regime this box can actually express.
+    The headline ``value`` is the 8→32-CPU pair — the levels the driver's
+    gate measures — with the 2→8 pair alongside. The single-box caveat is
+    quantified, not asserted: a raw ``multiprocessing`` control (no Ray, no
+    object store; ``tools/host_ceiling_probe.py``) runs the identical row
+    work at the same worker counts, and its efficiency is reported next to
+    the engine's. On this box both collapse identically past ~8 workers
+    (shared memory bandwidth / CPU overcommit); a real 4N-node cluster
+    multiplies bandwidth with node count, which one box cannot express.
     """
     from lk_data_test_ray.sources.pages import pages_nrows_for_sf
 
@@ -178,17 +194,25 @@ def scaling_run(sf_dir: str) -> dict:
         line = [ln for ln in p.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
+    control = _control_probe(n)
 
     def eff(lo, hi):
         return round((results[hi]["rows_per_sec"]
                       / results[lo]["rows_per_sec"]) / 4.0, 3)
 
+    def ctrl_eff(lo, hi):
+        if str(lo) in control and str(hi) in control:
+            return round((control[str(hi)] / control[str(lo)]) / 4.0, 3)
+        return None
+
     return {
         "metric": "scaling_efficiency_N_to_4N_cpus",
-        "value": eff(2, 8),
+        "value": eff(8, 32),
         "unit": "ratio",
         "sf": sf_dir,
         "rows": results[32]["rows"],
+        "efficiency_8_to_32": eff(8, 32),
+        "efficiency_2_to_8": eff(2, 8),
         "pairs": {
             "2_to_8": eff(2, 8),
             "8_to_32": eff(8, 32),
@@ -196,11 +220,19 @@ def scaling_run(sf_dir: str) -> dict:
         "rows_per_sec": {str(c): results[c]["rows_per_sec"]
                          for c in (2, 8, 32)},
         "wall_sec": {str(c): results[c]["value"] for c in (2, 8, 32)},
-        "note": ("8->32 hits a host-level ceiling on this single box (shared "
-                 "memory bandwidth / virtualized CPU overcommit — a raw "
-                 "multiprocessing probe shows the same inflation without "
-                 "Ray); multi-node clusters scale those per node. 2->8 is "
-                 "the CPU-bound pair."),
+        "control_no_ray": {
+            "rows_per_sec": control,
+            "efficiency_2_to_8": ctrl_eff(2, 8),
+            "efficiency_8_to_32": ctrl_eff(8, 32),
+        },
+        "note": ("Headline = the 8->32 pair the driver gates on. The no-Ray "
+                 "multiprocessing control (identical row work, no engine) "
+                 "collapses on the same pair on this box — the ceiling is "
+                 "host memory bandwidth, not the engine; the residual "
+                 "engine-vs-control gap is the ~1.4s fixed per-execution "
+                 "scheduling floor, which amortizes with volume. The 2->8 "
+                 "pair stays CPU-bound and is the honest proxy for adding "
+                 "nodes (each node brings its own bandwidth)."),
     }
 
 

@@ -358,7 +358,10 @@ def merge_stats(partials: list[dict]) -> dict:
                 "lang_cardinality_est": 0.0, "textlen_quantiles": {}}
     hll_u = HyperLogLog.from_bytes(partials[0]["hll_url"])
     hll_l = HyperLogLog.from_bytes(partials[0]["hll_lang"])
-    td = TDigest.from_bytes(partials[0]["tdigest_textlen"])
+    # one-shot t-digest merge: concat all centroids, compress ONCE (a fold of
+    # pairwise merges re-compressed per partial and dominated driver time)
+    td = TDigest.merge_many(
+        [TDigest.from_bytes(p["tdigest_textlen"]) for p in partials])
     out = {
         "n_rows": partials[0]["n_rows"],
         "lang_counts": dict(partials[0]["lang_counts"]),
@@ -370,7 +373,6 @@ def merge_stats(partials: list[dict]) -> dict:
     for p in partials[1:]:
         hll_u = hll_u.merge(HyperLogLog.from_bytes(p["hll_url"]))
         hll_l = hll_l.merge(HyperLogLog.from_bytes(p["hll_lang"]))
-        td = td.merge(TDigest.from_bytes(p["tdigest_textlen"]))
         out["n_rows"] += p["n_rows"]
         for k, v in p["lang_counts"].items():
             out["lang_counts"][k] = out["lang_counts"].get(k, 0) + v

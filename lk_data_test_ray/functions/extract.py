@@ -60,7 +60,10 @@ def extract_text_bytes(html_bytes) -> str:
     """Bytes-level core: accepts bytes / memoryview (zero-copy Arrow buffer
     slice), decodes ONLY the extracted text."""
     s = _STRIP.sub(b" ", html_bytes)
-    s = _ENTITY_RE.sub(lambda m: _ENTITIES_B[m.group(0)], s)
+    # entity pass only when an ampersand survives the strip (memchr-fast;
+    # most documents carry no entities, saving a full regex scan)
+    if b"&" in s:
+        s = _ENTITY_RE.sub(lambda m: _ENTITIES_B[m.group(0)], s)
     return b" ".join(s.split()).decode("utf-8", errors="replace")
 
 

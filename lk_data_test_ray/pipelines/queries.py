@@ -634,6 +634,23 @@ def mm_decode_feats(sf_dir: str) -> rd.Dataset:
                                  "n_channels"])
 
 
+def mm_frame_sample(sf_dir: str) -> rd.Dataset:
+    """Multimodal: video frame-sampling flat-map stub (1 payload → N frame
+    rows keyed by (url, frame_idx)); the deterministic fake derives frame
+    boundaries from payload length, so it is oracle-expressible."""
+    import os
+
+    from .multimodal import FrameSampleStage
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "html"])
+    return pages.map_batches(
+        FrameSampleStage, fn_constructor_kwargs=dict(fake=True, every_n=10),
+        batch_format="pyarrow", batch_size=1024, concurrency=4,
+        max_restarts=0)
+
+
 def approx_stats(sf_dir: str) -> pa.Table:
     """Sketch sidecar (A6): HLL cardinalities + t-digest quantiles over
     documents, computed as mergeable per-batch partials (exact counterparts
@@ -943,6 +960,76 @@ def o_limit_orders(sf_dir: str) -> rd.Dataset:
     ``scripts/make_rdf.py:25-29``): first 100 orders by key."""
     orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return orders.sort("o_orderkey").limit(100)
+
+
+def o_topk_per_cust(sf_dir: str) -> rd.Dataset:
+    """Grouped top-k (the general-k window-rank operator): each customer's
+    3 most expensive orders — hash exchange + segmented vectorized rank
+    (relational.topk_per_key), never a per-group Python call."""
+    from ..relational import topk_per_key
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return topk_per_key(orders, "o_custkey",
+                        [("o_totalprice", True), ("o_orderkey", False)], 3)
+
+
+def e_rolling_avg(sf_dir: str) -> rd.Dataset:
+    """Per-key rolling window (3-event moving average of value per user,
+    ordered by ts): hash exchange, ONE sort per partition, then a segmented
+    prefix-sum — windows never cross user boundaries, no per-group Python."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("rolling_avg", pa.float64())])
+
+    def roll(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        v = tbl["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(uid)
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        i = np.arange(n)
+        lo = np.maximum(i - 2, seg_start)
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        avg = (csum[i + 1] - csum[lo]) / (i - lo + 1)
+        return pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "rolling_avg": pa.array(round_half_away(avg, 6), pa.float64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", roll)
+
+
+def a_pivot_lang_source(sf_dir: str) -> rd.Dataset:
+    """Pivot/crosstab (conditional aggregation, M8-adjacent): per lang, doc
+    counts split across three source-id buckets — indicator columns computed
+    map-side, so the shuffle moves (langs × batches) partial rows only."""
+    docs = read(sf_dir, "documents", ["lang", "source"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        src_num = pc.cast(pc.coalesce(pc.struct_field(
+            pc.extract_regex(batch["source"], r"src(?P<n>[0-9]+)"), "n"),
+            pa.scalar("0")), pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = src_num % 3
+        cols = {"lang": batch["lang"]}
+        for b in range(3):
+            cols[f"src_bucket{b}"] = pa.array(
+                (bucket == b).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    ind = docs.map_batches(indicators, batch_format="pyarrow")
+    return partial_groupby_agg(ind, ["lang"], [
+        (f"src_bucket{b}", "sum", f"src_bucket{b}") for b in range(3)])
 
 
 # quantity bands for the range join (mirrored in the oracle VALUES list)

@@ -66,6 +66,7 @@ def run_validation(
     drift_alpha: float = 1e-3,
     clean_dir: str | None = None,
     use_actor_pool: bool = False,
+    scan_target_rows: int = 32_768,
 ) -> dict:
     """Run the full suite; returns the summary dict (also written as JSON)."""
     import threading
@@ -103,7 +104,8 @@ def run_validation(
         os.makedirs(clean_dir, exist_ok=True)
     for w in range(0, len(todo), wave_size):
         wave = todo[w:w + wave_size]
-        items = plan_scan_items(wave, partition_of)
+        items = plan_scan_items(wave, partition_of,
+                                target_rows=scan_target_rows)
         ds = rd.from_items(items, override_num_blocks=len(items))
         kwargs = dict(batch_format="pyarrow", batch_size=1)
         if concurrency is not None:

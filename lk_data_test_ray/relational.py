@@ -377,6 +377,34 @@ def hash_repartition_map(ds: rd.Dataset, key: str, fn,
     return rd.from_arrow_refs(out_refs)
 
 
+def topk_per_key(ds: rd.Dataset, key: str,
+                 sort_keys: list[tuple[str, bool]], k: int) -> rd.Dataset:
+    """Top-k rows per key (the general-k form of ``argmax_per_key``): one
+    hash exchange, then per partition ONE sort + a segmented vectorized rank
+    (arange minus each key's first index) — no per-group Python, wall time
+    independent of key count. Deterministic: ties broken by the sort_keys
+    themselves (make them total)."""
+    names = [key] + [c for c, _ in sort_keys]
+    orders = ["ascending"] + ["descending" if d else "ascending"
+                              for _, d in sort_keys]
+    base = ds.schema().base_schema
+
+    def local(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return base.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=list(zip(names, orders)))
+        tbl = tbl.take(idx)
+        keys_np = tbl[key].to_numpy(zero_copy_only=False)
+        n = len(keys_np)
+        change = np.concatenate([[True], keys_np[1:] != keys_np[:-1]])
+        starts = np.flatnonzero(change)
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        rank = np.arange(n) - seg_start
+        return tbl.filter(pa.array(rank < k))
+
+    return hash_repartition_map(ds, key, local)
+
+
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset | None:
     """Remove zero-row blocks (which carry NO schema: Ray skips map UDFs on
     empty blocks, so a filtered-to-empty block degrades to a column-less

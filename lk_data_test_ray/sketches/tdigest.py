@@ -63,11 +63,20 @@ class TDigest:
 
     # -- merge ----------------------------------------------------------------
     def merge(self, other: "TDigest") -> "TDigest":
-        a, b = self, other
-        a._compress(); b._compress()
-        out = TDigest(self.delta,
-                      np.concatenate([a.means, b.means]),
-                      np.concatenate([a.counts, b.counts]))
+        return TDigest.merge_many([self, other])
+
+    @classmethod
+    def merge_many(cls, digests: "list[TDigest]") -> "TDigest":
+        """One-shot merge of many digests: concatenate ALL centroids, compress
+        ONCE — a fold of pairwise merges compresses O(n) times and dominated
+        the driver's stats-merge wall time at 160 partition partials."""
+        if not digests:
+            return cls()
+        for d in digests:
+            d._compress()
+        out = cls(digests[0].delta,
+                  np.concatenate([d.means for d in digests]),
+                  np.concatenate([d.counts for d in digests]))
         out._compress()
         return out
 
