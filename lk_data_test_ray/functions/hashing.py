@@ -85,6 +85,34 @@ def minhash_signature(tokens: list[str], num_perm: int, seed: int = 7) -> np.nda
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(shingle_lists: "list[list[str]]",
+                             num_perm: int, seed: int = 7) -> np.ndarray:
+    """MinHash signatures for a BATCH of documents in one shot: one
+    ``hash_array`` call over all shingles + per-permutation segmented
+    ``np.minimum.reduceat`` — removes the per-document pandas call overhead
+    (~30µs/doc) of mapping ``minhash_signature`` over a batch. Exactly equal
+    to the scalar function (min is order- and duplicate-insensitive, and the
+    uint64 wraparound arithmetic is identical); property-tested.
+    """
+    params = _minhash_params(num_perm, seed)
+    n = len(shingle_lists)
+    out = np.full((n, num_perm), _MERSENNE61 - 1, dtype=np.uint64)
+    counts = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+    live = counts > 0
+    if not live.any():
+        return out
+    flat = np.array([s for lst in shingle_lists for s in lst], dtype=object)
+    base = pd.util.hash_array(flat, categorize=False) % np.uint64(_MERSENNE61)
+    offsets = np.concatenate([[0], np.cumsum(counts[live])[:-1]])
+    a, b = params
+    sigs = np.empty((int(live.sum()), num_perm), dtype=np.uint64)
+    for p in range(num_perm):
+        v = (a[p] * base + b[p]) % _MERSENNE61
+        sigs[:, p] = np.minimum.reduceat(v, offsets)
+    out[live] = sigs
+    return out
+
+
 _PARAM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
 

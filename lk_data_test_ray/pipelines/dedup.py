@@ -102,12 +102,10 @@ def shingle_jaccard_pairs(
     """
     sh = _sh if _sh is not None else ds.map_batches(
         lambda b: _shingle_rows(b, id_col, text_col, k), batch_format="pyarrow")
-
-    sizes_tbl = partial_groupby_agg(
-        sh, [id_col], [("shingle", "count", "sz")],
-    ).to_pandas()
-    sizes = dict(zip(sizes_tbl[id_col], sizes_tbl["sz"]))
-    sizes_ref = ray.put(sizes)
+    # per-doc set sizes stay DISTRIBUTED and are attached to the pair rows by
+    # two hash joins (round 1 collected a doc_id→size dict to the driver and
+    # broadcast it — a driver OOM at corpus-scale doc counts)
+    sizes = partial_groupby_agg(sh, [id_col], [("shingle", "count", "sz")])
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(np.asarray(group[id_col].to_pylist()))
@@ -122,28 +120,39 @@ def shingle_jaccard_pairs(
     inter = partial_groupby_agg(pairs, ["id_a", "id_b"],
                                 [("id_a", "count", "inter")])
 
-    class Finish:
-        def __init__(self, ref, thr):
-            self.sizes = ray.get(ref)
-            self.thr = thr
+    from ..relational import drop_empty_blocks
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["id_a"].to_numpy(zero_copy_only=False)
-            b = batch["id_b"].to_numpy(zero_copy_only=False)
-            it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-            sa = np.array([self.sizes[x] for x in a], dtype=np.float64)
-            sb = np.array([self.sizes[x] for x in b], dtype=np.float64)
-            j = it / (sa + sb - it)
-            keep = j >= self.thr
-            return pa.table({
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(round_half_away(j[keep], 6), pa.float64()),
-            })
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+    inter = drop_empty_blocks(inter)
+    if inter is None:
+        return rd.from_arrow(out_schema.empty_table())
+    sz_a = sizes.map_batches(
+        lambda b: pa.table({"a_key": b[id_col], "sz_a": b["sz"]}),
+        batch_format="pyarrow")
+    sz_b = sizes.map_batches(
+        lambda b: pa.table({"b_key": b[id_col], "sz_b": b["sz"]}),
+        batch_format="pyarrow")
+    inter = inter.join(sz_a, join_type="inner", num_partitions=8,
+                       on=("id_a",), right_on=("a_key",))
+    inter = inter.join(sz_b, join_type="inner", num_partitions=8,
+                       on=("id_b",), right_on=("b_key",))
 
-    return inter.map_batches(Finish, fn_constructor_kwargs={
-        "ref": sizes_ref, "thr": threshold}, batch_format="pyarrow",
-        concurrency=2, max_restarts=0)
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = batch["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = batch["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = it / (sa + sb - it)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(round_half_away(j[keep], 6), pa.float64()),
+        }, schema=out_schema)
+
+    return inter.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -164,18 +173,21 @@ def minhash_lsh_pairs(
     assert bands * rows == num_perm
 
     def _sig_matrix(batch: pa.Table) -> np.ndarray:
+        from ..functions.hashing import minhash_signatures_batch
+
         toks = pc.split_pattern_regex(
             batch[text_col].combine_chunks(), TOKEN_SPLIT)
-        sigs = np.empty((batch.num_rows, num_perm), dtype=np.uint64)
-        for i, tl in enumerate(toks.to_pylist()):
+        shingle_lists = []
+        for tl in toks.to_pylist():
             tl = tl or []
             if len(tl) >= shingle_k:
-                sh = [" ".join(tl[j:j + shingle_k])
-                      for j in range(len(tl) - shingle_k + 1)]
+                shingle_lists.append([" ".join(tl[j:j + shingle_k])
+                                      for j in range(len(tl) - shingle_k + 1)])
             else:
-                sh = [" ".join(tl)] if tl else []
-            sigs[i] = minhash_signature(sh, num_perm)
-        return sigs
+                shingle_lists.append([" ".join(tl)] if tl else [])
+        # batched: one hash_array + segmented min per permutation (no
+        # per-document pandas call overhead)
+        return minhash_signatures_batch(shingle_lists, num_perm)
 
     def signer_bands(batch: pa.Table) -> pa.Table:
         """Band-key rows only (no signatures): 20 bytes/row instead of 500+.
@@ -588,7 +600,8 @@ _BLOOM_CACHE: dict = {}
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
+def connected_components(pairs: rd.Dataset, max_rounds: int = 50,
+                         driver_max_edges: int = 2_000_000) -> rd.Dataset:
     """Cluster ids from near-dup pairs: (node, cluster) with cluster = min
     node id reachable — distributed min-label propagation.
 
@@ -598,16 +611,45 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
     Rounds needed = graph diameter (near-dup clusters are tiny, so 2-4 rounds
     in practice); all steps are partial_groupby_agg shuffles over (node,
     label) pairs, never per-group Python.
+
+    Candidate-pair graphs are SMALL by construction (LSH collisions), so up
+    to ``driver_max_edges`` the propagation runs driver-side in pure numpy
+    (pointer-jumping min-label) — each distributed round costs a ~1.5 s
+    executor execution, which dominated the curation funnel for 12-node
+    graphs. The distributed rounds remain the path for bigger graphs.
     """
     edges = pairs.map_batches(
         lambda b: pa.table({"a": b["id_a"].cast(pa.int64()),
                             "b": b["id_b"].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         # empty graph → empty labelling (an empty Dataset loses its schema
         # through groupby, so return an explicit empty table)
         return rd.from_arrow(pa.schema(
             [("node", pa.int64()), ("cluster", pa.int64())]).empty_table())
+
+    if n_edges <= driver_max_edges:
+        pdf = edges.to_pandas()
+        a = pdf["a"].to_numpy(dtype=np.int64)
+        b = pdf["b"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[:len(a)], inv[len(a):]
+        lbl = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(max_rounds):
+            new = lbl.copy()
+            m = np.minimum(lbl[ia], lbl[ib])
+            np.minimum.at(new, ia, m)
+            np.minimum.at(new, ib, m)
+            new = new[new]  # pointer jumping halves chain depth per round
+            if (new == lbl).all():
+                break
+            lbl = new
+        # nodes are sorted ascending → min label index = min reachable id
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "cluster": pa.array(nodes[lbl], pa.int64()),
+        }))
 
     # initial labels: every endpoint labels itself
     def init_labels(batch: pa.Table) -> pa.Table:

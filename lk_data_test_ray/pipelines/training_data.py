@@ -58,7 +58,12 @@ def curate_pages(pages_path: str, out_dir: str,
                                       dtype=object)).view(np.int64)
         return batch.append_column("doc_id", pa.array(h, pa.int64()))
 
-    docs = clean.map_batches(with_doc_id, batch_format="pyarrow")
+    # materialized ONCE: the lazy plan would re-read + re-hash the clean
+    # parquet for the LSH signing pass, the dedup count and the final write
+    # (3 full re-reads). Blocks live in the (spillable) object store; at
+    # corpus scales where storing the clean set is unacceptable, drop the
+    # materialize and accept the re-reads.
+    docs = clean.map_batches(with_doc_id, batch_format="pyarrow").materialize()
 
     pairs = minhash_lsh_pairs(
         docs.select_columns(["doc_id", "text"]), "doc_id", "text",

@@ -175,3 +175,34 @@ def test_bloom_incremental_members_exact():
     out2 = dedup.bloom_incremental_members(
         committed, none_in, ["k"], capacity=1 << 10).to_pandas()
     assert len(out2) == 0
+
+
+def test_minhash_batch_equals_scalar():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lk_data_test_ray.functions.hashing import (minhash_signature,
+                                                    minhash_signatures_batch)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.lists(st.text(max_size=8), max_size=12), max_size=6))
+    def check(docs):
+        got = minhash_signatures_batch(docs, 16)
+        for i, d in enumerate(docs):
+            assert (got[i] == minhash_signature(d, 16)).all()
+
+    check()
+
+
+def test_connected_components_distributed_path_matches():
+    """Force the distributed rounds (driver_max_edges=0) and check identical
+    clustering to the driver-side numpy path on a chain + separate pair."""
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([5, 4, 3, 2, 100], pa.int64()),
+        "id_b": pa.array([4, 3, 2, 1, 101], pa.int64()),
+    }))
+    fast = dedup.connected_components(pairs).to_pandas()
+    dist = dedup.connected_components(pairs, driver_max_edges=0).to_pandas()
+    f = dict(zip(fast["node"], fast["cluster"]))
+    d = dict(zip(dist["node"], dist["cluster"]))
+    assert f == d == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 100: 100, 101: 100}
