@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_topk_per_cust": q.o_topk_per_cust,
         "e_rolling_avg": q.e_rolling_avg,
         "a_pivot_lang_source": q.a_pivot_lang_source,
+        "a_distinct_users_per_type": q.a_distinct_users_per_type,
+        "pages_host_counts": q.pages_host_counts,
     }
 
 
@@ -570,6 +572,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS n_channels
             FROM read_parquet('{_pages_fixture_glob()}')
             WHERE html IS NOT NULL
+        """,
+        "a_distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "pages_host_counts": f"""
+            SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                   count(*) AS n_pages
+            FROM read_parquet('{_pages_fixture_glob()}')
+            GROUP BY 1
         """,
         "o_topk_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice

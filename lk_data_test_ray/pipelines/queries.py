@@ -962,6 +962,44 @@ def o_limit_orders(sf_dir: str) -> rd.Dataset:
     return orders.sort("o_orderkey").limit(100)
 
 
+def a_distinct_users_per_type(sf_dir: str) -> rd.Dataset:
+    """Exact grouped distinct-count (count(DISTINCT ...) GROUP BY): per-batch
+    distinct pairs shrink the stream map-side, one grouped count dedups
+    globally, a second tiny grouped count yields the cardinality — the
+    shuffle moves distinct pairs, never raw events."""
+    ev = read(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ev.map_batches(batch_pairs, batch_format="pyarrow")
+    dedup = partial_groupby_agg(pairs, ["event_type", "user_id"],
+                                [("user_id", "count", "c")])
+    return partial_groupby_agg(dedup, ["event_type"],
+                               [("user_id", "count", "n_users")])
+
+
+def pages_host_counts(sf_dir: str) -> rd.Dataset:
+    """Skew-safe per-host page counts over the Zipf-skewed fixture hosts —
+    the salted-groupby operator (SURVEY.md §4 'Skew') exercised end-to-end
+    with a DuckDB oracle (salting must not change any count)."""
+    import os
+
+    from ..relational import salted_groupby_count
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"), columns=["url"])
+
+    def host_of(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"].combine_chunks(),
+                             r"^https://(?P<h>[^/]+)/"), "h")
+        return pa.table({"host": host})
+
+    hosts = pages.map_batches(host_of, batch_format="pyarrow")
+    return salted_groupby_count(hosts, "host", out_name="n_pages")
+
+
 def o_topk_per_cust(sf_dir: str) -> rd.Dataset:
     """Grouped top-k (the general-k window-rank operator): each customer's
     3 most expensive orders — hash exchange + segmented vectorized rank

@@ -106,3 +106,37 @@ def test_interval_join():
     pts = rd.from_arrow(pa.table({"v": [5.0, 10.0, 19.9, 25.0, 0.0]}))
     out = interval_join(pts, bands, "v").to_pandas()
     assert list(out["band"]) == ["low", "high", "high", None, "low"]
+
+
+def test_topk_per_key():
+    from lk_data_test_ray.relational import topk_per_key
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([5.0, 9.0, 7.0, 1.0, 2.0, 4.0]),
+        "id": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+    }))
+    out = topk_per_key(ds, "k", [("v", True), ("id", False)], 2).to_pandas()
+    got = sorted(zip(out["k"], out["id"]))
+    assert got == [(1, 11), (1, 12), (2, 20), (2, 21), (3, 30)]
+
+
+def test_hash_repartition_map_covers_all_keys():
+    from lk_data_test_ray.relational import hash_repartition_map
+
+    n = 5000
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([i % 97 for i in range(n)], pa.int64()),
+        "v": pa.array(list(range(n)), pa.int64()),
+    }))
+
+    def per_part(tbl):
+        if tbl.num_rows == 0:
+            return pa.schema([("k", pa.int64()),
+                              ("n", pa.int64())]).empty_table()
+        return tbl.group_by(["k"]).aggregate([("v", "count")]) \
+                  .rename_columns(["k", "n"])
+
+    out = hash_repartition_map(ds, "k", per_part).to_pandas()
+    # every key lands in exactly ONE partition → 97 rows, counts sum to n
+    assert len(out) == 97 and out["n"].sum() == n
