@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "s_ann_topk",
     "s_ann_ivf",
     "mm_payload_meta",
+    "o_topk_per_cust",
+    "e_rolling_avg",
 ]
 
 

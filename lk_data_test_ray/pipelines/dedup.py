@@ -526,6 +526,7 @@ def shingle_jaccard_pairs_matmul(
 def bloom_incremental_members(
     committed: rd.Dataset, incoming: rd.Dataset, key_cols: list[str],
     capacity: int = 1 << 17, fp_rate: float = 0.01,
+    exact_broadcast_max: int = 2_000_000,
 ) -> rd.Dataset:
     """Incoming rows whose key already EXISTS in the committed corpus — the
     one-sided membership shape an incremental ingest needs (today's batch vs
@@ -552,20 +553,59 @@ def bloom_incremental_members(
                else pc.binary_join_element_wise(*parts, "|"))
         return batch.append_column("__key", key)
 
-    committed_k = committed.map_batches(with_key, batch_format="pyarrow")
+    # committed side materialized once: the bloom-partial and key passes
+    # both consume it (in-memory blocks, not parquet re-reads)
+    committed_k = committed.map_batches(
+        with_key, batch_format="pyarrow").materialize()
     incoming_k = incoming.map_batches(with_key, batch_format="pyarrow")
 
     def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["__key"].to_pylist(), dtype=object)
         bf = BloomFilter(capacity, fp_rate)
-        bf.add_strings(np.asarray(batch["__key"].to_pylist(), dtype=object))
-        return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
+        bf.add_strings(keys)
+        return pa.table({
+            "blob": pa.array([bf.to_bytes()], pa.binary()),
+            # per-batch distinct count: the sum over batches bounds the
+            # global distinct from above - decides broadcast-vs-join
+            "n_distinct": pa.array([len(set(keys))], pa.int64()),
+        })
 
     blobs = committed_k.map_batches(
         bloom_partial, batch_format="pyarrow").take_all()
     bf = BloomFilter(capacity, fp_rate)
+    n_upper = 0
     for row in blobs:
         bf = bf.merge(BloomFilter.from_bytes(row["blob"]))
+        n_upper += row["n_distinct"]
     bf_ref = ray.put(bf.to_bytes())
+    out_schema = pa.schema(list(incoming.schema().base_schema))
+
+    if n_upper <= exact_broadcast_max:
+        # small committed key set: broadcast it and fuse Bloom pre-screen +
+        # exact verify into ONE map stage (no shuffle join, no extra
+        # executions - each costs a ~1.5 s executor floor)
+        from ..relational import collect_tables
+
+        keys_tbl = collect_tables(
+            committed_k.map_batches(
+                lambda b: pa.table(
+                    {"__key": pc.unique(b["__key"].combine_chunks())}),
+                batch_format="pyarrow"),
+            pa.schema([("__key", pa.string())]))
+        exact_ref = ray.put(pc.unique(keys_tbl["__key"].combine_chunks()))
+
+        def screen_verify(batch: pa.Table) -> pa.Table:
+            filt = _BLOOM_CACHE.get(bf_ref.hex())
+            if filt is None:
+                filt = BloomFilter.from_bytes(ray.get(bf_ref))
+                _BLOOM_CACHE[bf_ref.hex()] = filt
+            mask = filt.contains_strings(
+                np.asarray(batch["__key"].to_pylist(), dtype=object))
+            cand = batch.filter(pa.array(mask))
+            keep = pc.is_in(cand["__key"], value_set=ray.get(exact_ref))
+            return cand.filter(keep).drop_columns(["__key"])
+
+        return incoming_k.map_batches(screen_verify, batch_format="pyarrow")
 
     def screen(batch: pa.Table) -> pa.Table:
         filt = _BLOOM_CACHE.get(bf_ref.hex())
@@ -578,7 +618,6 @@ def bloom_incremental_members(
 
     from ..relational import drop_empty_blocks
 
-    out_schema = pa.schema(list(incoming.schema().base_schema))
     candidates = drop_empty_blocks(
         incoming_k.map_batches(screen, batch_format="pyarrow"))
     committed_keys = drop_empty_blocks(committed_k.map_batches(

@@ -86,8 +86,18 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
                .select(["c_custkey"])
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = broadcast_join(orders, cust, "o_custkey", "c_custkey", how="semi")
+    # a filter can empty a block, and empty blocks carry no schema — the
+    # join's hash partitioner would crash on them (drop_empty_blocks doc)
+    from ..relational import drop_empty_blocks
+
+    orders = drop_empty_blocks(orders)
     line = read(sf_dir, "lineitem",
                 ["l_orderkey", "l_extendedprice", "l_discount"])
+    if orders is None:
+        return rd.from_arrow(pa.schema(
+            [("o_orderkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")),
+             ("revenue", pa.float64())]).empty_table())
     joined = line.join(orders, join_type="inner", num_partitions=8,
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -123,8 +133,15 @@ def q5_regional_revenue(sf_dir: str) -> rd.Dataset:
     orders = orders.map_batches(in_1996, batch_format="pyarrow")
     orders = broadcast_join(orders, cust.select(["c_custkey", "n_name"]),
                             "o_custkey", "c_custkey", how="inner")
+    from ..relational import drop_empty_blocks
+
+    orders = drop_empty_blocks(orders)  # date filter can empty blocks
     line = read(sf_dir, "lineitem",
                 ["l_orderkey", "l_extendedprice", "l_discount"])
+    if orders is None:
+        return rd.from_arrow(pa.schema(
+            [("n_name", pa.string()),
+             ("revenue", pa.float64())]).empty_table())
     joined = line.join(orders, join_type="inner", num_partitions=8,
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
