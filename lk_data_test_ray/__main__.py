@@ -42,6 +42,17 @@ def main(argv=None):
     g.add_argument("--rows", type=int, default=60_000)
     g.add_argument("--seed", type=int, default=42)
 
+    c = sub.add_parser(
+        "curate",
+        help="full training-data curation funnel: validate -> quarantine "
+             "split -> LSH near-dup dedup -> quality filter -> parquet")
+    c.add_argument("pages_path")
+    c.add_argument("out_dir")
+    c.add_argument("--lang-hist", default=None)
+    c.add_argument("--min-tokens", type=int, default=10)
+    c.add_argument("--near-dup-threshold", type=float, default=0.6)
+    c.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "generate":
@@ -61,6 +72,18 @@ def main(argv=None):
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "curate":
+        from lk_data_test_ray.pipelines.training_data import curate_pages
+
+        funnel = curate_pages(
+            args.pages_path, args.out_dir,
+            lang_hist_path=args.lang_hist,
+            min_tokens=args.min_tokens,
+            near_dup_threshold=args.near_dup_threshold)
+        print(json.dumps(funnel, default=str))
+        ray.shutdown()
+        return 0
 
     from lk_data_test_ray.pipelines.validate import run_validation
 

@@ -144,3 +144,22 @@ def test_normalize_urls_batch_equals_scalar():
         assert normalize_urls_batch([u]).to_pylist() == [normalize_url(u)]
 
     check()
+
+
+@pytest.mark.slow
+def test_cli_curate(tmp_path):
+    from lk_data_test_ray.sources.pages import ensure_pages
+
+    fix = ensure_pages(6000, seed=123)
+    p = subprocess.run(
+        [sys.executable, "-m", "lk_data_test_ray", "curate",
+         f"{fix}/pages", str(tmp_path / "cur"),
+         "--lang-hist", f"{fix}/lang_hist.parquet", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert p.returncode == 0, p.stderr[-2000:]
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    funnel = json.loads(line)
+    assert funnel["n_input"] == 6000
+    # violations quarantined, curated output smaller than clean input
+    assert funnel["n_clean"] < 6000
+    assert 0 < funnel["n_curated"] <= funnel["n_after_dedup"]
