@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_pivot_lang_source": q.a_pivot_lang_source,
         "a_distinct_users_per_type": q.a_distinct_users_per_type,
         "pages_host_counts": q.pages_host_counts,
+        "m_parse_props": q.m_parse_props,
+        "e_lag_diff": q.e_lag_diff,
     }
 
 
@@ -572,6 +574,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS n_channels
             FROM read_parquet('{_pages_fixture_glob()}')
             WHERE html IS NOT NULL
+        """,
+        "m_parse_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "e_lag_diff": """
+            SELECT event_id, user_id,
+                   datediff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) AS gap_us
+            FROM events
         """,
         "a_distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

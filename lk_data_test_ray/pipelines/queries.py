@@ -1017,6 +1017,57 @@ def pages_host_counts(sf_dir: str) -> rd.Dataset:
     return salted_groupby_count(hosts, "host", out_name="n_pages")
 
 
+def m_parse_props(sf_dir: str) -> rd.Dataset:
+    """Semi-structured field extraction (M2-adjacent): pull the numeric ``k``
+    out of the JSON ``props`` column with a vectorized Arrow regex (flat
+    single-key JSON — a real parser would be an actor-pool stage), then sum
+    per event_type via map-side partials."""
+    ev = read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(batch["props"].combine_chunks(),
+                             r'"k":\s*(?P<k>-?[0-9]+)'), "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    parsed = ev.map_batches(parse, batch_format="pyarrow")
+    return partial_groupby_agg(parsed, ["event_type"],
+                               [("k", "sum", "sum_k"), ("k", "count", "n")])
+
+
+def e_lag_diff(sf_dir: str) -> rd.Dataset:
+    """Per-key lag/diff window (time since previous event per user, µs):
+    hash exchange + ONE sort per partition + a segmented shifted diff —
+    first event of each user gets null, no per-group Python."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("gap_us", pa.int64())])
+
+    def lag(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.zeros(len(uid), dtype=np.int64)
+        first = np.ones(len(uid), dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        gap[1:] = ts[1:] - ts[:-1]
+        return pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "gap_us": pa.array(gap, pa.int64(), mask=first),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", lag)
+
+
 def o_topk_per_cust(sf_dir: str) -> rd.Dataset:
     """Grouped top-k (the general-k window-rank operator): each customer's
     3 most expensive orders — hash exchange + segmented vectorized rank
