@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_host_counts": q.pages_host_counts,
         "m_parse_props": q.m_parse_props,
         "e_lag_diff": q.e_lag_diff,
+        "t_tfidf_top": q.t_tfidf_top,
+        "a_mode_lang_per_source": q.a_mode_lang_per_source,
+        "a_price_stats_by_priority": q.a_price_stats_by_priority,
+        "o_hash_sample": q.o_hash_sample,
+        "m_unpivot_lineitem": q.m_unpivot_lineitem,
+        "j_full_outer_activity": q.j_full_outer_activity,
     }
 
 
@@ -639,6 +645,62 @@ def oracle_sql() -> dict[str, str]:
                   WHERE html IS NOT NULL),
                  unnest(generate_series(1, CAST(ceil(nf / 10.0) AS BIGINT)))
                      AS t(i)
+        """,
+        "t_tfidf_top": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+'))
+                       AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+                FROM tf JOIN df USING (token) CROSS JOIN n)
+            SELECT doc_id, token, round(score, 6) AS score
+            FROM (SELECT doc_id, token, score,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, token ASC) AS rn
+                  FROM scored) t
+            WHERE rn <= 3
+        """,
+        "a_mode_lang_per_source": """
+            SELECT source, lang, n
+            FROM (SELECT source, lang, count(*) AS n,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY count(*) DESC, lang ASC) AS rn
+                  FROM documents GROUP BY source, lang) t
+            WHERE rn = 1
+        """,
+        "a_price_stats_by_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(avg(o_totalprice), 2) AS avg_price,
+                   round(stddev_samp(o_totalprice), 2) AS std_price
+            FROM orders GROUP BY 1
+        """,
+        "o_hash_sample": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE (o_orderkey * 2654435761) % 1000 < 50
+        """,
+        "m_unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+                   l_discount AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax' AS measure,
+                   l_tax AS value FROM lineitem
+        """,
+        "j_full_outer_activity": """
+            SELECT COALESCE(o.o_custkey, e.user_id) AS ckey,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(e.n_events, 0) AS n_events
+            FROM (SELECT o_custkey, count(*) AS n_orders
+                  FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT user_id, count(*) AS n_events
+                  FROM events GROUP BY 1) e
+            ON o.o_custkey = e.user_id
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

@@ -25,7 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extract import binary_views, extract_text_bytes
+from ..functions.extract import (binary_views, extract_core_bytes,
+                                 extract_text_bytes)
 from ..schema import PAGES_SCHEMA, VIOLATIONS_SCHEMA, WARC_TS_MAX, WARC_TS_MIN
 from ..sketches import HyperLogLog, TDigest
 from .vocab import ISO_639_1
@@ -137,16 +138,21 @@ class RowChecker:
 
         # --- C6 extraction determinism (byte-identical text per url) --------
         if self.check_extract:
-            # zero-copy memoryviews of the html buffer: no per-row bytes
-            # allocation, extraction runs at the bytes level and decodes only
-            # the extracted text (functions/extract.py v3). Only rows with
-            # BOTH html and text present can mismatch.
+            # zero-copy memoryviews of BOTH buffers: extraction runs at the
+            # bytes level and the equality compares raw utf-8 bytes — the
+            # common (matching) path allocates no Python strings and decodes
+            # NOTHING. A bytes mismatch re-checks via the decoded reference
+            # (errors="replace" can normalize invalid utf-8 both sides).
+            # Only rows with BOTH html and text present can mismatch.
             views = binary_views(batch["html"])
-            text_py = text_col.to_pylist()
+            t_views = binary_views(text_col)
+            # t.tobytes(): memoryview.__eq__ unpacks per element (slow);
+            # bytes==bytes is a memcmp
             bad_idx = [
-                i for i, (v, t) in enumerate(zip(views, text_py))
+                i for i, (v, t) in enumerate(zip(views, t_views))
                 if v is not None and t is not None
-                and extract_text_bytes(v) != t
+                and extract_core_bytes(v) != t.tobytes()
+                and extract_text_bytes(v) != str(t, "utf-8", "replace")
             ]
             bad_urls = ([url_col[i].as_py() for i in bad_idx]
                         if bad_idx else [])
@@ -220,12 +226,21 @@ def plan_scan_items(files: list[str], partition_of: dict[str, int],
     even when files ≫ cores are unavailable; parquet footers only are read
     here (driver-side, cheap).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
+    def _meta(f):
+        md = pq.ParquetFile(f).metadata
+        return md.num_row_groups, md.num_rows
+
+    # footer reads are tiny but serial I/O latency adds up at many files —
+    # overlap them (order preserved: executor.map yields in input order)
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        metas = list(ex.map(_meta, files))
+
     items = []
-    for f in files:
-        pf = pq.ParquetFile(f)
-        n_rg = pf.metadata.num_row_groups
+    for f, (n_rg, n_rows) in zip(files, metas):
         if n_rg == 0:
             # a zero-row-group file still gets one (empty) scan item so its
             # partition emits stats, commits to the manifest, and resume
@@ -233,7 +248,7 @@ def plan_scan_items(files: list[str], partition_of: dict[str, int],
             items.append({"path": f, "rg_lo": 0, "rg_hi": 0,
                           "pid": partition_of[f]})
             continue
-        rows_per_rg = max(1, pf.metadata.num_rows // max(1, n_rg))
+        rows_per_rg = max(1, n_rows // max(1, n_rg))
         step = max(1, target_rows // rows_per_rg)
         for lo in range(0, n_rg, step):
             items.append({"path": f, "rg_lo": lo,

@@ -56,15 +56,22 @@ _A_RE = re.compile(
 )
 
 
-def extract_text_bytes(html_bytes) -> str:
-    """Bytes-level core: accepts bytes / memoryview (zero-copy Arrow buffer
-    slice), decodes ONLY the extracted text."""
+def extract_core_bytes(html_bytes) -> bytes:
+    """Bytes-level extraction core: accepts bytes / memoryview (zero-copy
+    Arrow buffer slice), returns the extracted text as raw utf-8 bytes —
+    no decode at all (the C6 equality check compares these directly against
+    the text column's utf-8 buffer)."""
     s = _STRIP.sub(b" ", html_bytes)
     # entity pass only when an ampersand survives the strip (memchr-fast;
     # most documents carry no entities, saving a full regex scan)
     if b"&" in s:
         s = _ENTITY_RE.sub(lambda m: _ENTITIES_B[m.group(0)], s)
-    return b" ".join(s.split()).decode("utf-8", errors="replace")
+    return b" ".join(s.split())
+
+
+def extract_text_bytes(html_bytes) -> str:
+    """Bytes-level extraction, decoded (only the extracted text decodes)."""
+    return extract_core_bytes(html_bytes).decode("utf-8", errors="replace")
 
 
 def extract_text(html) -> str | None:
@@ -86,7 +93,9 @@ def binary_views(arr) -> list:
     if n == 0:
         return []
     bufs = arr.buffers()
-    off_t = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off_t = (np.int64 if (pa.types.is_large_binary(arr.type)
+                          or pa.types.is_large_string(arr.type))
+             else np.int32)
     offs = np.frombuffer(bufs[1], dtype=off_t, count=n + 1,
                          offset=arr.offset * off_t().itemsize)
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")

@@ -1254,3 +1254,184 @@ def t_quantiles_sketch(sf_dir: str) -> rd.Dataset:
 
     return docs.map_batches(partials, batch_format="pyarrow") \
                .groupby("lang").map_groups(merge, batch_format="pyarrow")
+
+
+def t_tfidf_top(sf_dir: str) -> rd.Dataset:
+    """Per-document top-3 TF-IDF terms — the classic corpus-statistics join
+    (reference analog: the term/mention frequency counters of
+    ``curation/check_fackel_references.py:32-60``, upgraded to a weighted
+    ranking). Distributed shape: token explode → map-side partial tf →
+    df via a second tiny grouped count → tf ⋈ df as a HASH join (the
+    vocabulary is unbounded at corpus scale — never a driver broadcast) →
+    vectorized score → grouped top-k via the segmented-rank exchange."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..relational import drop_empty_blocks, topk_per_key
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    # exact corpus size from parquet footers: no Dataset execution needed
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        n = pc.list_value_length(toks)
+        return pa.table({
+            "doc_id": batch["doc_id"].take(
+                pa.array(np.repeat(np.arange(batch.num_rows),
+                                   n.to_numpy(zero_copy_only=False)))),
+            "token": pc.list_flatten(toks),
+        })
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    tf = partial_groupby_agg(pairs, ["doc_id", "token"],
+                             [("token", "count", "tf")])
+    df = partial_groupby_agg(
+        tf.select_columns(["token"]).map_batches(
+            lambda b: b.append_column("one", pa.array(
+                np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["token"], [("one", "count", "df")])
+    df = df.map_batches(
+        lambda b: b.select(["token", "df"]).rename_columns(["token_r", "df"]),
+        batch_format="pyarrow")
+    tf = drop_empty_blocks(tf)
+    df = drop_empty_blocks(df)
+    joined = tf.join(df, join_type="inner", num_partitions=8,
+                     on=("token",), right_on=("token_r",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * np.log(float(n_docs) / dfv)
+        return pa.table({"doc_id": batch["doc_id"], "token": batch["token"],
+                         "score": pa.array(s, pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = topk_per_key(scored, "doc_id", [("score", True), ("token", False)], 3)
+    return top.map_batches(
+        lambda b: b.set_column(b.column_names.index("score"), "score",
+                               pc.round(b["score"], ndigits=6,
+                                        round_mode="half_towards_infinity")),
+        batch_format="pyarrow")
+
+
+def a_mode_lang_per_source(sf_dir: str) -> rd.Dataset:
+    """Deterministic grouped mode (most frequent lang per source; ties →
+    lexicographically smallest lang): map-side partial counts then the
+    vectorized winner-halving argmax — never per-group Python (A1/J4)."""
+    from ..relational import argmax_per_key
+
+    docs = read(sf_dir, "documents", ["source", "lang", "doc_id"])
+    counts = partial_groupby_agg(docs, ["source", "lang"],
+                                 [("doc_id", "count", "n")])
+    return argmax_per_key(counts, "source", [("n", True), ("lang", False)])
+
+
+def a_price_stats_by_priority(sf_dir: str) -> rd.Dataset:
+    """Grouped variance/stddev from distributive partials (sum, sum-of-
+    squares, count) — the one-pass parallel moment computation; matches
+    DuckDB's ``stddev_samp`` to 2 decimals (A4/A6 family)."""
+    orders = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        sq = pc.multiply(batch["o_totalprice"], batch["o_totalprice"])
+        return batch.append_column("price_sq", sq)
+
+    agg = partial_groupby_agg(
+        orders, ["o_orderpriority"],
+        [("o_totalprice", "sum", "s"), ("price_sq", "sum", "ssq"),
+         ("o_totalprice", "count", "n_orders")], pre=pre)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        ssq = batch["ssq"].to_numpy(zero_copy_only=False)
+        n = batch["n_orders"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = s / n
+        var = np.maximum(ssq - s * s / n, 0.0) / np.maximum(n - 1.0, 1.0)
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "n_orders": batch["n_orders"],
+            "avg_price": pa.array(round_half_away(avg, 2), pa.float64()),
+            "std_price": pa.array(round_half_away(np.sqrt(var), 2),
+                                  pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def o_hash_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-based sampling (O4 upgraded to an oracle-checkable
+    form): keep ~5% of orders by a multiplicative key hash — reproducible
+    across engines/runs/workers, unlike seeded engine-specific RNG. (Knuth
+    multiplicative hashing; o_orderkey × 2654435761 stays < 2^63 for any
+    realistic key range, and the SQL side computes the identical BIGINT
+    expression.)"""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        h = (k * 2654435761) % 1000
+        return batch.filter(pa.array(h < 50))
+
+    return orders.map_batches(keep, batch_format="pyarrow")
+
+
+def m_unpivot_lineitem(sf_dir: str) -> rd.Dataset:
+    """Unpivot/melt (wide → long reshape, the inverse of
+    ``a_pivot_lang_source``): l_tax / l_discount become (measure, value)
+    rows — pure per-batch column-to-row reshaping, no shuffle at all."""
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_tax", "l_discount"])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        keys = ["l_orderkey", "l_linenumber"]
+        parts = []
+        for measure, col in (("discount", "l_discount"), ("tax", "l_tax")):
+            t = batch.select(keys)
+            t = t.append_column("measure", pa.array(
+                [measure] * batch.num_rows, pa.string()))
+            parts.append(t.append_column("value", batch[col]))
+        return pa.concat_tables(parts)
+
+    return line.map_batches(melt, batch_format="pyarrow")
+
+
+def j_full_outer_activity(sf_dir: str) -> rd.Dataset:
+    """Distributed FULL OUTER join (the one equi-join type the suite lacked):
+    per-customer order counts ⋈ per-user event counts, either side may be
+    absent — both sides pre-aggregated map-side so the shuffle moves one row
+    per key, not the fact tables."""
+    from ..relational import drop_empty_blocks
+
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    o_cnt = partial_groupby_agg(
+        orders.map_batches(
+            lambda b: b.append_column("one", pa.array(
+                np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["o_custkey"], [("one", "count", "n_orders")])
+    ev = read(sf_dir, "events", ["user_id"])
+    e_cnt = partial_groupby_agg(
+        ev.map_batches(
+            lambda b: b.append_column("one", pa.array(
+                np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["user_id"], [("one", "count", "n_events")])
+    o_cnt = drop_empty_blocks(o_cnt)
+    e_cnt = drop_empty_blocks(e_cnt)
+    joined = o_cnt.join(e_cnt, join_type="full_outer", num_partitions=8,
+                        on=("o_custkey",), right_on=("user_id",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's full_outer merges the key pair into the left key column
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "ckey": batch["o_custkey"],
+            "n_orders": pc.coalesce(batch["n_orders"], zero),
+            "n_events": pc.coalesce(batch["n_events"], zero),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

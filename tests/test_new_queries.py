@@ -1,0 +1,49 @@
+"""Oracle-parity pytest for the round-2 operator additions (TF-IDF,
+grouped mode, grouped stddev partials, deterministic hash sample,
+unpivot/melt, full-outer join) — same compare as the driver's gate,
+at sf0.001 for speed."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from oracle_check import TABLES, compare, to_pandas  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "t_tfidf_top",
+    "a_mode_lang_per_source",
+    "a_price_stats_by_priority",
+    "o_hash_sample",
+    "m_unpivot_lineitem",
+    "j_full_outer_activity",
+]
+
+
+@pytest.fixture(scope="module")
+def entry(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * "
+                  f"FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity(entry, con, name):
+    mine = to_pandas(entry.queries()[name](SF))
+    ora = con.execute(entry.oracle_sql()[name]).df()
+    verdict = compare(name, mine, ora)
+    assert verdict == "OK", verdict
