@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_hash_sample": q.o_hash_sample,
         "m_unpivot_lineitem": q.m_unpivot_lineitem,
         "j_full_outer_activity": q.j_full_outer_activity,
+        "e_first_last_per_user": q.e_first_last_per_user,
+        "q6_revenue_delta": q.q6_revenue_delta,
+        "e_cum_daily": q.e_cum_daily,
+        "a_rollup_cust": q.a_rollup_cust,
     }
 
 
@@ -701,6 +705,31 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, count(*) AS n_events
                   FROM events GROUP BY 1) e
             ON o.o_custkey = e.user_id
+        """,
+        "e_first_last_per_user": """
+            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "q6_revenue_delta": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "e_cum_daily": """
+            SELECT day, n, CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n
+            FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n
+                  FROM events GROUP BY 1) t
+        """,
+        "a_rollup_cust": """
+            SELECT r_name, n_name, count(*) AS n_cust
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

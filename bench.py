@@ -236,10 +236,11 @@ def scaling_run(sf_dir: str) -> dict:
                  "multiprocessing control (identical row work, no engine) "
                  "collapses on the same pair on this box — the ceiling is "
                  "host memory bandwidth, not the engine; the residual "
-                 "engine-vs-control gap is the ~1.4s fixed per-execution "
-                 "scheduling floor, which amortizes with volume. The 2->8 "
-                 "pair stays CPU-bound and is the honest proxy for adding "
-                 "nodes (each node brings its own bandwidth)."),
+                 "engine-vs-control gap is a ~0.9s fixed per-run floor "
+                 "(driver puts + executor startup + global phase), which "
+                 "amortizes with volume. The 2->8 pair stays CPU-bound and "
+                 "is the honest proxy for adding nodes (each node brings "
+                 "its own bandwidth)."),
     }
 
 

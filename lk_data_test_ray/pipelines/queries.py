@@ -1435,3 +1435,128 @@ def j_full_outer_activity(sf_dir: str) -> rd.Dataset:
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def e_first_last_per_user(sf_dir: str) -> rd.Dataset:
+    """First/last activity per user (grouped min/max over timestamps +
+    count, A5 per-key form): pure map-side partials, one tiny grouped
+    merge — the shuffle moves one row per (user, batch)."""
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    return partial_groupby_agg(
+        ev, ["user_id"],
+        [("ts", "min", "first_ts"), ("ts", "max", "last_ts"),
+         ("ts", "count", "n_events")])
+
+
+def q6_revenue_delta(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6 shape: global single-row aggregate under a multi-predicate
+    filter — predicate pushdown + map-side partial sum, nothing shuffles
+    but one float per batch (A4)."""
+    line = read(sf_dir, "lineitem",
+                ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"],
+                                 pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(batch["l_shipdate"],
+                        pa.scalar(np.datetime64("1997-01-01", "us")))),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch["l_discount"], 0.05),
+                        pc.less_equal(batch["l_discount"], 0.07)),
+                pc.less(batch["l_quantity"], 24.0)))
+        batch = batch.filter(m)
+        rev = pc.multiply(batch["l_extendedprice"], batch["l_discount"])
+        return batch.append_column("rev", rev)
+
+    # constant group key → exactly one output row, like the reference's
+    # single-process global counters (curation/check_fackel_references.py)
+    def pre_g(b: pa.Table) -> pa.Table:
+        b = pre(b)
+        return b.append_column("g", pa.array(np.zeros(b.num_rows,
+                                                      dtype=np.int64)))
+
+    agg = partial_groupby_agg(line.map_batches(pre_g, batch_format="pyarrow"),
+                              ["g"], [("rev", "sum", "revenue")])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"revenue": pc.round(b["revenue"], ndigits=2,
+                                 round_mode="half_towards_infinity")}),
+        batch_format="pyarrow")
+
+
+def e_cum_daily(sf_dir: str) -> rd.Dataset:
+    """Global ordered cumulative window (running total of events per day):
+    distributed daily partial counts, then ONE single-block prefix sum —
+    day cardinality is bounded (≤ a few 10^4 even over decades), so the
+    final sequential pass is O(days), not O(rows); at larger window-key
+    cardinality the per-partition-prefix + offset-broadcast pattern of
+    ``e_rolling_avg`` applies."""
+    ev = read(sf_dir, "events", ["ts"])
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        return pa.table({"day": d,
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64))})
+
+    daily = partial_groupby_agg(ev.map_batches(day_of, batch_format="pyarrow"),
+                                ["day"], [("one", "count", "n")])
+
+    def cum(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[("day", "ascending")])
+        tbl = tbl.take(idx)
+        c = np.cumsum(tbl["n"].to_numpy(zero_copy_only=False))
+        return tbl.append_column("cum_n", pa.array(c, pa.int64()))
+
+    return daily.repartition(1).map_batches(cum, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def a_rollup_cust(sf_dir: str) -> rd.Dataset:
+    """Hierarchical ROLLUP (region → nation → grand total): customer counts
+    per nation via broadcast-dim join + map-side partials; the region
+    subtotals and grand total are derived from the ~25 nation rows in one
+    tiny vectorized pass — never a second scan of the fact table."""
+    nation = read_table(sf_dir, "nation")
+    region = read_table(sf_dir, "region")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r_name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    cust = read(sf_dir, "customer", ["c_nationkey"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array([r_name[n2r[k]] for k in nk], pa.string()),
+            "n_name": pa.array([n_name[k] for k in nk], pa.string()),
+            "one": pa.array(np.ones(len(nk), dtype=np.int64)),
+        })
+
+    base = partial_groupby_agg(cust.map_batches(tag, batch_format="pyarrow"),
+                               ["r_name", "n_name"], [("one", "count", "n_cust")])
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        import collections
+
+        rn = tbl["r_name"].to_pylist()
+        n = tbl["n_cust"].to_pylist()
+        sub = collections.Counter()
+        for r, c in zip(rn, n):
+            sub[r] += c
+        rows_r = sorted(sub.items())
+        return pa.table({
+            "r_name": pa.array(rn + [r for r, _ in rows_r] + [None],
+                               pa.string()),
+            "n_name": pa.array(tbl["n_name"].to_pylist()
+                               + [None] * (len(rows_r) + 1), pa.string()),
+            "n_cust": pa.array(n + [c for _, c in rows_r] + [sum(n)],
+                               pa.int64()),
+        })
+
+    return base.repartition(1).map_batches(rollup, batch_format="pyarrow",
+                                           batch_size=None)

@@ -22,6 +22,10 @@ NEW_QUERIES = [
     "o_hash_sample",
     "m_unpivot_lineitem",
     "j_full_outer_activity",
+    "e_first_last_per_user",
+    "q6_revenue_delta",
+    "e_cum_daily",
+    "a_rollup_cust",
 ]
 
 
