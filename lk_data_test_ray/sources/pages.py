@@ -53,6 +53,107 @@ def _word_pool(rng: np.random.Generator, size: int = 4096) -> np.ndarray:
     )
 
 
+def _assemble_vectorized(pool, n_words, flat, offs, n_links, link_offs,
+                         dst_all):
+    """Arrow-kernel html/text assembly: word-pool dictionary ``take`` + list
+    ``binary_join`` + element-wise concat. Pure function of the pre-drawn
+    arrays; byte-identical to ``_build_chunk`` (asserted by the caller).
+    Returns Arrow arrays (html large_binary, text large_string, per-link
+    anchor large_string)."""
+    n = len(n_words)
+    L = len(dst_all)
+    S = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
+    pool_pa = pa.array(pool.tolist(), pa.large_string())
+    words = pool_pa.take(pa.array(flat, pa.int64()))
+    body = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), words), S(" "))
+    # titles: first min(4, n_words) words of each row
+    tcnt = np.minimum(n_words, 4)
+    toffs = np.concatenate([[0], np.cumsum(tcnt)])
+    tseg = np.arange(int(toffs[-1])) - np.repeat(toffs[:-1], tcnt)
+    tidx = np.repeat(offs[:-1], tcnt) + tseg
+    twords = pool_pa.take(pa.array(flat[tidx], pa.int64()))
+    title = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(toffs, pa.int64()), twords),
+        S(" "))
+    loffs64 = pa.array(link_offs, pa.int64())
+    if L:
+        # anchors: words[start : start+cnt] with start = ordinal % max(1,
+        # len-2), cnt = min(2, len-start) — same slice the row loop takes
+        row = np.repeat(np.arange(n), n_links)
+        ordinal = np.arange(L) - np.repeat(link_offs[:-1], n_links)
+        wl = n_words[row]
+        start = ordinal % np.maximum(1, wl - 2)
+        cnt = np.minimum(2, wl - start)
+        aoffs = np.concatenate([[0], np.cumsum(cnt)])
+        aseg = np.arange(int(aoffs[-1])) - np.repeat(aoffs[:-1], cnt)
+        aidx = np.repeat(offs[row], cnt) + np.repeat(start, cnt) + aseg
+        awords = pool_pa.take(pa.array(flat[aidx], pa.int64()))
+        anchor = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(aoffs, pa.int64()),
+                                          awords), S(" "))
+        dst_pa = pa.array(dst_all.tolist(), pa.large_string())
+        li = pc.binary_join_element_wise(
+            S('<li><a href="'), dst_pa, S('">'), anchor, S("</a></li>"),
+            S(""))
+        links_joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(loffs64, li), S(""))
+        anchors_row = pc.binary_join(
+            pa.LargeListArray.from_arrays(loffs64, anchor), S(" "))
+    else:
+        links_joined = anchors_row = pa.array([""] * n, pa.large_string())
+        anchor = pa.array([], pa.large_string())
+    i_str = pc.cast(pa.array(np.arange(n, dtype=np.int64)),
+                    pa.large_string())
+    html_str = pc.binary_join_element_wise(
+        S("<html><head><title>"), title,
+        S("</title><style>.c{margin:0;color:#222}</style></head><body><h1>"),
+        title, S("</h1>\n<p>"), body, S("</p>\n<ul>"), links_joined,
+        S("</ul><script>var t="), i_str, S(";</script></body></html>"),
+        S(""))
+    # text == what extract_text(html) yields: title appears in <title> and
+    # <h1>, then the body paragraph, then the anchor texts, single-spaced
+    base = pc.binary_join_element_wise(title, title, body, S(" "))
+    text_pa = pc.if_else(
+        pc.equal(anchors_row, S("")), base,
+        pc.binary_join_element_wise(base, anchors_row, S(" ")))
+    # stays Arrow end-to-end: object-array round-trips cost ~2 s per M rows
+    if isinstance(anchor, pa.ChunkedArray):
+        anchor = anchor.combine_chunks()
+    return html_str.cast(pa.large_binary()), text_pa, anchor
+
+
+def _build_chunk(args):
+    """Assemble html/text/link rows for rows [lo, hi) — pure function of the
+    pre-drawn arrays (no rng): output is byte-identical to the sequential
+    loop regardless of chunking."""
+    lo, hi, pool, n_words, flat, n_links, dst = args
+    offs = np.concatenate([[0], np.cumsum(n_words)])
+    loffs = np.concatenate([[0], np.cumsum(n_links)])
+    html = np.empty(hi - lo, dtype=object)
+    text = np.empty(hi - lo, dtype=object)
+    link_rows: list[tuple[int, str, str]] = []
+    for i in range(hi - lo):
+        words = pool[flat[offs[i]:offs[i + 1]]]
+        title = " ".join(words[:4])
+        body = " ".join(words)
+        parts = [
+            f"<html><head><title>{title}</title>"
+            "<style>.c{margin:0;color:#222}</style></head>"
+            f"<body><h1>{title}</h1>\n<p>{body}</p>\n<ul>"
+        ]
+        for j in range(loffs[i], loffs[i + 1]):
+            ordinal = j - loffs[i]
+            anchor = " ".join(
+                words[ordinal % max(1, len(words) - 2):][:2])
+            parts.append(f'<li><a href="{dst[j]}">{anchor}</a></li>')
+            link_rows.append((ordinal, dst[j], anchor))
+        parts.append(f"</ul><script>var t={lo + i};</script></body></html>")
+        html[i] = "".join(parts).encode("utf-8")
+        text[i] = extract_text(html[i])
+    return html, text, link_rows
+
+
 def pages_nrows_for_sf(sf_dir: str) -> int:
     """Map a testdata sf dir name to a pages row count (mirrors TESTDATA.md)."""
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -123,42 +224,65 @@ def generate_pages(out_dir: str, n_rows: int, seed: int = 42,
     link_offs = np.concatenate([[0], np.cumsum(n_links)])
     dangling_mask = rng.random(int(n_links.sum())) < 0.01
 
-    html = np.empty(n, dtype=object)
-    link_rows: list[tuple[str, int, str, str]] = []
-    for i in range(n):
-        words = pool[flat[offs[i]:offs[i + 1]]]
-        title = " ".join(words[:4])
-        body = " ".join(words)
-        parts = [
-            f"<html><head><title>{title}</title>"
-            "<style>.c{margin:0;color:#222}</style></head>"
-            f"<body><h1>{title}</h1>\n<p>{body}</p>\n<ul>"
-        ]
-        for j in range(link_offs[i], link_offs[i + 1]):
-            if dangling_mask[j]:
-                dst = f"https://dangling.example/x{j:07d}"
-            else:
-                dst = urls[link_dst_row[j]]
-            anchor = " ".join(words[(j - link_offs[i]) % max(1, len(words) - 2):][:2])
-            parts.append(f'<li><a href="{dst}">{anchor}</a></li>')
-            link_rows.append((None, j - link_offs[i], dst, anchor))  # src set below
-        parts.append(f"</ul><script>var t={i};</script></body></html>")
-        html[i] = "".join(parts).encode("utf-8")
+    # link destinations resolved up front (vectorized) so assembly chunks
+    # never need the full url array
+    dst_all = urls[link_dst_row].copy() if len(link_dst_row) else \
+        np.empty(0, dtype=object)
+    for j in np.flatnonzero(dangling_mask):
+        dst_all[j] = f"https://dangling.example/x{j:07d}"
 
-    text = np.array([extract_text(h) for h in html], dtype=object)
+    # fully vectorized assembly on Arrow kernels (dictionary take + list
+    # binary_join): ~20× the per-row Python loop, byte-identical — asserted
+    # against the reference row loop (_build_chunk) on a sample every run.
+    # (A multiprocessing pool was measured SLOWER than the serial loop on
+    # this host — result unpickling + per-process first-touch stalls.)
+    html_arr, text_arr, anchor_arr = _assemble_vectorized(
+        pool, n_words, flat, offs, n_links, link_offs, dst_all)
+    ordinals = ((np.arange(len(dst_all))
+                 - np.repeat(link_offs[:-1], n_links))
+                if len(dst_all) else np.empty(0, dtype=np.int64))
+    sample = min(n, 2000)
+    if sample:
+        ref_h, ref_t, ref_l = _build_chunk(
+            (0, sample, pool, n_words[:sample], flat[:offs[sample]],
+             n_links[:sample], dst_all[:link_offs[sample]]))
+        ls = int(link_offs[sample])
+        assert (html_arr.slice(0, sample).to_pylist() == list(ref_h)
+                and text_arr.slice(0, sample).to_pylist() == list(ref_t)
+                and [(int(o), d, a) for o, d, a in zip(
+                    ordinals[:ls], dst_all[:ls],
+                    anchor_arr.slice(0, ls).to_pylist())] == ref_l), \
+            "vectorized assembly diverged from the reference row loop"
 
     # --- apply remaining injections ------------------------------------------
     half = n_oor // 2
     ts[oor[:half]] = 0  # epoch 0 (1970)
     ts[oor[half:]] = np.datetime64("2038-01-19T03:14:07", "us").astype("int64")
 
-    html[html_null] = None
-    text[html_null] = None  # null html + null text is NOT a violation
+    # null html + null text is NOT a violation; html non-null + null text
+    # (the text_null set) IS a C2 violation. Nulling via vectorized if_else.
+    hmask = np.zeros(n, dtype=bool)
+    hmask[html_null] = True
+    html_arr = pc.if_else(pa.array(hmask),
+                          pa.scalar(None, pa.large_binary()), html_arr)
+    tmask = hmask.copy()
+    tmask[text_null] = True
+    text_arr = pc.if_else(pa.array(tmask),
+                          pa.scalar(None, pa.large_string()), text_arr)
 
-    text[text_null] = None  # html non-null ⇒ C2 violation
-
-    for i in mut:
-        text[i] = text[i] + " ZMUTATED"  # C6 violation
+    # C6 mutation (" ZMUTATED" suffix) scattered back via concat + take —
+    # mut rows are disjoint from the null sets, so they are never null here
+    if len(mut):
+        mut_rows = pc.binary_join_element_wise(
+            text_arr.take(pa.array(mut, pa.int64())),
+            pa.scalar(" ZMUTATED", pa.large_string()),
+            pa.scalar("", pa.large_string()))
+        combined = pa.concat_arrays(
+            [text_arr, mut_rows.combine_chunks()
+             if isinstance(mut_rows, pa.ChunkedArray) else mut_rows])
+        idx = np.arange(n, dtype=np.int64)
+        idx[mut] = n + np.arange(len(mut))
+        text_arr = combined.take(pa.array(idx))
 
     bad_vals = np.array(["xx", "q1", ""], dtype=object)
     langs[bad_lang] = bad_vals[np.arange(n_bad_lang) % 3]
@@ -192,9 +316,9 @@ def generate_pages(out_dir: str, n_rows: int, seed: int = 42,
     src = np.repeat(urls, n_links)
     links = pa.table({
         "src_url": pa.array(src, pa.string()),
-        "ordinal": pa.array([r[1] for r in link_rows], pa.int32()),
-        "dst_url": pa.array([r[2] for r in link_rows], pa.string()),
-        "anchor": pa.array([r[3] for r in link_rows], pa.string()),
+        "ordinal": pa.array(ordinals.astype(np.int32), pa.int32()),
+        "dst_url": pa.array(dst_all, pa.string()),
+        "anchor": anchor_arr.cast(pa.string()),
     }, schema=LINKS_SCHEMA)
     pq.write_table(links, os.path.join(tmp, "links.parquet"))
 
@@ -206,30 +330,39 @@ def generate_pages(out_dir: str, n_rows: int, seed: int = 42,
     )
 
     # --- pages files (16 uniform partitions; row groups of 4096) -------------
-    table = pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(ts, pa.timestamp("us")),
-        "html": pa.array(html, pa.binary()),
-        "text": pa.array(text, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-    }, schema=PAGES_SCHEMA)
+    # html/text stay large_binary/large_string in memory (a single regular
+    # array would overflow 2^31 bytes at volume). The parquet physical type
+    # (BYTE_ARRAY) is identical; ``store_schema=False`` drops the arrow
+    # schema blob so read-back infers the declared regular binary/string of
+    # PAGES_SCHEMA (and the schema stays hashable for Ray — see
+    # BASELINE.md's schema-hash warning note).
+    url_pa = pa.array(urls, pa.string())
+    ts_pa = pa.array(ts, pa.timestamp("us"))
+    lang_pa = pa.array(langs, pa.string())
     per = -(-n // n_files)
     for f in range(n_files):
-        part = table.slice(f * per, per)
-        if part.num_rows == 0:
+        lo, hi = f * per, min(n, (f + 1) * per)
+        if hi <= lo:
             break
+        part = pa.table({
+            "url": url_pa.slice(lo, hi - lo),
+            "warc_ts": ts_pa.slice(lo, hi - lo),
+            "html": html_arr.slice(lo, hi - lo),
+            "text": text_arr.slice(lo, hi - lo),
+            "lang": lang_pa.slice(lo, hi - lo),
+        })
         pq.write_table(part, os.path.join(tmp, "pages", f"part-{f:05d}.parquet"),
-                       row_group_size=4096)
+                       row_group_size=4096, store_schema=False)
 
     # --- exact stats for oracle tests (F5) -----------------------------------
-    tl = pc.utf8_length(table["text"])
+    tl = pc.utf8_length(text_arr)
     langs_nonnull, counts = np.unique(np.asarray(langs, dtype=object), return_counts=True)
     meta = {
         "n_rows": n,
         "seed": seed,
         "url_cardinality": len(set(urls.tolist())),
         "lang_counts": {str(a): int(b) for a, b in zip(langs_nonnull, counts)},
-        "text_null_count": int(pc.sum(pc.is_null(table["text"]).cast(pa.int32())).as_py()),
+        "text_null_count": int(pc.sum(pc.is_null(text_arr).cast(pa.int32())).as_py()),
         "text_len_quantiles": {
             str(q): float(np.quantile(
                 np.asarray(tl.drop_null()), q)) for q in (0.1, 0.5, 0.9, 0.99)
