@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_delta": q.q6_revenue_delta,
         "e_cum_daily": q.e_cum_daily,
         "a_rollup_cust": q.a_rollup_cust,
+        "t_repetition": q.t_repetition,
+        "td_split": q.td_split,
     }
 
 
@@ -730,6 +732,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "t_repetition": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            grams AS (
+                SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                       || ' ' || arr[i+3] || ' ' || arr[i+4] AS g
+                FROM tok,
+                     unnest(generate_series(1, greatest(len(arr) - 4, 0)))
+                         AS t(i)),
+            agg AS (SELECT doc_id, count(*) AS n_grams,
+                           count(DISTINCT g) AS n_distinct
+                    FROM grams GROUP BY 1)
+            SELECT t.doc_id, COALESCE(n_grams, 0) AS n_grams,
+                   round(CASE WHEN n_grams > 0
+                         THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams
+                         ELSE 0 END, 6) AS dup_frac
+            FROM tok t LEFT JOIN agg USING (doc_id)
+        """,
+        "td_split": """
+            SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

@@ -37,6 +37,14 @@ def main(argv=None):
                         "(≙ the reference's LIMIT env gate, make_rdf.py:25-29)")
     v.add_argument("--num-cpus", type=int, default=None)
 
+    r = sub.add_parser(
+        "report",
+        help="render index.html from a validation out_dir and optionally "
+             "publish it as an atomic 'current' snapshot (S6/S7)")
+    r.add_argument("out_dir")
+    r.add_argument("--publish-root", default=None,
+                   help="atomically repoint <publish-root>/current at out_dir")
+
     g = sub.add_parser("generate", help="generate a synthetic pages fixture")
     g.add_argument("out_dir")
     g.add_argument("--rows", type=int, default=60_000)
@@ -54,6 +62,17 @@ def main(argv=None):
     c.add_argument("--num-cpus", type=int, default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "report":
+        from lk_data_test_ray.report import publish_snapshot, render_report
+
+        path = render_report(args.out_dir)
+        out = {"index_html": path}
+        if args.publish_root:
+            out["published"] = publish_snapshot(args.out_dir,
+                                                args.publish_root)
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "generate":
         from lk_data_test_ray.sources.pages import generate_pages

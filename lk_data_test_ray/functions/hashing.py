@@ -144,3 +144,54 @@ def char_shingles(text: str, k: int = 5) -> list[str]:
     if len(t) < k:
         return [t] if t else []
     return [t[i : i + k] for i in range(len(t) - k + 1)]
+
+
+def minhash_from_token_hashes(tok_hashes: np.ndarray, counts: np.ndarray,
+                              num_perm: int, seed: int = 7) -> np.ndarray:
+    """MinHash signatures for a batch from PRE-HASHED tokens — the
+    zero-string-materialization path for 2-gram word shingles.
+
+    ``minhash_signatures_batch`` hashes one Python string per shingle
+    (~600M string constructions per 4.8M-doc corpus — the measured hot spot
+    of the LSH dedup stage). Here a shingle's hash is an FNV-style fold of
+    its two consecutive token hashes, fully vectorized; hash VALUES differ
+    from the string path (both are uniform 61-bit), so candidate sets are
+    statistically identical but not bitwise — fine for the no-oracle LSH
+    family, asserted by the recall tests.
+
+    Short docs follow the string path's semantics: one token → one
+    "shingle" (fold of that token alone); zero tokens → sentinel signature.
+    """
+    n = len(counts)
+    out = np.full((n, num_perm), _MERSENNE61 - 1, dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    FNV, P = np.uint64(0xCBF29CE484222325), np.uint64(0x100000001B3)
+    th = tok_hashes.astype(np.uint64, copy=False)
+    f1 = (FNV ^ th) * P                      # fold of one token
+    nxt = np.empty(total, dtype=np.uint64)   # token hash at pos+1
+    nxt[:-1] = th[1:]
+    nxt[-1] = 0
+    f2 = (f1 ^ nxt) * P                      # fold of two consecutive tokens
+    scnt = np.where(counts == 0, 0, np.maximum(counts - 1, 1))
+    live = scnt > 0
+    soffs = np.concatenate([[0], np.cumsum(scnt)])
+    gidx = (np.repeat(offs[:-1], scnt)
+            + (np.arange(int(soffs[-1])) - np.repeat(soffs[:-1], scnt)))
+    vals = f2[gidx]
+    singles = np.flatnonzero(counts == 1)
+    if len(singles):
+        # their single gathered f2 folded across a doc boundary — replace
+        # with the fold of just their own token
+        vals[soffs[singles]] = f1[offs[singles]]
+    base = vals % np.uint64(_MERSENNE61)
+    a, b = _minhash_params(num_perm, seed)
+    red_offs = soffs[:-1][live]
+    sigs = np.empty((int(live.sum()), num_perm), dtype=np.uint64)
+    for p in range(num_perm):
+        v = (a[p] * base + b[p]) % _MERSENNE61
+        sigs[:, p] = np.minimum.reduceat(v, red_offs)
+    out[live] = sigs
+    return out

@@ -28,7 +28,8 @@ import ray.data as rd
 
 from ..functions.hashing import md5_hex, minhash_signature, simhash64
 from ..functions.text import TOKEN_SPLIT
-from ..relational import partial_groupby_agg, round_half_away
+from ..relational import (join_partitions, partial_groupby_agg,
+                          round_half_away)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -133,9 +134,9 @@ def shingle_jaccard_pairs(
     sz_b = sizes.map_batches(
         lambda b: pa.table({"b_key": b[id_col], "sz_b": b["sz"]}),
         batch_format="pyarrow")
-    inter = inter.join(sz_a, join_type="inner", num_partitions=8,
+    inter = inter.join(sz_a, join_type="inner", num_partitions=join_partitions(),
                        on=("id_a",), right_on=("a_key",))
-    inter = inter.join(sz_b, join_type="inner", num_partitions=8,
+    inter = inter.join(sz_b, join_type="inner", num_partitions=join_partitions(),
                        on=("id_b",), right_on=("b_key",))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -173,10 +174,30 @@ def minhash_lsh_pairs(
     assert bands * rows == num_perm
 
     def _sig_matrix(batch: pa.Table) -> np.ndarray:
-        from ..functions.hashing import minhash_signatures_batch
-
         toks = pc.split_pattern_regex(
             batch[text_col].combine_chunks(), TOKEN_SPLIT)
+        if shingle_k == 2:
+            # zero-string path: dictionary-encode the flat token stream so
+            # only UNIQUE tokens are ever hashed as Python objects; shingle
+            # hashes are a vectorized fold of consecutive token hashes
+            # (measured 170 s → ~8 s signing over a 4.8M-doc corpus)
+            import pandas as pd
+
+            from ..functions.hashing import minhash_from_token_hashes
+
+            # null text (a legal clean row: html null + text null) → 0
+            # tokens → sentinel signature, same as the string path's None
+            counts = pc.fill_null(pc.list_value_length(toks), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = pc.list_flatten(toks).dictionary_encode()
+            uniq = np.asarray(enc.dictionary, dtype=object)
+            uh = (pd.util.hash_array(uniq, categorize=False)
+                  if len(uniq) else np.empty(0, np.uint64))
+            tok_hashes = uh[enc.indices.to_numpy(zero_copy_only=False)] \
+                if len(uniq) else np.empty(0, np.uint64)
+            return minhash_from_token_hashes(tok_hashes, counts, num_perm)
+        from ..functions.hashing import minhash_signatures_batch
+
         shingle_lists = []
         for tl in toks.to_pylist():
             tl = tl or []
@@ -219,7 +240,11 @@ def minhash_lsh_pairs(
     # band rows materialized ONCE (consumed by both the hot-bucket count and
     # the survivor filter — a lazy Dataset would re-run the signing stage per
     # consumer); signatures are recomputed only for the tiny survivor set
-    band_rows = ds.map_batches(signer_bands,
+    # bounded batch: the vectorized signer allocates ~6 int64 arrays over
+    # the batch's token stream; 16k docs × ~200 tokens ≈ 150 MB per task,
+    # safe at full concurrency (whole-block batches of a materialized
+    # corpus OOM'd 32 workers)
+    band_rows = ds.map_batches(signer_bands, batch_size=16_384,
                                batch_format="pyarrow").materialize()
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -626,7 +651,7 @@ def bloom_incremental_members(
     if candidates is None or committed_keys is None:
         return rd.from_arrow(out_schema.empty_table())
     verified = candidates.join(committed_keys, join_type="left_semi",
-                               num_partitions=8, on=("__key",),
+                               num_partitions=join_partitions(), on=("__key",),
                                right_on=("__ckey",))
     return verified.drop_columns(["__key"])
 

@@ -19,8 +19,9 @@ import ray.data as rd
 from ..checks.vocab import ISO_639_1
 from ..functions.hashing import md5_hex, rolling_fingerprint, simhash64
 from ..functions.text import lang_id, quality_features, token_counts
-from ..relational import (broadcast_join, partial_groupby_agg, read,
-                          read_table, round_half_away, topk)
+from ..relational import (broadcast_join, join_partitions,
+                          partial_groupby_agg, read, read_table,
+                          round_half_away, topk)
 
 # thresholds shared verbatim with the oracle SQL
 JACCARD_THRESHOLD = 0.3
@@ -98,7 +99,7 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
             [("o_orderkey", pa.int64()),
              ("o_orderdate", pa.timestamp("us")),
              ("revenue", pa.float64())]).empty_table())
-    joined = line.join(orders, join_type="inner", num_partitions=8,
+    joined = line.join(orders, join_type="inner", num_partitions=join_partitions(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pre(batch: pa.Table) -> pa.Table:
@@ -142,7 +143,7 @@ def q5_regional_revenue(sf_dir: str) -> rd.Dataset:
         return rd.from_arrow(pa.schema(
             [("n_name", pa.string()),
              ("revenue", pa.float64())]).empty_table())
-    joined = line.join(orders, join_type="inner", num_partitions=8,
+    joined = line.join(orders, join_type="inner", num_partitions=join_partitions(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pre(batch: pa.Table) -> pa.Table:
@@ -185,7 +186,7 @@ def j_anti_customers_no_events(sf_dir: str) -> rd.Dataset:
     users = read(sf_dir, "events", ["user_id"]).map_batches(
         _batch_distinct("user_id"), batch_format="pyarrow")
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return cust.join(users, join_type="left_anti", num_partitions=8,
+    return cust.join(users, join_type="left_anti", num_partitions=join_partitions(),
                      on=("c_custkey",), right_on=("user_id",))
 
 
@@ -203,7 +204,7 @@ def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
     if err_users is None:
         return rd.from_arrow(pa.schema(
             [("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table())
-    return cust.join(err_users, join_type="left_semi", num_partitions=8,
+    return cust.join(err_users, join_type="left_semi", num_partitions=join_partitions(),
                      on=("c_custkey",), right_on=("user_id",))
 
 
@@ -1299,7 +1300,7 @@ def t_tfidf_top(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
     tf = drop_empty_blocks(tf)
     df = drop_empty_blocks(df)
-    joined = tf.join(df, join_type="inner", num_partitions=8,
+    joined = tf.join(df, join_type="inner", num_partitions=join_partitions(),
                      on=("token",), right_on=("token_r",))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -1422,7 +1423,7 @@ def j_full_outer_activity(sf_dir: str) -> rd.Dataset:
         ["user_id"], [("one", "count", "n_events")])
     o_cnt = drop_empty_blocks(o_cnt)
     e_cnt = drop_empty_blocks(e_cnt)
-    joined = o_cnt.join(e_cnt, join_type="full_outer", num_partitions=8,
+    joined = o_cnt.join(e_cnt, join_type="full_outer", num_partitions=join_partitions(),
                         on=("o_custkey",), right_on=("user_id",))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -1560,3 +1561,74 @@ def a_rollup_cust(sf_dir: str) -> rd.Dataset:
 
     return base.repartition(1).map_batches(rollup, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def t_repetition(sf_dir: str) -> rd.Dataset:
+    """Repeated-n-gram quality signal (the Gopher/RefinedWeb repetition
+    filter family): per document, the fraction of word 5-grams that are
+    duplicates of an earlier gram in the same document. Entirely within-row
+    → embarrassingly parallel per batch; the gram explode + distinct count
+    run on Arrow kernels (list joins + group_by), never a Python token loop."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    K = 5
+
+    def rep(batch: pa.Table) -> pa.Table:
+        nb = batch.num_rows
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        offs = np.concatenate([[0], np.cumsum(nw)])
+        gcnt = np.maximum(nw - K + 1, 0)
+        G = int(gcnt.sum())
+        if G == 0:
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(np.zeros(nb, np.int64)),
+                "dup_frac": pa.array(np.zeros(nb, np.float64)),
+            })
+        goffs0 = np.concatenate([[0], np.cumsum(gcnt)])
+        grow = np.repeat(np.arange(nb), gcnt)
+        gstart = np.arange(G) - np.repeat(goffs0[:-1], gcnt)
+        base = offs[grow] + gstart
+        tk = (base[:, None] + np.arange(K)).ravel()
+        gwords = flat.take(pa.array(tk, pa.int64()))
+        grams = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (G + 1) * K, K, dtype=np.int32)),
+                gwords), " ")
+        pairs = pa.table({"r": pa.array(grow, pa.int64()), "g": grams})
+        dist = pairs.group_by(["r", "g"]).aggregate([]) \
+                    .group_by(["r"]).aggregate([("g", "count")])
+        distinct = np.zeros(nb, dtype=np.int64)
+        distinct[dist["r"].to_numpy(zero_copy_only=False)] = \
+            dist["g_count"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(gcnt > 0, 1.0 - distinct / np.maximum(gcnt, 1),
+                            0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(gcnt, pa.int64()),
+            "dup_frac": pa.array(round_half_away(frac, 6), pa.float64()),
+        })
+
+    return docs.map_batches(rep, batch_format="pyarrow")
+
+
+def td_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split (80/10/10) — the canonical
+    training-data partitioning: a multiplicative key hash assigns every doc
+    a stable split independent of row order, worker count or engine (same
+    arithmetic as ``o_hash_sample``); here reduced to per-split counts via
+    map-side partials."""
+    docs = read(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = (k * 2654435761) % 1000
+        split = np.where(h < 800, "train", np.where(h < 900, "val", "test"))
+        return pa.table({"split": pa.array(split.astype(object), pa.string()),
+                         "one": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    return partial_groupby_agg(docs.map_batches(assign, batch_format="pyarrow"),
+                               ["split"], [("one", "count", "n_docs")])

@@ -36,6 +36,9 @@ def curate_pages(pages_path: str, out_dir: str,
                  min_tokens: int = 10, max_stopword_ratio: float = 0.9,
                  near_dup_threshold: float = 0.6) -> dict:
     """Run the full curation flow; returns a stage-by-stage funnel summary."""
+    import time
+
+    t0 = time.time()
     clean_dir = os.path.join(out_dir, "clean")
     final_dir = os.path.join(out_dir, "curated")
     os.makedirs(final_dir, exist_ok=True)
@@ -108,6 +111,7 @@ def curate_pages(pages_path: str, out_dir: str,
         __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
         for f in glob.glob(os.path.join(final_dir, "*.parquet")))
 
+    wall = round(time.time() - t0, 3)
     funnel = {
         "n_input": summary["n_rows"],
         "n_violations": summary["violations_total"],
@@ -116,6 +120,8 @@ def curate_pages(pages_path: str, out_dir: str,
         "n_near_dup_dropped": int(len(drop_ids)),
         "n_curated": n_final,
         "validation": summary["per_check_violations"],
+        "wall_sec": wall,
+        "rows_per_sec": round(summary["n_rows"] / wall, 1) if wall else None,
     }
     with open(os.path.join(out_dir, "funnel.json"), "w") as f:
         json.dump(funnel, f, indent=1, default=str)

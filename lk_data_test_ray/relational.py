@@ -54,6 +54,22 @@ def _prepared_side(ref, right_on: str, suffix: str):
     return hit
 
 
+def join_partitions() -> int:
+    """Shuffle-join partition count scaled to the cluster (≥8, ≈1 per CPU).
+
+    A fixed count tuned to one box becomes the bottleneck at 4N nodes: too
+    few partitions → aggregator memory pressure + no parallelism; Ray's
+    hash-shuffle join materializes one partition per aggregator task.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
+
+
 def broadcast_join(big: rd.Dataset, small: pa.Table, left_on: str, right_on: str,
                    how: str = "inner", suffix: str = "",
                    concurrency: int | None = None) -> rd.Dataset:

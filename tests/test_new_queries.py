@@ -26,6 +26,8 @@ NEW_QUERIES = [
     "q6_revenue_delta",
     "e_cum_daily",
     "a_rollup_cust",
+    "t_repetition",
+    "td_split",
 ]
 
 
