@@ -206,3 +206,28 @@ def test_connected_components_distributed_path_matches():
     f = dict(zip(fast["node"], fast["cluster"]))
     d = dict(zip(dist["node"], dist["cluster"]))
     assert f == d == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 100: 100, 101: 100}
+
+
+def test_minhash_from_token_hashes_edges():
+    """Token-hash signer semantics: dup docs identical, zero-token docs get
+    the sentinel signature, single-token docs fold just their own token
+    (never a cross-doc-boundary shingle)."""
+    import numpy as np
+    import pandas as pd
+
+    from lk_data_test_ray.functions.hashing import (_MERSENNE61,
+                                                    minhash_from_token_hashes)
+
+    toks = ["a b c", "a b c", "", "z", "q r"]
+    flat = [t for d in toks for t in d.split()]
+    counts = np.array([len(d.split()) for d in toks], dtype=np.int64)
+    th = pd.util.hash_array(np.array(flat, dtype=object), categorize=False)
+    sig = minhash_from_token_hashes(th, counts, 32)
+    assert (sig[0] == sig[1]).all()                      # dup-identical
+    assert (sig[2] == np.uint64(_MERSENNE61 - 1)).all()  # empty sentinel
+    # single-token doc: signature = fold of its own token only — recompute
+    # it standalone (so no neighboring doc can have leaked into the fold)
+    solo = minhash_from_token_hashes(
+        pd.util.hash_array(np.array(["z"], dtype=object), categorize=False),
+        np.array([1], dtype=np.int64), 32)
+    assert (sig[3] == solo[0]).all()
