@@ -134,9 +134,11 @@ def shingle_jaccard_pairs(
     sz_b = sizes.map_batches(
         lambda b: pa.table({"b_key": b[id_col], "sz_b": b["sz"]}),
         batch_format="pyarrow")
-    inter = inter.join(sz_a, join_type="inner", num_partitions=join_partitions(),
+    inter = inter.join(sz_a, join_type="inner",
+                       num_partitions=join_partitions(inter, sz_a),
                        on=("id_a",), right_on=("a_key",))
-    inter = inter.join(sz_b, join_type="inner", num_partitions=join_partitions(),
+    inter = inter.join(sz_b, join_type="inner",
+                       num_partitions=join_partitions(inter, sz_b),
                        on=("id_b",), right_on=("b_key",))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -651,7 +653,9 @@ def bloom_incremental_members(
     if candidates is None or committed_keys is None:
         return rd.from_arrow(out_schema.empty_table())
     verified = candidates.join(committed_keys, join_type="left_semi",
-                               num_partitions=join_partitions(), on=("__key",),
+                               num_partitions=join_partitions(candidates,
+                                                              committed_keys),
+                               on=("__key",),
                                right_on=("__ckey",))
     return verified.drop_columns(["__key"])
 

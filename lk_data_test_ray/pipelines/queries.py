@@ -99,7 +99,8 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
             [("o_orderkey", pa.int64()),
              ("o_orderdate", pa.timestamp("us")),
              ("revenue", pa.float64())]).empty_table())
-    joined = line.join(orders, join_type="inner", num_partitions=join_partitions(),
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=join_partitions(line, orders),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pre(batch: pa.Table) -> pa.Table:
@@ -143,7 +144,8 @@ def q5_regional_revenue(sf_dir: str) -> rd.Dataset:
         return rd.from_arrow(pa.schema(
             [("n_name", pa.string()),
              ("revenue", pa.float64())]).empty_table())
-    joined = line.join(orders, join_type="inner", num_partitions=join_partitions(),
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=join_partitions(line, orders),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pre(batch: pa.Table) -> pa.Table:
@@ -186,7 +188,8 @@ def j_anti_customers_no_events(sf_dir: str) -> rd.Dataset:
     users = read(sf_dir, "events", ["user_id"]).map_batches(
         _batch_distinct("user_id"), batch_format="pyarrow")
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return cust.join(users, join_type="left_anti", num_partitions=join_partitions(),
+    return cust.join(users, join_type="left_anti",
+                     num_partitions=join_partitions(cust, users),
                      on=("c_custkey",), right_on=("user_id",))
 
 
@@ -204,7 +207,8 @@ def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
     if err_users is None:
         return rd.from_arrow(pa.schema(
             [("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table())
-    return cust.join(err_users, join_type="left_semi", num_partitions=join_partitions(),
+    return cust.join(err_users, join_type="left_semi",
+                     num_partitions=join_partitions(cust, err_users),
                      on=("c_custkey",), right_on=("user_id",))
 
 
@@ -1300,7 +1304,8 @@ def t_tfidf_top(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
     tf = drop_empty_blocks(tf)
     df = drop_empty_blocks(df)
-    joined = tf.join(df, join_type="inner", num_partitions=join_partitions(),
+    joined = tf.join(df, join_type="inner",
+                     num_partitions=join_partitions(pairs),
                      on=("token",), right_on=("token_r",))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -1423,7 +1428,8 @@ def j_full_outer_activity(sf_dir: str) -> rd.Dataset:
         ["user_id"], [("one", "count", "n_events")])
     o_cnt = drop_empty_blocks(o_cnt)
     e_cnt = drop_empty_blocks(e_cnt)
-    joined = o_cnt.join(e_cnt, join_type="full_outer", num_partitions=join_partitions(),
+    joined = o_cnt.join(e_cnt, join_type="full_outer",
+                        num_partitions=join_partitions(orders, ev),
                         on=("o_custkey",), right_on=("user_id",))
 
     def finish(batch: pa.Table) -> pa.Table:

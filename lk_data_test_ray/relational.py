@@ -54,12 +54,17 @@ def _prepared_side(ref, right_on: str, suffix: str):
     return hit
 
 
-def join_partitions() -> int:
-    """Shuffle-join partition count scaled to the cluster (≥8, ≈1 per CPU).
+def join_partitions(*dss: rd.Dataset) -> int:
+    """Shuffle-join partition count scaled to the DATA, clamped by the
+    cluster: ≈1 partition per 256 MiB of joined input, in [8, 4×CPUs].
 
-    A fixed count tuned to one box becomes the bottleneck at 4N nodes: too
-    few partitions → aggregator memory pressure + no parallelism; Ray's
-    hash-shuffle join materializes one partition per aggregator task.
+    A fixed count tuned to one box is wrong both ways at 4N nodes: too few
+    partitions → aggregator memory pressure and no parallelism at volume;
+    too many → one actor + scheduling floor per near-empty partition at
+    bench scale (measured +37% on the sf0.1 join queries when 8 → 32).
+    Callers pass the join's input Datasets (or their upstream reads —
+    joined size never exceeds source size); inputs with no metadata-derived
+    size estimate contribute 0 and the floor of 8 applies.
     """
     import ray
 
@@ -67,7 +72,13 @@ def join_partitions() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, cpus)
+    total = 0
+    for ds in dss:
+        try:
+            total += ds.size_bytes() or 0
+        except Exception:
+            pass
+    return int(min(max(8, total // (256 << 20) + 1), max(8, 4 * cpus)))
 
 
 def broadcast_join(big: rd.Dataset, small: pa.Table, left_on: str, right_on: str,

@@ -69,3 +69,48 @@ def test_generator_is_pure(tmp_path):
     assert t1.equals(t2)
     shutil.rmtree(d1)
     shutil.rmtree(d2)
+
+
+def test_midstream_kill_then_resume(pages_fixture, tmp_path):
+    """Kill DURING the streaming row phase (a commit raises after 5
+    partitions land) — the partitions already committed must survive and a
+    resume must converge to exactly the uninterrupted run's outputs. This
+    exercises the single-execution iter_batches commit path directly."""
+    from lk_data_test_ray.state.manifest import ManifestStore
+
+    fresh_dir = str(tmp_path / "fresh2")
+    killed_dir = str(tmp_path / "killed2")
+    s_fresh = _run(pages_fixture, fresh_dir)
+
+    real_commit = ManifestStore.commit
+    state = {"n": 0}
+
+    def dying_commit(self, pid, record, stats=None):
+        if pid != "global" and state["n"] >= 5:
+            raise RuntimeError("simulated driver death mid-stream")
+        state["n"] += 1
+        return real_commit(self, pid, record, stats=stats)
+
+    ManifestStore.commit = dying_commit
+    try:
+        try:
+            _run(pages_fixture, killed_dir)
+            raise AssertionError("expected the simulated death to surface")
+        except RuntimeError:
+            pass
+    finally:
+        ManifestStore.commit = real_commit
+
+    committed = ManifestStore(os.path.join(killed_dir, "manifests")).completed()
+    assert 1 <= len(committed) <= 6  # partial progress survived, no global
+
+    s_resumed = _run(pages_fixture, killed_dir)
+    assert s_resumed["per_check_violations"] == s_fresh["per_check_violations"]
+    assert s_resumed["n_rows"] == s_fresh["n_rows"]
+    got = load_violations(killed_dir)
+    want = load_violations(fresh_dir)
+
+    def key_set(t):
+        return sorted(zip(t["check_id"].to_pylist(), t["url"].to_pylist()))
+
+    assert key_set(got) == key_set(want)
