@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_rollup_cust": q.a_rollup_cust,
         "t_repetition": q.t_repetition,
         "td_split": q.td_split,
+        "g_pagerank": q.g_pagerank,
     }
 
 
@@ -207,6 +208,43 @@ def _pages_fixture_glob() -> str:
 
     fix = ensure_pages(pages_nrows_for_sf("/root/testdata/sf0.01"))
     return os.path.join(fix, "pages", "*.parquet")
+
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled power-iteration SQL (one CTE layer per iteration) over the
+    pages fixture's links table — same simplified PageRank as
+    ``pipelines.graph.pagerank``; compared order-insensitively on rounded
+    ranks."""
+    import os
+
+    links = os.path.join(os.path.dirname(_pages_fixture_glob()), "..",
+                         "links.parquet")
+    links = os.path.normpath(links)
+    sql = f"""
+        WITH l AS (SELECT src_url AS s, dst_url AS t
+                   FROM read_parquet('{links}')),
+        nodes AS (SELECT DISTINCT u FROM
+                  (SELECT s AS u FROM l UNION ALL SELECT t FROM l)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM l GROUP BY 1),
+        r0 AS (SELECT u, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        r{i} AS (
+            SELECT nodes.u,
+                   (1 - {d}) / nn.n + {d} * COALESCE(sums.c, 0) AS r
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (SELECT l.t AS u, sum({prev}.r / od.od) AS c
+                       FROM l JOIN {prev} ON l.s = {prev}.u
+                       JOIN od ON l.s = od.s
+                       GROUP BY 1) sums USING (u))"""
+        prev = f"r{i}"
+    sql += f"""
+        SELECT u AS node, round(r, 6) AS rank FROM {prev}
+    """
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -757,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "g_pagerank": _pagerank_sql(),
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,
         # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate, pages_links,

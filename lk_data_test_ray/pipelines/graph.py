@@ -1,0 +1,166 @@
+"""Iterative graph algorithms over edge Datasets — PageRank.
+
+The reference derives inverse edges and deduplicates them
+(``scripts/owl_inverse_props.py:68-134``) but never iterates; PageRank is
+the canonical iterative extension of that edge model (power iteration over
+the link graph — the web-corpus ranking signal a curation pipeline feeds).
+
+Simplified (dangling mass dropped) power iteration:
+    r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u) / outdeg(u)
+
+Two execution shapes, chosen by node count:
+  * ``broadcast`` — ranks fit in one table: per iteration ONE streaming
+    pass over the (materialized) edge set with the rank/outdeg map
+    broadcast via the closure; contributions reduced map-side
+    (partial_groupby_agg). This is the right call whenever the NODE table
+    fits a worker (edges may be arbitrarily large).
+  * ``shuffle`` — ranks as a Dataset: per iteration a hash join
+    edges ⋈ ranks on src + a grouped sum on dst. The 10^10-node path;
+    same numbers (property-tested equal to broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..relational import (drop_empty_blocks, join_partitions,
+                          partial_groupby_agg, round_half_away)
+
+
+def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
+             damping: float = 0.85, iters: int = 5,
+             mode: str = "auto", broadcast_max_nodes: int = 5_000_000,
+             round_digits: int = 6) -> pa.Table:
+    """Returns (node, rank) for every node in src ∪ dst, ranks rounded."""
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    # node set + out-degrees (map-side partials; the shuffle moves one row
+    # per (node, batch))
+    srcs = edges.select_columns([src_col]).map_batches(
+        lambda b: pa.table({"node": b[src_col]}), batch_format="pyarrow")
+    dsts = edges.select_columns([dst_col]).map_batches(
+        lambda b: pa.table({"node": b[dst_col]}), batch_format="pyarrow")
+    nodes_ds = partial_groupby_agg(
+        srcs.union(dsts).map_batches(
+            lambda b: b.append_column("one", pa.array(
+                np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["node"], [("one", "count", "c")])
+    outdeg_ds = partial_groupby_agg(
+        edges.map_batches(
+            lambda b: pa.table({"node": b[src_col],
+                                "one": pa.array(np.ones(b.num_rows,
+                                                        dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["node"], [("one", "count", "od")])
+
+    nodes = pa.concat_tables(
+        list(nodes_ds.select_columns(["node"])
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_nodes = nodes.num_rows
+    if mode == "auto":
+        mode = "broadcast" if n_nodes <= broadcast_max_nodes else "shuffle"
+    base = (1.0 - damping) / n_nodes
+
+    if mode == "broadcast":
+        od_tbl = pa.concat_tables(
+            [bt for bt in outdeg_ds.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None)])
+        od = dict(zip(od_tbl["node"].to_pylist(),
+                      od_tbl["od"].to_pylist()))
+        node_list = nodes["node"].to_pylist()
+        ranks = {u: 1.0 / n_nodes for u in node_list}
+        for _ in range(iters):
+            w = {u: ranks[u] / od[u] for u in od}  # src weight map
+
+            def contribs(batch: pa.Table, w=w) -> pa.Table:
+                import pandas as pd
+
+                # vectorized map (C-level hash probes), not a Python loop
+                c = pd.Series(batch[src_col].to_pandas()).map(w) \
+                    .to_numpy(dtype=np.float64)
+                return pa.table({"node": batch[dst_col],
+                                 "c": pa.array(c, pa.float64())})
+
+            agg = partial_groupby_agg(
+                edges.map_batches(contribs, batch_format="pyarrow"),
+                ["node"], [("c", "sum", "c")])
+            sums = {}
+            for bt in agg.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+                sums.update(zip(bt["node"].to_pylist(),
+                                bt["c"].to_pylist()))
+            ranks = {u: base + damping * sums.get(u, 0.0)
+                     for u in node_list}
+        out = pa.table({
+            "node": pa.array(node_list, nodes["node"].type),
+            "rank": pa.array(round_half_away(
+                np.array([ranks[u] for u in node_list]), round_digits),
+                pa.float64()),
+        })
+        return out
+
+    # ---- shuffle path: ranks stay a Dataset ------------------------------
+    ranks_ds = nodes_ds.map_batches(
+        lambda b: pa.table({"rnode": b["node"],
+                            "r": pa.array(np.full(b.num_rows, 1.0 / n_nodes),
+                                          pa.float64())}),
+        batch_format="pyarrow")
+    ew = edges.join(outdeg_ds.map_batches(
+        lambda b: pa.table({"onode": b["node"], "od": b["od"]}),
+        batch_format="pyarrow"), join_type="inner",
+        num_partitions=join_partitions(edges),
+        on=(src_col,), right_on=("onode",)).materialize()
+    for _ in range(iters):
+        j = ew.join(ranks_ds, join_type="inner",
+                    num_partitions=join_partitions(ew),
+                    on=(src_col,), right_on=("rnode",))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            c = (batch["r"].to_numpy(zero_copy_only=False)
+                 / batch["od"].to_numpy(zero_copy_only=False))
+            return pa.table({"node": batch[dst_col],
+                             "c": pa.array(c, pa.float64())})
+
+        # empty (schema-less) blocks crash the hash-join partitioner — the
+        # drop_empty_blocks guard from relational.py applies to every
+        # derived side here (tiny graphs produce many empty blocks)
+        sums = drop_empty_blocks(partial_groupby_agg(
+            j.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], [("c", "sum", "c")]))
+
+        def new_rank(batch: pa.Table, base=base) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.fill_null(batch["c"], 0.0)
+            r = pc.add(pa.scalar(base),
+                       pc.multiply(pa.scalar(damping), c))
+            return pa.table({"rnode": batch["node"], "r": r})
+
+        if sums is None:  # no in-edges anywhere: every rank is the base
+            ranks_ds = nodes_ds.select_columns(["node"]).map_batches(
+                lambda b: pa.table({
+                    "rnode": b["node"],
+                    "r": pa.array(np.full(b.num_rows, base), pa.float64())}),
+                batch_format="pyarrow").materialize()
+            continue
+        joined = nodes_ds.select_columns(["node"]).join(
+            sums.map_batches(lambda b: pa.table({"snode": b["node"],
+                                                 "c": b["c"]}),
+                             batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=join_partitions(nodes_ds),
+            on=("node",), right_on=("snode",))
+        ranks_ds = joined.map_batches(new_rank,
+                                      batch_format="pyarrow").materialize()
+
+    out_tbl = pa.concat_tables(
+        [bt for bt in ranks_ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)])
+    return pa.table({
+        "node": out_tbl["rnode"],
+        "rank": pa.array(round_half_away(
+            out_tbl["r"].to_numpy(zero_copy_only=False), round_digits),
+            pa.float64()),
+    })

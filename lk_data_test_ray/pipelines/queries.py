@@ -1638,3 +1638,20 @@ def td_split(sf_dir: str) -> rd.Dataset:
 
     return partial_groupby_agg(docs.map_batches(assign, batch_format="pyarrow"),
                                ["split"], [("one", "count", "n_docs")])
+
+
+def g_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the pages link graph (iterative algorithm; the power-
+    iteration extension of the reference's inverse-edge derivation,
+    ``scripts/owl_inverse_props.py:68-134``): 5 damped iterations, every
+    node returned with its rounded rank. Auto-selects the broadcast shape
+    (node table fits a worker) — the shuffle shape is property-tested equal
+    in tests/test_graph.py."""
+    import os
+
+    from .graph import pagerank
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+    return pagerank(links, "src_url", "dst_url", damping=0.85, iters=5)

@@ -28,6 +28,10 @@ NEW_QUERIES = [
     "a_rollup_cust",
     "t_repetition",
     "td_split",
+    # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
+    # at this test's sf0.001 it mismatches by construction — parity is
+    # checked by the driver/oracle_check at sf0.01, correctness by
+    # tests/test_graph.py
 ]
 
 
