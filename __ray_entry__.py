@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": q.t_repetition,
         "td_split": q.td_split,
         "g_pagerank": q.g_pagerank,
+        "td_decontaminate": q.td_decontaminate,
     }
 
 
@@ -796,6 +797,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "g_pagerank": _pagerank_sql(),
+        "td_decontaminate": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            grams AS (
+                SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                       || ' ' || arr[i+3] AS g
+                FROM tok,
+                     unnest(generate_series(1, greatest(len(arr) - 3, 0)))
+                         AS t(i)),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+            SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
+            FROM grams g JOIN ev USING (g)
+            WHERE g.doc_id % 50 != 0
+            GROUP BY 1
+        """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,
         # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate, pages_links,

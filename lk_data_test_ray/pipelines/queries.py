@@ -1655,3 +1655,88 @@ def g_pagerank(sf_dir: str) -> pa.Table:
     links = rd.read_parquet(os.path.join(fix, "links.parquet"),
                             columns=["src_url", "dst_url"])
     return pagerank(links, "src_url", "dst_url", damping=0.85, iters=5)
+
+
+def td_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3/Pile n-gram overlap check):
+    flag every training document sharing at least one word 4-gram with the
+    eval set. The eval side is tiny by nature (a benchmark), so its distinct
+    gram set is built once and broadcast — the right shape at any corpus
+    scale; the probe is a vectorized ``pc.is_in`` per batch, and the
+    per-doc distinct-shared count never leaves the batch (a doc is one
+    row). Eval membership here is the deterministic ``doc_id % 50 == 0``
+    split (a stand-in for a real benchmark list)."""
+    K = 4
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_of(batch: pa.Table):
+        nb = batch.num_rows
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        nw = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        offs = np.concatenate([[0], np.cumsum(nw)])
+        gcnt = np.maximum(nw - K + 1, 0)
+        G = int(gcnt.sum())
+        if G == 0:
+            return None, gcnt, nb
+        goffs0 = np.concatenate([[0], np.cumsum(gcnt)])
+        grow = np.repeat(np.arange(nb), gcnt)
+        gstart = np.arange(G) - np.repeat(goffs0[:-1], gcnt)
+        base = offs[grow] + gstart
+        tk = (base[:, None] + np.arange(K)).ravel()
+        gwords = flat.take(pa.array(tk, pa.int64()))
+        grams = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (G + 1) * K, K, dtype=np.int32)),
+                gwords), " ")
+        return grams, gcnt, grow
+
+    # eval gram set: distinct 5-grams of the (tiny) eval split, built via a
+    # distributed distinct then collected once for broadcast
+    ev = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            (b["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0)),
+        batch_format="pyarrow")
+
+    def ev_grams(batch: pa.Table) -> pa.Table:
+        grams, _, _ = grams_of(batch)
+        if grams is None:
+            return pa.table({"g": pa.array([], pa.string())})
+        return pa.table({"g": pc.unique(grams)})
+
+    eval_set = partial_groupby_agg(
+        ev.map_batches(ev_grams, batch_format="pyarrow"),
+        ["g"], [("g", "count", "c")])
+    import ray as _ray
+
+    ev_tbl = pa.concat_tables(
+        list(eval_set.select_columns(["g"])
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    ev_ref = _ray.put(ev_tbl["g"].combine_chunks())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ev_vals = _ray.get(ev_ref)
+        grams, gcnt, grow = grams_of(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep_doc = (ids % 50) != 0
+        if grams is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        hit = pc.is_in(grams, value_set=ev_vals).to_numpy(
+            zero_copy_only=False)
+        # distinct shared grams per doc: unique (row, gram) among hits
+        rows = grow[hit]
+        gvals = grams.take(pa.array(np.flatnonzero(hit), pa.int64()))
+        t = pa.table({"r": pa.array(rows, pa.int64()), "g": gvals})
+        d = t.group_by(["r", "g"]).aggregate([]) \
+             .group_by(["r"]).aggregate([("g", "count")])
+        r_idx = d["r"].to_numpy(zero_copy_only=False)
+        cnts = d["g_count"].to_numpy(zero_copy_only=False)
+        mask = keep_doc[r_idx]
+        return pa.table({
+            "doc_id": pa.array(ids[r_idx[mask]], pa.int64()),
+            "n_shared": pa.array(cnts[mask], pa.int64()),
+        })
+
+    return docs.map_batches(probe, batch_format="pyarrow")

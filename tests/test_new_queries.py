@@ -28,6 +28,7 @@ NEW_QUERIES = [
     "a_rollup_cust",
     "t_repetition",
     "td_split",
+    "td_decontaminate",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
