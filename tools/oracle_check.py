@@ -20,6 +20,10 @@ import ray
 
 sys.path.insert(0, "/root/repo")
 
+# queries whose oracle SQL embeds the sf0.01 pages-fixture path
+PINNED_TO_SF001 = {"mm_payload_meta", "mm_decode_feats", "mm_frame_sample",
+                   "pages_host_counts", "g_pagerank"}
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -100,6 +104,13 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
+        if name in PINNED_TO_SF001 and not sf_dir.rstrip("/").endswith("sf0.01"):
+            # these oracles read the sf0.01 pages fixture by absolute path
+            # (oracle_sql() is static; the driver compares at sf0.01) — at
+            # any other sf the comparison mismatches by construction
+            print(f"{name}: skipped (oracle pinned to the sf0.01 fixture) "
+                  f"[{dt:.1f}s, {len(mine)} rows]")
+            continue
         if name in oracles:
             try:
                 ora = con.execute(oracles[name]).df()
