@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "mm_payload_meta",
     "o_topk_per_cust",
     "e_rolling_avg",
+    "t_tfidf_top",
+    "t_repetition",
+    "td_split",
 ]
 
 

@@ -36,6 +36,9 @@ def main(argv=None):
                    help="smoke mode: validate only the first K input files "
                         "(≙ the reference's LIMIT env gate, make_rdf.py:25-29)")
     v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument("--stats", action="store_true",
+                   help="include Ray Data's per-operator execution stats "
+                        "in the summary (measure, don't guess)")
 
     r = sub.add_parser(
         "report",
@@ -123,6 +126,7 @@ def main(argv=None):
         lang_hist_path=args.lang_hist,
         resume=not args.no_resume,
         wave_size=args.wave_size,
+        collect_ray_stats=args.stats,
         concurrency=args.concurrency,
         check_extract=not args.no_extract_check,
         clean_dir=args.clean_dir,

@@ -71,6 +71,7 @@ def run_validation(
     clean_dir: str | None = None,
     use_actor_pool: bool = False,
     scan_target_rows: int = 32_768,
+    collect_ray_stats: bool = False,
 ) -> dict:
     """Run the full suite; returns the summary dict (also written as JSON)."""
     import threading
@@ -84,6 +85,7 @@ def run_validation(
     done = store.completed() if resume else {}
 
     todo = [f for f in files if partition_of[f] not in done]
+    ray_stats = None
 
     # ---- global C1 uniqueness runs CONCURRENTLY with the row phase ----------
     # (independent datasets: C1 re-reads only the url column; Ray Data
@@ -194,6 +196,10 @@ def run_validation(
                      for pid in list(pend_stats) if pid not in submitted]
             for f in futs:
                 f.result()  # surface commit errors
+        if collect_ray_stats:
+            # the executor's own per-operator wall/cpu breakdown — the
+            # measure-don't-guess surface (``validate --stats`` CLI flag)
+            ray_stats = combined.stats()
 
     # ---------------- merge committed partition stats ------------------------
     done = store.completed()
@@ -269,6 +275,8 @@ def run_validation(
         "rows_per_sec": round(global_stats["n_rows"] / wall, 1) if wall else None,
         "engine_version": ENGINE_VERSION,
     }
+    if collect_ray_stats and ray_stats is not None:
+        summary["ray_stats"] = ray_stats
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1, default=str)
     return summary
