@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_split": q.td_split,
         "g_pagerank": q.g_pagerank,
         "td_decontaminate": q.td_decontaminate,
+        "a_price_histogram": q.a_price_histogram,
+        "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
     }
 
 
@@ -810,6 +812,16 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN ev USING (g)
             WHERE g.doc_id % 50 != 0
             GROUP BY 1
+        """,
+        "a_price_histogram": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "e_dow_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

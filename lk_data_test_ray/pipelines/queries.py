@@ -1740,3 +1740,39 @@ def td_decontaminate(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(probe, batch_format="pyarrow")
+
+
+def a_price_histogram(sf_dir: str) -> rd.Dataset:
+    """Numeric histogram / bucketing (fixed-width 50k bands over order
+    totals): bucket assignment is a vectorized floor-divide map-side, the
+    shuffle moves one partial row per (bucket, batch) — the grouped-count
+    shape of A1 over a derived numeric key."""
+    orders = read(sf_dir, "orders", ["o_totalprice"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = np.floor(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                     / 50_000.0).astype(np.int64)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "one": pa.array(np.ones(len(b), dtype=np.int64))})
+
+    return partial_groupby_agg(
+        orders.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], [("one", "count", "n_orders")])
+
+
+def e_dow_hour_heatmap(sf_dir: str) -> rd.Dataset:
+    """Temporal feature binning (ISO day-of-week × hour activity heatmap,
+    M6 family): both bins are Arrow temporal kernels; counts reduced
+    map-side. Arrow's day_of_week is Monday=0 — +1 matches DuckDB isodow."""
+    ev = read(sf_dir, "events", ["ts"])
+
+    def bins(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks()
+        dow = pc.add(pc.day_of_week(ts), pa.scalar(1)).cast(pa.int64())
+        hour = pc.hour(ts).cast(pa.int64())
+        return pa.table({"dow": dow, "hour": hour,
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64))})
+
+    return partial_groupby_agg(ev.map_batches(bins, batch_format="pyarrow"),
+                               ["dow", "hour"], [("one", "count", "n")])
