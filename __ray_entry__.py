@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_decontaminate": q.td_decontaminate,
         "a_price_histogram": q.a_price_histogram,
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
+        "v_jsonl_source": q.v_jsonl_source,
+        "v_csv_source": q.v_csv_source,
     }
 
 
@@ -822,6 +824,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(isodow(ts) AS BIGINT) AS dow,
                    CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "v_jsonl_source": """
+            SELECT event_type, round(sum(value), 2) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "v_csv_source": """
+            SELECT event_type, round(sum(value), 2) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

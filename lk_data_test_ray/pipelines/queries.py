@@ -1776,3 +1776,59 @@ def e_dow_hour_heatmap(sf_dir: str) -> rd.Dataset:
 
     return partial_groupby_agg(ev.map_batches(bins, batch_format="pyarrow"),
                                ["dow", "hour"], [("one", "count", "n")])
+
+
+def _events_sidecar(sf_dir: str, fmt: str) -> str:
+    """Deterministic JSONL/CSV sidecar of (event_id, event_type, value),
+    derived once from the parquet events table and cached — lets the S1
+    source layer be exercised over non-parquet formats with a parquet-side
+    oracle (same rows, different container)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/lk_srcfmt/{tag}_{fmt}"
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "event_type", "value"])
+        df = t.to_pandas()
+        path = os.path.join(out_dir, f"events.{fmt}")
+        if fmt == "jsonl":
+            df.to_json(path, orient="records", lines=True,
+                       double_precision=15)
+        else:
+            df.to_csv(path, index=False)
+        open(marker, "w").close()
+    return out_dir
+
+
+def v_jsonl_source(sf_dir: str) -> rd.Dataset:
+    """Non-parquet source format (S1 over JSONL via ``ray.data.read_json``):
+    grouped sum/count over the JSONL mirror must equal the parquet oracle
+    exactly — format-independent ingestion."""
+    import os
+
+    d = _events_sidecar(sf_dir, "jsonl")
+    ev = rd.read_json(os.path.join(d, "events.jsonl"))
+    agg = partial_groupby_agg(ev, ["event_type"],
+                              [("value", "sum", "sum_value"),
+                               ("event_id", "count", "n")])
+    return agg.map_batches(_round_stage({"sum_value": 2}),
+                           batch_format="pyarrow")
+
+
+def v_csv_source(sf_dir: str) -> rd.Dataset:
+    """Non-parquet source format (S1 over CSV via ``ray.data.read_csv``) —
+    same parity contract as the JSONL mirror."""
+    import os
+
+    d = _events_sidecar(sf_dir, "csv")
+    ev = rd.read_csv(os.path.join(d, "events.csv"))
+    agg = partial_groupby_agg(ev, ["event_type"],
+                              [("value", "sum", "sum_value"),
+                               ("event_id", "count", "n")])
+    return agg.map_batches(_round_stage({"sum_value": 2}),
+                           batch_format="pyarrow")

@@ -31,6 +31,8 @@ NEW_QUERIES = [
     "td_decontaminate",
     "a_price_histogram",
     "e_dow_hour_heatmap",
+    "v_jsonl_source",
+    "v_csv_source",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
