@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,
         "v_csv_source": q.v_csv_source,
+        "a_corr_qty_price": q.a_corr_qty_price,
     }
 
 
@@ -834,6 +835,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(sum(value), 2) AS sum_value,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "a_corr_qty_price": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price
+            FROM lineitem GROUP BY 1
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # t_fingerprint_extra, t_lang_id,

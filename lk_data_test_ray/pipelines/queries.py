@@ -1832,3 +1832,44 @@ def v_csv_source(sf_dir: str) -> rd.Dataset:
                                ("event_id", "count", "n")])
     return agg.map_batches(_round_stage({"sum_value": 2}),
                            batch_format="pyarrow")
+
+
+def a_corr_qty_price(sf_dir: str) -> rd.Dataset:
+    """Grouped Pearson correlation (quantity vs extended price per return
+    flag) from one-pass distributive moments (Σx, Σy, Σxy, Σx², Σy², n) —
+    the same parallel-moment shape as ``a_price_stats_by_priority``,
+    matching DuckDB's ``corr`` to 6 decimals."""
+    line = read(sf_dir, "lineitem",
+                ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"]
+        y = batch["l_extendedprice"]
+        batch = batch.append_column("xy", pc.multiply(x, y))
+        batch = batch.append_column("xx", pc.multiply(x, x))
+        return batch.append_column("yy", pc.multiply(y, y))
+
+    agg = partial_groupby_agg(
+        line, ["l_returnflag"],
+        [("l_quantity", "sum", "sx"), ("l_extendedprice", "sum", "sy"),
+         ("xy", "sum", "sxy"), ("xx", "sum", "sxx"), ("yy", "sum", "syy"),
+         ("l_quantity", "count", "n")], pre=pre)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False)
+        syy = batch["syy"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        r = cov / np.sqrt(np.maximum(vx * vy, 1e-300))
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": batch["n"],
+            "corr_qty_price": pa.array(round_half_away(r, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -33,6 +33,7 @@ NEW_QUERIES = [
     "e_dow_hour_heatmap",
     "v_jsonl_source",
     "v_csv_source",
+    "a_corr_qty_price",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
