@@ -1528,19 +1528,25 @@ def a_rollup_cust(sf_dir: str) -> rd.Dataset:
     tiny vectorized pass — never a second scan of the fact table."""
     nation = read_table(sf_dir, "nation")
     region = read_table(sf_dir, "region")
-    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
-                   nation["n_regionkey"].to_pylist()))
+    # nationkey-indexed lookup arrays (keys are small dense ints) → the tag
+    # stage is a pure vectorized take over the fact column, no per-row dict
     r_name = dict(zip(region["r_regionkey"].to_pylist(),
                       region["r_name"].to_pylist()))
-    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
-                      nation["n_name"].to_pylist()))
+    nk_max = max(nation["n_nationkey"].to_pylist())
+    nk2r = np.empty(nk_max + 1, dtype=object)
+    nk2n = np.empty(nk_max + 1, dtype=object)
+    for k, rk, nm in zip(nation["n_nationkey"].to_pylist(),
+                         nation["n_regionkey"].to_pylist(),
+                         nation["n_name"].to_pylist()):
+        nk2r[k] = r_name[rk]
+        nk2n[k] = nm
     cust = read(sf_dir, "customer", ["c_nationkey"])
 
     def tag(batch: pa.Table) -> pa.Table:
         nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "r_name": pa.array([r_name[n2r[k]] for k in nk], pa.string()),
-            "n_name": pa.array([n_name[k] for k in nk], pa.string()),
+            "r_name": pa.array(nk2r[nk], pa.string()),
+            "n_name": pa.array(nk2n[nk], pa.string()),
             "one": pa.array(np.ones(len(nk), dtype=np.int64)),
         })
 
