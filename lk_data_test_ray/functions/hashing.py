@@ -195,3 +195,28 @@ def minhash_from_token_hashes(tok_hashes: np.ndarray, counts: np.ndarray,
         sigs[:, p] = np.minimum.reduceat(v, red_offs)
     out[live] = sigs
     return out
+
+
+def simhash64_batch(tok_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """SimHash for a batch of documents from the pre-hashed flat token
+    stream — bitwise EQUAL to mapping ``simhash64`` over the docs (the
+    per-token hash is the same elementwise ``pd.util.hash_array``; the bit
+    vote is order-insensitive), but one vectorized bit-expand + segmented
+    sum instead of a Python call per document. Zero-token docs → 0."""
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    th = tok_hashes.astype(np.uint64, copy=False)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    live = counts > 0
+    sums = np.add.reduceat(bits, offs[live], axis=0)  # ones per bit per doc
+    votes = 2 * sums - counts[live][:, None]          # ones - zeros
+    packed = ((votes > 0).astype(np.uint64)
+              << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                  axis=1, dtype=np.uint64)
+    out[live] = packed
+    return out

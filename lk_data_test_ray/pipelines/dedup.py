@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.hashing import md5_hex, minhash_signature, simhash64
+from ..functions.hashing import md5_hex
 from ..functions.text import TOKEN_SPLIT
 from ..relational import (join_partitions, partial_groupby_agg,
                           round_half_away)
@@ -372,21 +372,33 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
     """
 
     def sign(batch: pa.Table) -> pa.Table:
+        # batched signer: dictionary-encode the flat token stream (hash only
+        # UNIQUE tokens), one vectorized bit-vote — bitwise equal to the
+        # scalar simhash64 per doc (property-tested), no per-doc Python
+        import pandas as pd
+
+        from ..functions.hashing import simhash64_batch
+
         toks = pc.split_pattern_regex(
             batch[text_col].combine_chunks(), TOKEN_SPLIT)
-        ids, bands, keys, hashes = [], [], [], []
-        for rid, tl in zip(batch[id_col].to_pylist(), toks.to_pylist()):
-            h = simhash64(tl or [])
-            for b in range(4):
-                ids.append(rid)
-                bands.append(b)
-                keys.append((h >> (16 * b)) & 0xFFFF)
-                hashes.append(h)
+        counts = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.list_flatten(toks).dictionary_encode()
+        uniq = np.asarray(enc.dictionary, dtype=object)
+        th = (pd.util.hash_array(uniq, categorize=False)
+              [enc.indices.to_numpy(zero_copy_only=False)]
+              if len(uniq) else np.empty(0, np.uint64))
+        h = simhash64_batch(th, counts)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bands = np.tile(np.arange(4, dtype=np.int32), len(h))
+        h_rep = np.repeat(h, 4)
+        keys = ((h_rep >> (np.uint64(16) * bands.astype(np.uint64)))
+                & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
+            id_col: pa.array(np.repeat(ids, 4), pa.int64()),
             "band": pa.array(bands, pa.int32()),
             "bkey": pa.array(keys, pa.int64()),
-            "simhash": pa.array(np.array(hashes, dtype=np.uint64), pa.uint64()),
+            "simhash": pa.array(h_rep, pa.uint64()),
         })
 
     signed = ds.map_batches(sign, batch_format="pyarrow")

@@ -231,3 +231,19 @@ def test_minhash_from_token_hashes_edges():
         pd.util.hash_array(np.array(["z"], dtype=object), categorize=False),
         np.array([1], dtype=np.int64), 32)
     assert (sig[3] == solo[0]).all()
+
+
+def test_simhash_batch_equals_scalar():
+    import numpy as np
+    import pandas as pd
+
+    from lk_data_test_ray.functions.hashing import simhash64, simhash64_batch
+
+    docs = [["a", "b", "c"], [], ["z"], ["b", "a", "c", "a"], ["q", "r"]]
+    flat = [t for d in docs for t in d]
+    counts = np.array([len(d) for d in docs], dtype=np.int64)
+    th = (pd.util.hash_array(np.array(flat, dtype=object), categorize=False)
+          if flat else np.empty(0, np.uint64))
+    got = simhash64_batch(th, counts)
+    for i, d in enumerate(docs):
+        assert int(got[i]) == simhash64(d), (i, d)
