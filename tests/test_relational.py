@@ -140,3 +140,29 @@ def test_hash_repartition_map_covers_all_keys():
     out = hash_repartition_map(ds, "k", per_part).to_pandas()
     # every key lands in exactly ONE partition → 97 rows, counts sum to n
     assert len(out) == 97 and out["n"].sum() == n
+
+
+def test_partitioned_parquet_sink(ray_session, tmp_path):
+    """Column-partitioned parquet output (hive layout, one directory per
+    lang) — the resumable-output sink shape: a rerun can target single
+    partitions, and partition-pruned reads skip the rest."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": list(range(100)),
+        "lang": [["en", "de", "fr"][i % 3] for i in range(100)],
+        "text": [f"doc {i}" for i in range(100)],
+    })
+    out = str(tmp_path / "by_lang")
+    rd.from_arrow(tbl).write_parquet(out, partition_cols=["lang"])
+    langs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert langs == ["lang=de", "lang=en", "lang=fr"]
+    # partition-pruned read returns exactly that partition's rows
+    de = pq.read_table(os.path.join(out, "lang=de"))
+    assert de.num_rows == 33
+    # full read restores every row (lang reconstructed from the path)
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 100 and set(back["lang"]) == {"de", "en", "fr"}
