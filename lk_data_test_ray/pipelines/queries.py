@@ -1291,8 +1291,10 @@ def t_tfidf_top(sf_dir: str) -> rd.Dataset:
         })
 
     pairs = docs.map_batches(explode, batch_format="pyarrow")
+    # materialized ONCE: tf feeds BOTH the df count and the join — lazy, the
+    # token explode + grouped count would execute twice
     tf = partial_groupby_agg(pairs, ["doc_id", "token"],
-                             [("token", "count", "tf")])
+                             [("token", "count", "tf")]).materialize()
     df = partial_groupby_agg(
         tf.select_columns(["token"]).map_batches(
             lambda b: b.append_column("one", pa.array(
