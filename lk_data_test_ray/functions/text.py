@@ -130,3 +130,37 @@ def lang_id(texts, profiles: dict[str, frozenset] = LANG_PROFILES) -> np.ndarray
     out = np.array(langs, dtype=object)[best]
     out[top <= 0] = "und"
     return out
+
+
+def word_ngrams_batch(texts, k: int):
+    """Word k-grams for a batch of texts, built entirely on Arrow/numpy
+    kernels (token explode → windowed take → list binary_join): returns
+    ``(grams, gram_counts, row_of_gram)`` where ``grams`` is a string Array
+    of every k-gram in row order, ``gram_counts[i]`` is row i's gram count
+    (``max(n_tokens - k + 1, 0)``; null text → 0), and ``row_of_gram`` maps
+    each gram to its row index. Shared kernel of the repetition-quality and
+    decontamination operators."""
+    toks = pc.split_pattern_regex(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+        else texts, TOKEN_SPLIT)
+    nw = pc.fill_null(pc.list_value_length(toks), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = len(nw)
+    flat = pc.list_flatten(toks)
+    offs = np.concatenate([[0], np.cumsum(nw)])
+    gcnt = np.maximum(nw - k + 1, 0)
+    G = int(gcnt.sum())
+    if G == 0:
+        return (pa.array([], pa.string()), gcnt,
+                np.empty(0, dtype=np.int64))
+    goffs0 = np.concatenate([[0], np.cumsum(gcnt)])
+    grow = np.repeat(np.arange(nb), gcnt)
+    gstart = np.arange(G) - np.repeat(goffs0[:-1], gcnt)
+    base = offs[grow] + gstart
+    tk = (base[:, None] + np.arange(k)).ravel()
+    gwords = flat.take(pa.array(tk, pa.int64()))
+    grams = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (G + 1) * k, k, dtype=np.int32)), gwords),
+        " ")
+    return grams, gcnt, grow

@@ -1587,30 +1587,16 @@ def t_repetition(sf_dir: str) -> rd.Dataset:
     K = 5
 
     def rep(batch: pa.Table) -> pa.Table:
+        from ..functions.text import word_ngrams_batch
+
         nb = batch.num_rows
-        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
-        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        flat = pc.list_flatten(toks)
-        offs = np.concatenate([[0], np.cumsum(nw)])
-        gcnt = np.maximum(nw - K + 1, 0)
-        G = int(gcnt.sum())
-        if G == 0:
+        grams, gcnt, grow = word_ngrams_batch(batch["text"], K)
+        if len(grams) == 0:
             return pa.table({
                 "doc_id": batch["doc_id"],
                 "n_grams": pa.array(np.zeros(nb, np.int64)),
                 "dup_frac": pa.array(np.zeros(nb, np.float64)),
             })
-        goffs0 = np.concatenate([[0], np.cumsum(gcnt)])
-        grow = np.repeat(np.arange(nb), gcnt)
-        gstart = np.arange(G) - np.repeat(goffs0[:-1], gcnt)
-        base = offs[grow] + gstart
-        tk = (base[:, None] + np.arange(K)).ravel()
-        gwords = flat.take(pa.array(tk, pa.int64()))
-        grams = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (G + 1) * K, K, dtype=np.int32)),
-                gwords), " ")
         pairs = pa.table({"r": pa.array(grow, pa.int64()), "g": grams})
         dist = pairs.group_by(["r", "g"]).aggregate([]) \
                     .group_by(["r"]).aggregate([("g", "count")])
@@ -1678,26 +1664,11 @@ def td_decontaminate(sf_dir: str) -> rd.Dataset:
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
     def grams_of(batch: pa.Table):
-        nb = batch.num_rows
-        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
-        nw = pc.fill_null(pc.list_value_length(toks), 0) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(toks)
-        offs = np.concatenate([[0], np.cumsum(nw)])
-        gcnt = np.maximum(nw - K + 1, 0)
-        G = int(gcnt.sum())
-        if G == 0:
-            return None, gcnt, nb
-        goffs0 = np.concatenate([[0], np.cumsum(gcnt)])
-        grow = np.repeat(np.arange(nb), gcnt)
-        gstart = np.arange(G) - np.repeat(goffs0[:-1], gcnt)
-        base = offs[grow] + gstart
-        tk = (base[:, None] + np.arange(K)).ravel()
-        gwords = flat.take(pa.array(tk, pa.int64()))
-        grams = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (G + 1) * K, K, dtype=np.int32)),
-                gwords), " ")
+        from ..functions.text import word_ngrams_batch
+
+        grams, gcnt, grow = word_ngrams_batch(batch["text"], K)
+        if len(grams) == 0:
+            return None, gcnt, batch.num_rows
         return grams, gcnt, grow
 
     # eval gram set: distinct 5-grams of the (tiny) eval split, built via a

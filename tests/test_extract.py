@@ -108,3 +108,37 @@ def test_hashing_fuzz_hypothesis():
         assert len(sig) == 16
 
     check()
+
+
+def test_word_ngrams_batch_matches_naive():
+    """Fuzz the shared n-gram kernel against a naive Python reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from lk_data_test_ray.functions.text import word_ngrams_batch
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.one_of(doc, st.none()), min_size=0, max_size=8),
+           st.integers(min_value=1, max_value=5))
+    def check(docs, k):
+        grams, gcnt, grow = word_ngrams_batch(pa.array(docs, pa.string()), k)
+        want = []
+        for i, d in enumerate(docs):
+            toks = (d or "").split(" ") if d else []
+            # split_pattern_regex("") yields [""] like str.split(" ") does
+            if d == "":
+                toks = [""]
+            for j in range(max(len(toks) - k + 1, 0)):
+                want.append((i, " ".join(toks[j:j + k])))
+        got = list(zip(grow.tolist(), grams.to_pylist()))
+        assert got == want, (docs, k, got, want)
+        assert [c for c in gcnt] == [
+            max((len((d or "").split(" ")) if d else (1 if d == "" else 0))
+                - k + 1, 0) for d in docs]
+
+    check()
