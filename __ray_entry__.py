@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_jsonl_source": q.v_jsonl_source,
         "v_csv_source": q.v_csv_source,
         "a_corr_qty_price": q.a_corr_qty_price,
+        "mm_payload_entropy": q.mm_payload_entropy,
     }
 
 
@@ -843,6 +844,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
+        # mm_payload_entropy (SQL cannot unnest BLOB bytes; numpy-reference
+        # pytest in tests/test_similarity_text.py),
         # t_fingerprint_extra, t_lang_id,
         # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate, pages_links,
         # approx_stats (sketch estimates), td_curate (LSH-dependent funnel),

@@ -129,3 +129,36 @@ def test_ann_ivf_recall():
     hits = sum(len(set(res[res["query_id"] == qi]["neighbor_id"])
                    & set(exact[qi])) for qi in range(10))
     assert hits / 50 > 0.4  # nprobe=4 of 8 cells must beat random by far
+
+
+def test_mm_payload_entropy_matches_reference(ray_session):
+    """Vectorized byte-entropy equals a per-row Python reference."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from lk_data_test_ray.pipelines.queries import mm_payload_entropy
+
+    out = mm_payload_entropy("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0 and out["entropy_bits"].between(0, 8).all()
+    # recompute a sample directly from the fixture bytes
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import _pages_fixture
+    fix = _pages_fixture("/root/testdata/sf0.001")
+    t = pq.read_table(os.path.join(fix, "pages", "part-00000.parquet"),
+                      columns=["url", "html"])
+    got = dict(zip(out["url"], out["entropy_bits"]))
+    checked = 0
+    for u, h in zip(t["url"].to_pylist()[:50], t["html"].to_pylist()[:50]):
+        if h is None:
+            continue
+        c = collections.Counter(h)
+        n = len(h)
+        want = -sum((v / n) * math.log2(v / n) for v in c.values())
+        assert abs(got[u] - want) < 1e-5, u
+        checked += 1
+    assert checked > 30
