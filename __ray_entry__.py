@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_csv_source": q.v_csv_source,
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
+        "a_distinct_users_hll": q.a_distinct_users_hll,
     }
 
 
@@ -844,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
+        # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact
+        # a_distinct_users_per_type in tests/test_sketches.py),
         # mm_payload_entropy (SQL cannot unnest BLOB bytes; numpy-reference
         # pytest in tests/test_similarity_text.py),
         # t_fingerprint_extra, t_lang_id,

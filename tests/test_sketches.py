@@ -117,3 +117,17 @@ def test_grouped_tdigest_quantiles_close_to_exact():
         exact95 = np.quantile(grp["n_chars"], 0.95)
         assert abs(est.loc[lang, "p50_est"] - exact50) / exact50 < 0.1
         assert abs(est.loc[lang, "p95_est"] - exact95) / exact95 < 0.1
+
+
+def test_grouped_hll_within_epsilon_of_exact(ray_session):
+    """Grouped HLL distinct estimate tracks the exact grouped distinct."""
+    from lk_data_test_ray.pipelines.queries import (a_distinct_users_hll,
+                                                    a_distinct_users_per_type)
+
+    sf = "/root/testdata/sf0.001"
+    est = a_distinct_users_hll(sf).to_pandas().set_index("event_type")
+    exact = a_distinct_users_per_type(sf).to_pandas().set_index("event_type")
+    assert set(est.index) == set(exact.index)
+    for t in exact.index:
+        e, x = est.loc[t, "n_users_est"], exact.loc[t, "n_users"]
+        assert abs(e - x) / max(x, 1) < 0.05, (t, e, x)  # p=12 → ~1.6% ε
