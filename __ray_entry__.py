@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
         "a_distinct_users_hll": q.a_distinct_users_hll,
+        "o_stratified_sample": q.o_stratified_sample,
+        "s_embed_dim_stats": q.s_embed_dim_stats,
     }
 
 
@@ -843,6 +845,28 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(l_quantity, l_extendedprice), 6)
                        AS corr_qty_price
             FROM lineitem GROUP BY 1
+        """,
+        "o_stratified_sample": """
+            SELECT doc_id, lang, h FROM (
+                SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rn
+                FROM documents) WHERE rn <= 20
+        """,
+        "s_embed_dim_stats": """
+            WITH v AS (
+                SELECT t.i - 1 AS dim,
+                       list_extract(CAST(embedding AS DOUBLE[]), t.i) AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS t(i)
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(x), 6) AS mean_v,
+                   round(var_pop(x), 6) AS var_v
+            FROM v GROUP BY dim
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact

@@ -1937,3 +1937,74 @@ def a_distinct_users_hll(sf_dir: str) -> rd.Dataset:
 
     return ev.map_batches(partials, batch_format="pyarrow") \
              .groupby("event_type").map_groups(merge, batch_format="pyarrow")
+
+
+def o_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Stratified deterministic sample (fixed n per stratum): the 20
+    documents per lang with the smallest ``md5(doc_id)`` — an
+    engine-neutral rank key (identical bytes in any engine/worker/run,
+    unlike seeded RNG), so the sample is reproducible AND
+    oracle-checkable. One hash exchange + segmented vectorized rank via
+    ``topk_per_key``; the digest is C-level (16 bytes of compute per row)
+    and the exchange moves only (doc_id, lang, h), never document text."""
+    import hashlib
+
+    from ..relational import topk_per_key
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                      for i in batch["doc_id"].to_pylist()], pa.string())
+        return batch.append_column("h", h)
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow")
+    return topk_per_key(keyed, "lang", [("h", False), ("doc_id", False)], 20)
+
+
+def s_embed_dim_stats(sf_dir: str) -> rd.Dataset:
+    """Per-dimension embedding moments (mean / population variance per
+    coordinate) — the normalization statistics a whitening or IVF stage
+    needs before ANN. Map-side: one float64 reduction per batch over the
+    list column's ZERO-COPY flat value buffer (sum, sumsq, n per dim →
+    ndim partial rows); the shuffle then moves ndim rows per block, never
+    a vector. var = E[x²] − E[x]² in float64 matches DuckDB ``var_pop``
+    to 6 decimals."""
+    from ray.data.aggregate import Sum
+
+    emb = read(sf_dir, "embeddings", ["embedding"])
+    out_schema = pa.schema([("dim", pa.int64()), ("s", pa.float64()),
+                            ("s2", pa.float64()), ("n", pa.int64())])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        arr = batch["embedding"].combine_chunks()
+        ndim = len(arr[0])
+        m = np.asarray(arr.values, dtype=np.float64).reshape(-1, ndim)
+        return pa.table({
+            "dim": pa.array(np.arange(ndim, dtype=np.int64)),
+            "s": pa.array(m.sum(axis=0)),
+            "s2": pa.array((m * m).sum(axis=0)),
+            "n": pa.array(np.full(ndim, m.shape[0], dtype=np.int64)),
+        }, schema=out_schema)
+
+    merged = emb.map_batches(partials, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Sum("s", alias_name="s"),
+                                  Sum("s2", alias_name="s2"),
+                                  Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = s2 / n - mean * mean
+        return pa.table({
+            "dim": batch["dim"],
+            "n": batch["n"],
+            "mean_v": pa.array(round_half_away(mean, 6), pa.float64()),
+            "var_v": pa.array(round_half_away(var, 6), pa.float64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")

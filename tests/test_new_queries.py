@@ -34,6 +34,8 @@ NEW_QUERIES = [
     "v_jsonl_source",
     "v_csv_source",
     "a_corr_qty_price",
+    "o_stratified_sample",
+    "s_embed_dim_stats",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
