@@ -69,6 +69,12 @@ def _dd_shingle_jaccard(sf_dir: str):
         k=2, threshold=q.JACCARD_THRESHOLD)
 
 
+def _dd_paragraphs(sf_dir: str):
+    return _dedup.paragraph_dedup(
+        read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        chunk_tokens=10)
+
+
 def _dd_minhash_lsh(sf_dir: str):
     return _dedup.minhash_lsh_pairs(
         read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
@@ -206,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_distinct_users_hll": q.a_distinct_users_hll,
         "o_stratified_sample": q.o_stratified_sample,
         "s_embed_dim_stats": q.s_embed_dim_stats,
+        "dd_paragraphs": _dd_paragraphs,
     }
 
 
@@ -867,6 +874,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(x), 6) AS mean_v,
                    round(var_pop(x), 6) AS var_v
             FROM v GROUP BY dim
+        """,
+        "dd_paragraphs": """
+            WITH ch AS (
+                SELECT d.doc_id, t.i AS ci,
+                       array_to_string(list_slice(
+                           string_split(d.text, ' '),
+                           (t.i - 1) * 10 + 1, t.i * 10), ' ') AS chunk
+                FROM documents d,
+                     unnest(generate_series(1, CAST(ceil(
+                         len(string_split(d.text, ' ')) / 10.0) AS BIGINT)))
+                         AS t(i)
+            ), rk AS (
+                SELECT doc_id, ci, chunk,
+                       row_number() OVER (
+                           PARTITION BY chunk
+                           ORDER BY doc_id, ci) AS rn
+                FROM ch
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                              ORDER BY ci) AS text_deduped
+            FROM rk GROUP BY doc_id
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact

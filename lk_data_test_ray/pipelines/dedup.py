@@ -785,3 +785,113 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 50,
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "cluster": b["label"]}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph/line-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(ds: rd.Dataset, id_col: str, text_col: str,
+                    chunk_tokens: int = 10) -> rd.Dataset:
+    """C4-style line-level exact dedup, on fixed ``chunk_tokens``-token
+    pseudo-paragraphs (the corpus has no newlines; the semantics — explode
+    → global first-wins on content → reassemble in order — are exactly the
+    C4 three-sentence-span / line dedup).
+
+    Per document: split into consecutive ``chunk_tokens``-token chunks; a
+    chunk is kept iff it is the corpus-globally FIRST occurrence of its
+    content, ordered by (doc id, chunk index). Returns one row per document:
+    (id, n_chunks, n_kept, text_deduped) with the kept chunks re-joined in
+    order (NULL when every chunk was a duplicate).
+
+    Scale shape: two hash exchanges and zero per-group Python. Explode is
+    pure Arrow (offsets arithmetic over the token list's flat buffer +
+    ``binary_join``); first-wins is sort-within-partition + a neighbor
+    compare after co-locating equal chunks by content hash; reassembly is
+    a second exchange on doc id + segmented reduceat / list re-join.
+    Chunk text crosses the wire once (unavoidable: the keeper must win by
+    global order, and the output needs the text back).
+    """
+    from ..relational import hash_repartition_map
+
+    C = chunk_tokens
+    lines_schema = pa.schema([(id_col, pa.int64()), ("ci", pa.int64()),
+                              ("chunk", pa.string())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return lines_schema.empty_table()
+        toks = pc.split_pattern(
+            pc.fill_null(batch[text_col], ""), " ").combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        n_chunks = -(-counts // C)          # ceil; '' splits to 1 token
+        total = int(n_chunks.sum())
+        doc_rep = np.repeat(np.arange(len(ids)), n_chunks)
+        ci = np.arange(total) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        starts = offs[doc_rep] + ci * C
+        bounds = np.append(starts, offs[-1]).astype(np.int32)
+        chunk = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(bounds, pa.int32()),
+                                     toks.values), " ")
+        return pa.table({id_col: pa.array(ids[doc_rep], pa.int64()),
+                         "ci": pa.array(ci + 1, pa.int64()),
+                         "chunk": chunk}, schema=lines_schema)
+
+    lines = ds.map_batches(explode, batch_format="pyarrow")
+
+    marked_schema = lines_schema.append(pa.field("keep", pa.bool_()))
+
+    def mark_first(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return marked_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("chunk", "ascending"), (id_col, "ascending"),
+            ("ci", "ascending")])
+        tbl = tbl.take(idx)
+        ch = tbl["chunk"].combine_chunks()
+        n = len(ch)
+        neq = pc.not_equal(ch.slice(1), ch.slice(0, n - 1))
+        keep = pa.concat_arrays([
+            pa.array([True]), neq.combine_chunks() if isinstance(
+                neq, pa.ChunkedArray) else neq])
+        return tbl.append_column("keep", keep)
+
+    marked = hash_repartition_map(lines, "chunk", mark_first)
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_chunks", pa.int64()),
+                            ("n_kept", pa.int64()),
+                            ("text_deduped", pa.string())])
+
+    def assemble(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            (id_col, "ascending"), ("ci", "ascending")])
+        tbl = tbl.take(idx)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        keep = tbl["keep"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ids[1:] != ids[:-1]]))
+        n_chunks = np.diff(np.append(starts, n))
+        n_kept = np.add.reduceat(keep.astype(np.int64), starts)
+        kept_tbl = tbl.filter(pa.array(keep))
+        kept_chunks = kept_tbl["chunk"].combine_chunks()
+        if len(kept_chunks) == 0:
+            kept_chunks = pa.array([], pa.string())
+        offs2 = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs2, pa.int32()),
+                                     kept_chunks), " ")
+        text_dd = pc.if_else(pa.array(n_kept > 0), joined,
+                             pa.scalar(None, pa.string()))
+        return pa.table({id_col: pa.array(ids[starts], pa.int64()),
+                         "n_chunks": pa.array(n_chunks, pa.int64()),
+                         "n_kept": pa.array(n_kept, pa.int64()),
+                         "text_deduped": text_dd}, schema=out_schema)
+
+    return hash_repartition_map(marked, id_col, assemble)

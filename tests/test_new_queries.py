@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "a_corr_qty_price",
     "o_stratified_sample",
     "s_embed_dim_stats",
+    "dd_paragraphs",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
