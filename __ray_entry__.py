@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_stratified_sample": q.o_stratified_sample,
         "s_embed_dim_stats": q.s_embed_dim_stats,
         "dd_paragraphs": _dd_paragraphs,
+        "td_pack": q.td_pack,
     }
 
 
@@ -899,6 +900,27 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                               ORDER BY ci) AS text_deduped
             FROM rk GROUP BY doc_id
+        """,
+        "td_pack": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS nt
+                FROM documents
+            ), c AS (
+                SELECT doc_id, nt,
+                       COALESCE(sum(nt) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM d
+            )
+            SELECT c.doc_id,
+                   t.i AS bin_id,
+                   least(cb + nt, (t.i + 1) * 512)
+                       - greatest(cb, t.i * 512) AS n_tok
+            FROM c, unnest(generate_series(
+                CAST(floor(cb / 512) AS BIGINT),
+                CAST(floor((cb + nt - 1) / 512) AS BIGINT))) AS t(i)
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact

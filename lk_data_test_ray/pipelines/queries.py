@@ -2008,3 +2008,83 @@ def s_embed_dim_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def td_pack(sf_dir: str) -> rd.Dataset:
+    """Sequence packing (GPT-style pretraining batch assembly): lay all
+    documents end-to-end in doc_id order and cut fixed 512-token training
+    bins; a document spanning a cut is split across bins. Output: one row
+    per (document × bin) overlap with the token count it contributes.
+
+    The core is a DISTRIBUTED PREFIX SUM over per-document token counts —
+    no driver-side materialization of the corpus: (1) bucket docs by
+    ``doc_id // 4096``; map-side partial sums per bucket are collected
+    (one tiny row per bucket) and turned into exclusive bucket offsets on
+    the driver; (2) one hash exchange on the bucket id, then per-partition
+    sort + segmented cumsum + the broadcast offset gives every document
+    its exact global token start; bins follow arithmetically (vectorized
+    repeat/clip, no row loop). Driver state is O(n_docs / 4096).
+    """
+    from ..relational import hash_repartition_map
+
+    B = 512          # tokens per packed training sequence
+    R = 4096         # docs per prefix-sum bucket
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        nt = pc.add(pc.count_substring(
+            pc.fill_null(batch["text"], ""), " "), 1)
+        rid = pc.divide(batch["doc_id"], R)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "rid": pc.cast(rid, pa.int64()),
+                         "nt": pc.cast(nt, pa.int64())})
+
+    per_doc = docs.map_batches(counts, batch_format="pyarrow")
+
+    # phase 1: one partial row per (bucket, block) → merged per bucket;
+    # the collect is bounded by n_docs/R rows, never by corpus size
+    from ..relational import collect_tables, partial_groupby_agg
+    bucket_sums = collect_tables(
+        partial_groupby_agg(per_doc, ["rid"], [("nt", "sum", "s")]),
+        pa.schema([("rid", pa.int64()), ("s", pa.int64())]))
+    rids = bucket_sums["rid"].to_numpy(zero_copy_only=False)
+    sums = bucket_sums["s"].to_numpy(zero_copy_only=False)
+    order = np.argsort(rids)
+    max_rid = int(rids[order[-1]]) if len(rids) else 0
+    offsets = np.zeros(max_rid + 2, dtype=np.int64)
+    np.add.at(offsets, rids[order] + 1, sums[order])
+    offsets = np.cumsum(offsets)          # offsets[rid] = tokens before rid
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("bin_id", pa.int64()),
+                            ("n_tok", pa.int64())])
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+        tbl = tbl.take(idx)
+        rid = tbl["rid"].to_numpy(zero_copy_only=False)
+        nt = tbl["nt"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(rid)
+        # segmented exclusive cumsum of nt within each rid segment
+        starts = np.flatnonzero(
+            np.concatenate([[True], rid[1:] != rid[:-1]]))
+        csum = np.concatenate([[0], np.cumsum(nt)[:-1]])
+        seg_base = np.repeat(csum[starts], np.diff(np.append(starts, n)))
+        cb = offsets[rid] + (csum - seg_base)     # global token start
+        lo = cb // B
+        hi = (cb + nt - 1) // B
+        nb = (hi - lo + 1).astype(np.int64)
+        row = np.repeat(np.arange(n), nb)
+        bin_id = np.arange(len(row)) - np.repeat(
+            np.cumsum(nb) - nb, nb) + lo[row]
+        tok = (np.minimum(cb[row] + nt[row], (bin_id + 1) * B)
+               - np.maximum(cb[row], bin_id * B))
+        return pa.table({"doc_id": pa.array(ids[row], pa.int64()),
+                         "bin_id": pa.array(bin_id, pa.int64()),
+                         "n_tok": pa.array(tok, pa.int64())},
+                        schema=out_schema)
+
+    return hash_repartition_map(per_doc, "rid", pack)
