@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_embed_dim_stats": q.s_embed_dim_stats,
         "dd_paragraphs": _dd_paragraphs,
         "td_pack": q.td_pack,
+        "pages_redact": q.pages_redact,
     }
 
 
@@ -642,6 +643,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS n_channels
             FROM read_parquet('{_pages_fixture_glob()}')
             WHERE html IS NOT NULL
+        """,
+        # same RE2 patterns and application order as functions/redact.py —
+        # each count runs on the PREVIOUS replacement's output
+        "pages_redact": f"""
+            WITH s AS (
+                SELECT url, decode(html) AS h0
+                FROM read_parquet('{_pages_fixture_glob()}')
+            ), r1 AS (
+                SELECT url,
+                       len(regexp_extract_all(
+                           h0, 'https?://[^"<\\s]+')) AS n_urls,
+                       regexp_replace(h0, 'https?://[^"<\\s]+',
+                                      '<URL>', 'g') AS h1
+                FROM s
+            ), r2 AS (
+                SELECT url, n_urls,
+                       len(regexp_extract_all(h1,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'
+                           )) AS n_emails,
+                       regexp_replace(h1,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '<EMAIL>', 'g') AS h2
+                FROM r1
+            )
+            SELECT url,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(h2,
+                       '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
+                       AS BIGINT) AS n_ips,
+                   md5(regexp_replace(h2,
+                       '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b',
+                       '<IP>', 'g')) AS redacted_md5
+            FROM r2
         """,
         "m_parse_props": """
             SELECT event_type,

@@ -2088,3 +2088,39 @@ def td_pack(sf_dir: str) -> rd.Dataset:
                         schema=out_schema)
 
     return hash_repartition_map(per_doc, "rid", pack)
+
+
+def pages_redact(sf_dir: str) -> rd.Dataset:
+    """PII / URL redaction over the raw web payloads (standard pre-training
+    scrub): mask URLs, emails and IPv4s in every page's html with
+    vectorized RE2 kernels (``functions.redact``) — the same regex engine
+    DuckDB uses, so the oracle matches byte-for-byte. Output is compact:
+    per-pattern match counts plus an md5 of the redacted payload (content
+    equality without shipping megabytes through the compare)."""
+    import hashlib
+    import os
+
+    from ..functions.redact import redact
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "html"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        # fixture payloads are valid UTF-8 (asserted by the generator's
+        # text mutations staying in ASCII); NULL html stays NULL throughout
+        s = batch["html"].cast(pa.string())
+        out, counts = redact(s)
+        md5s = pa.array(
+            [None if v is None else hashlib.md5(v.encode()).hexdigest()
+             for v in out.to_pylist()], pa.string())
+        return pa.table({
+            "url": batch["url"],
+            "n_urls": counts["url"],
+            "n_emails": counts["email"],
+            "n_ips": counts["ipv4"],
+            "redacted_md5": md5s,
+        })
+
+    return pages.map_batches(scrub, batch_format="pyarrow",
+                             batch_size=4096)

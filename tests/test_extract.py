@@ -142,3 +142,29 @@ def test_word_ngrams_batch_matches_naive():
                 - k + 1, 0) for d in docs]
 
     check()
+
+
+def test_redact_kernels_golden():
+    """Email/IP paths don't occur in the pages fixture — cover them here."""
+    import pyarrow as pa
+
+    from lk_data_test_ray.functions.redact import redact
+
+    col = pa.chunked_array([pa.array([
+        "contact bob@example.com or visit https://a.b/c?d=1 now",
+        "server at 10.0.0.1 and 192.168.1.255 end",
+        None,
+        "no pii here",
+        "http://x.y/z mailto bob.smith+tag@mail.example.org",
+    ])])
+    out, counts = redact(col)
+    assert out.to_pylist() == [
+        "contact <EMAIL> or visit <URL> now",
+        "server at <IP> and <IP> end",
+        None,
+        "no pii here",
+        "<URL> mailto <EMAIL>",
+    ]
+    assert counts["url"].to_pylist() == [1, 0, None, 0, 1]
+    assert counts["email"].to_pylist() == [1, 0, None, 0, 1]
+    assert counts["ipv4"].to_pylist() == [0, 2, None, 0, 0]
