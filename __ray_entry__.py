@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_paragraphs": _dd_paragraphs,
         "td_pack": q.td_pack,
         "pages_redact": q.pages_redact,
+        "o_ntile_price": q.o_ntile_price,
+        "j_fuzzy_name_match": q.j_fuzzy_name_match,
     }
 
 
@@ -935,6 +937,28 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                               ORDER BY ci) AS text_deduped
             FROM rk GROUP BY doc_id
+        """,
+        "j_fuzzy_name_match": """
+            WITH d AS (
+                SELECT s.s_suppkey, s.s_name, c.c_custkey,
+                       levenshtein(s.s_name, c.c_name) AS dist
+                FROM supplier s CROSS JOIN customer c
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY s_suppkey
+                    ORDER BY dist, c_custkey) AS rn
+                FROM d
+            )
+            SELECT s_suppkey, s_name, c_custkey AS best_custkey,
+                   CAST(dist AS BIGINT) AS dist
+            FROM r WHERE rn = 1
+        """,
+        "o_ntile_price": """
+            SELECT o_orderkey,
+                   CAST(ntile(4) OVER (
+                       ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                       AS tile
+            FROM orders
         """,
         "td_pack": """
             WITH d AS (

@@ -2124,3 +2124,111 @@ def pages_redact(sf_dir: str) -> rd.Dataset:
 
     return pages.map_batches(scrub, batch_format="pyarrow",
                              batch_size=4096)
+
+
+def o_ntile_price(sf_dir: str) -> rd.Dataset:
+    """Global window rank (NTILE(4) over every order by price): the
+    distributed exact-rank operator — no single node ever sees the whole
+    sort. Same two-phase prefix-sum shape as ``td_pack``: coarse value
+    buckets (fixed 50k price bands) → per-bucket counts collected (one
+    tiny row per band) → exclusive offsets on the driver → one exchange
+    on the band + ONE sort per partition; a row's global rank is
+    band offset + its index inside the band, and the tile follows from
+    DuckDB's ntile split (first N%k tiles get one extra row). At
+    production scale the fixed bands become sampled range boundaries —
+    the phases don't change."""
+    from ..relational import (collect_tables, hash_repartition_map,
+                              partial_groupby_agg)
+
+    K = 4
+    W = 50_000.0
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        b = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) / W)
+        return batch.append_column("band", pa.array(b.astype(np.int64)))
+
+    banded = orders.map_batches(bucketed, batch_format="pyarrow")
+    counts = collect_tables(
+        partial_groupby_agg(banded, ["band"],
+                            [("o_orderkey", "count", "n")]),
+        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
+    bands = counts["band"].to_numpy(zero_copy_only=False)
+    ns = counts["n"].to_numpy(zero_copy_only=False)
+    max_band = int(bands.max()) if len(bands) else 0
+    offsets = np.zeros(max_band + 2, dtype=np.int64)
+    np.add.at(offsets, bands + 1, ns)
+    offsets = np.cumsum(offsets)
+    N = int(offsets[-1])
+    base, rem = divmod(N, K)
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("tile", pa.int64())])
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("band", "ascending"), ("o_totalprice", "ascending"),
+            ("o_orderkey", "ascending")])
+        tbl = tbl.take(idx)
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        n = len(band)
+        starts = np.flatnonzero(
+            np.concatenate([[True], band[1:] != band[:-1]]))
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        r = offsets[band] + (np.arange(n) - seg_start)   # 0-based global
+        cut = rem * (base + 1)
+        tile = np.where(r < cut, r // max(base + 1, 1),
+                        rem + (r - cut) // max(base, 1)) + 1
+        return pa.table({"o_orderkey": tbl["o_orderkey"],
+                         "tile": pa.array(tile.astype(np.int64))},
+                        schema=out_schema)
+
+    return hash_repartition_map(banded, "band", rank)
+
+
+def j_fuzzy_name_match(sf_dir: str) -> rd.Dataset:
+    """Fuzzy (string-similarity) join: each supplier's closest customer
+    name by edit distance, ties broken by smallest custkey — the entity-
+    resolution shape. No pair shuffle: the small side broadcasts once,
+    each probe batch computes a full pair-grid levenshtein with the DP
+    vectorized across every pair (``functions.strings``), and only ONE
+    partial row per (supplier × batch) leaves the task — (dist, custkey)
+    packed into a single int64 so the global argmin is a built-in
+    vectorized ``Min``, never a per-group Python call."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..functions.strings import levenshtein_matrix
+
+    sup = read_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    ref = ray.put(sup)
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sup_t = ray.get(ref)                      # zero-copy plasma read
+        D = levenshtein_matrix(sup_t["s_name"].to_pylist(),
+                               batch["c_name"].to_pylist())
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        rank = (D.astype(np.int64) << np.int64(32)) + ck[None, :]
+        return pa.table({"s_suppkey": sup_t["s_suppkey"],
+                         "rank": pa.array(rank.min(axis=1), pa.int64())})
+
+    partials = cust.map_batches(partial, batch_format="pyarrow",
+                                batch_size=2048)
+    merged = partials.groupby("s_suppkey").aggregate(
+        Min("rank", alias_name="rank"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        idx = pc.index_in(batch["s_suppkey"], value_set=sup["s_suppkey"])
+        return pa.table({
+            "s_suppkey": batch["s_suppkey"],
+            "s_name": pc.take(sup["s_name"], idx),
+            "best_custkey": pa.array(r & np.int64(0xFFFFFFFF), pa.int64()),
+            "dist": pa.array(r >> np.int64(32), pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")

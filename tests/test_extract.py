@@ -168,3 +168,27 @@ def test_redact_kernels_golden():
     assert counts["url"].to_pylist() == [1, 0, None, 0, 1]
     assert counts["email"].to_pylist() == [1, 0, None, 0, 1]
     assert counts["ipv4"].to_pylist() == [0, 2, None, 0, 0]
+
+
+def test_levenshtein_matrix_vs_duckdb():
+    """Fuzz the vectorized pair-grid DP against DuckDB's levenshtein."""
+    import duckdb
+    import numpy as np
+
+    from lk_data_test_ray.functions.strings import levenshtein_matrix
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdeXYZ #019")
+    def rand_name():
+        n = int(rng.integers(0, 12))
+        return "".join(rng.choice(alphabet, size=n))
+
+    a = [rand_name() for _ in range(23)] + ["", "kitten"]
+    b = [rand_name() for _ in range(31)] + ["", "sitting"]
+    got = levenshtein_matrix(a, b)
+    con = duckdb.connect()
+    for i, s in enumerate(a):
+        for j, t in enumerate(b):
+            want = con.execute(
+                "SELECT levenshtein(?, ?)", [s, t]).fetchone()[0]
+            assert got[i, j] == want, (s, t, got[i, j], want)

@@ -38,6 +38,8 @@ NEW_QUERIES = [
     "s_embed_dim_stats",
     "dd_paragraphs",
     "td_pack",
+    "o_ntile_price",
+    "j_fuzzy_name_match",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
