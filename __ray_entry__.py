@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_redact": q.pages_redact,
         "o_ntile_price": q.o_ntile_price,
         "j_fuzzy_name_match": q.j_fuzzy_name_match,
+        "t_top_tokens_approx": q.t_top_tokens_approx,
     }
 
 
@@ -419,6 +420,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 20
+        """,
+        # the corpus vocabulary (31 tokens) is far below the sketch's
+        # m=128, so the heavy-hitter bounds are tight (lo = hi = exact)
+        # and the approximate query is fully oracle-checkable here; the
+        # truncation/bound path is exercised on synthetic Zipf data in
+        # tests/test_sketches.py
+        "t_top_tokens_approx": f"""
+            SELECT token, CAST(n AS BIGINT) AS n_lo, CAST(n AS BIGINT) AS n_hi
+            FROM (SELECT token, count(*) AS n
+                  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+                  GROUP BY token
+                  ORDER BY n DESC, token ASC
+                  LIMIT 20)
         """,
         "v_events_ts_range": """
             SELECT event_id, ts FROM events

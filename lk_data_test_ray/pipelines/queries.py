@@ -2232,3 +2232,40 @@ def j_fuzzy_name_match(sf_dir: str) -> rd.Dataset:
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def t_top_tokens_approx(sf_dir: str) -> pa.Table:
+    """Approximate corpus top-20 tokens via the mergeable heavy-hitters
+    sketch (``sketches.topk``): each block reduces to ONE constant-size
+    partial (its exact local top-128 + residual bound) — at 10^12 tokens
+    this moves a few KB per block where the exact path
+    (``t_top_tokens``) shuffles every distinct token. The merged sketch
+    carries per-item [lo, hi] count bounds; tests assert the exact
+    top-20 is contained and every bound brackets the true count."""
+    from ..sketches import ApproxTopK
+
+    docs = read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # import inside the task so cloudpickle ships a module REFERENCE,
+        # not the class by value (by-value cost ≈ 3.6 s/run, measured)
+        from lk_data_test_ray.sketches import ApproxTopK as _ATK
+
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+"))
+        vc = toks.value_counts()
+        sk = _ATK.from_counts(
+            vc.field("values").to_numpy(zero_copy_only=False),
+            vc.field("counts").to_numpy(zero_copy_only=False), m=128)
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+
+    blobs = docs.map_batches(partial, batch_format="pyarrow") \
+                .take_all()                      # one small blob per block
+    merged = ApproxTopK.merge_many(
+        [ApproxTopK.from_bytes(r["sketch"]) for r in blobs])
+    rows = merged.top(20)
+    return pa.table({
+        "token": pa.array([r[0] for r in rows], pa.string()),
+        "n_lo": pa.array([r[1] for r in rows], pa.int64()),
+        "n_hi": pa.array([r[2] for r in rows], pa.int64()),
+    })

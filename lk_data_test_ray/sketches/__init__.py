@@ -1,3 +1,4 @@
 from .hll import HyperLogLog  # noqa: F401
 from .bloom import BloomFilter  # noqa: F401
 from .tdigest import TDigest  # noqa: F401
+from .topk import ApproxTopK  # noqa: F401

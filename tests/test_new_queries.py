@@ -40,6 +40,7 @@ NEW_QUERIES = [
     "td_pack",
     "o_ntile_price",
     "j_fuzzy_name_match",
+    "t_top_tokens_approx",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by

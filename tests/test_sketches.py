@@ -131,3 +131,51 @@ def test_grouped_hll_within_epsilon_of_exact(ray_session):
     for t in exact.index:
         e, x = est.loc[t, "n_users_est"], exact.loc[t, "n_users"]
         assert abs(e - x) / max(x, 1) < 0.05, (t, e, x)  # p=12 → ~1.6% ε
+
+
+def test_approx_topk_bounds_and_recovery():
+    """Heavy-hitter sketch on Zipf data WITH truncation: merged bounds
+    must bracket every true count, and the well-separated head must be
+    recovered exactly."""
+    import numpy as np
+
+    from lk_data_test_ray.sketches import ApproxTopK
+
+    rng = np.random.default_rng(11)
+    # 2000 distinct items, Zipf-ish: item i has weight ~ 1/(i+1)
+    n_items = 2000
+    weights = 1.0 / np.arange(1, n_items + 1)
+    weights /= weights.sum()
+    stream = rng.choice(n_items, size=200_000, p=weights)
+    true = np.bincount(stream, minlength=n_items)
+
+    # split into 40 blocks, sketch each with m=64 (heavy truncation)
+    sketches = []
+    for blk in np.array_split(stream, 40):
+        items, counts = np.unique(blk, return_counts=True)
+        sketches.append(ApproxTopK.from_counts(
+            items.astype(str).astype(object), counts, m=64))
+    merged = ApproxTopK.merge_many(sketches)
+
+    for it, lo, hi in zip(merged.items, merged.lo, merged.hi):
+        t = int(true[int(it)])
+        assert lo <= t <= hi, (it, lo, t, hi)
+
+    # head items whose true count clears the sketch's residual bound by
+    # a margin must be present and correctly ordered among themselves
+    top = merged.top(10)
+    got_head = [int(t[0]) for t in top[:5]]
+    assert got_head == list(np.argsort(-true, kind="stable")[:5])
+
+
+def test_approx_topk_exact_when_no_truncation():
+    import numpy as np
+
+    from lk_data_test_ray.sketches import ApproxTopK
+
+    s1 = ApproxTopK.from_counts(np.array(["a", "b", "c"], object),
+                                np.array([5, 3, 1]), m=16)
+    s2 = ApproxTopK.from_counts(np.array(["b", "d"], object),
+                                np.array([4, 2]), m=16)
+    m = ApproxTopK.merge_many([s1, s2])
+    assert m.top(4) == [("b", 7, 7), ("a", 5, 5), ("d", 2, 2), ("c", 1, 1)]
