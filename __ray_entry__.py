@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_ntile_price": q.o_ntile_price,
         "j_fuzzy_name_match": q.j_fuzzy_name_match,
         "t_top_tokens_approx": q.t_top_tokens_approx,
+        "s_label_centroids": q.s_label_centroids,
+        "a_median_price_exact": q.a_median_price_exact,
+        "t_top_bigrams": q.t_top_bigrams,
+        "e_daily_dense": q.e_daily_dense,
     }
 
 
@@ -913,6 +917,43 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
                                     doc_id ASC) AS rn
                 FROM documents) WHERE rn <= 20
+        """,
+        "a_median_price_exact": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(median(o_totalprice), 2) AS median_price
+            FROM orders
+        """,
+        "t_top_bigrams": f"""
+            SELECT bigram, count(*) AS n FROM (
+                SELECT list_extract(toks, t.i) || ' '
+                       || list_extract(toks, t.i + 1) AS bigram
+                FROM (SELECT {_TOKS} AS toks FROM documents) d,
+                     unnest(generate_series(1, len(toks) - 1)) AS t(i)
+            ) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+        """,
+        "e_daily_dense": """
+            WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                              max(CAST(ts AS DATE)) AS hi FROM events),
+            spine AS (SELECT unnest(generate_series(
+                CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                INTERVAL 1 DAY)) AS day FROM b),
+            c AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+                  FROM events GROUP BY 1)
+            SELECT s.day AS day, COALESCE(c.n, 0) AS n
+            FROM spine s LEFT JOIN c ON s.day = c.day
+        """,
+        "s_label_centroids": """
+            WITH v AS (
+                SELECT label, t.i - 1 AS dim,
+                       list_extract(CAST(embedding AS DOUBLE[]), t.i) AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS t(i)
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(x), 6) AS centroid_v
+            FROM v GROUP BY label, dim
         """,
         "s_embed_dim_stats": """
             WITH v AS (

@@ -2269,3 +2269,173 @@ def t_top_tokens_approx(sf_dir: str) -> pa.Table:
         "n_lo": pa.array([r[1] for r in rows], pa.int64()),
         "n_hi": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def s_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroids (one k-means M-step / class
+    prototypes): map-side float64 (sum, n) partials per (label, dim) from
+    the list column's zero-copy value buffer — the shuffle moves
+    n_labels × ndim partial rows per block, never a vector — then a tiny
+    groupby merge. Same moment-partial shape as ``s_embed_dim_stats``
+    but keyed, exercising the grouped vector aggregate."""
+    from ray.data.aggregate import Sum
+
+    emb = read(sf_dir, "embeddings", ["label", "embedding"])
+    part_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        arr = batch["embedding"].combine_chunks()
+        ndim = len(arr[0])
+        m = np.asarray(arr.values, dtype=np.float64).reshape(-1, ndim)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), ndim), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        L = len(uniq)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, ndim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(ndim, dtype=np.int64), L)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, ndim), pa.int64()),
+        }, schema=part_schema)
+
+    merged = emb.map_batches(partials, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(Sum("s", alias_name="s"),
+                                             Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "label": batch["label"], "dim": batch["dim"],
+            "n": batch["n"],
+            "centroid_v": pa.array(round_half_away(s / n, 6), pa.float64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def a_median_price_exact(sf_dir: str) -> pa.Table:
+    """EXACT global median (interpolated, DuckDB ``median`` semantics) —
+    the order-statistic complement of the t-digest sketch: value-band
+    prefix sums locate the two middle ranks' bands (the ``o_ntile_price``
+    machinery), then only the owning partitions sort and extract one
+    value each. No node ever holds the full column; the driver sees two
+    numbers."""
+    from ..relational import (collect_tables, hash_repartition_map,
+                              partial_groupby_agg)
+
+    W = 50_000.0
+    orders = read(sf_dir, "orders", ["o_totalprice"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        b = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) / W)
+        return batch.append_column("band", pa.array(b.astype(np.int64)))
+
+    banded = orders.map_batches(bucketed, batch_format="pyarrow")
+    counts = collect_tables(
+        partial_groupby_agg(banded, ["band"],
+                            [("o_totalprice", "count", "n")]),
+        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
+    bands = counts["band"].to_numpy(zero_copy_only=False)
+    ns = counts["n"].to_numpy(zero_copy_only=False)
+    max_band = int(bands.max()) if len(bands) else 0
+    offsets = np.zeros(max_band + 2, dtype=np.int64)
+    np.add.at(offsets, bands + 1, ns)
+    offsets = np.cumsum(offsets)
+    N = int(offsets[-1])
+    targets = sorted({(N - 1) // 2, N // 2})
+
+    out_schema = pa.schema([("r", pa.int64()), ("v", pa.float64())])
+
+    def extract(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        mine = [t for t in targets
+                if (band == np.searchsorted(offsets, t, "right") - 1).any()]
+        if not mine:
+            return out_schema.empty_table()
+        order = np.lexsort((tbl["o_totalprice"].to_numpy(
+            zero_copy_only=False), band))
+        v = tbl["o_totalprice"].to_numpy(zero_copy_only=False)[order]
+        b_sorted = band[order]
+        rows = []
+        for t in mine:
+            tb = int(np.searchsorted(offsets, t, "right") - 1)
+            local = t - int(offsets[tb])
+            seg = np.flatnonzero(b_sorted == tb)
+            rows.append((t, float(v[seg[local]])))
+        return pa.table({"r": pa.array([r for r, _ in rows], pa.int64()),
+                         "v": pa.array([x for _, x in rows], pa.float64())},
+                        schema=out_schema)
+
+    got = collect_tables(hash_repartition_map(banded, "band", extract),
+                         out_schema)
+    vals = dict(zip(got["r"].to_pylist(), got["v"].to_pylist()))
+    med = (vals[targets[0]] + vals[targets[-1]]) / 2.0
+    return pa.table({
+        "n": pa.array([N], pa.int64()),
+        "median_price": pa.array(
+            [float(round_half_away(np.array([med]), 2)[0])], pa.float64()),
+    })
+
+
+def t_top_bigrams(sf_dir: str) -> rd.Dataset:
+    """Corpus bigram counts, top 20 (n-gram language-model counts): the
+    shared vectorized word-n-gram kernel explodes each block, map-side
+    partials combine, distributed top-k with deterministic tiebreak —
+    the `t_top_tokens` shape one n up."""
+    from ..functions.text import word_ngrams_batch
+
+    docs = read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, _, _ = word_ngrams_batch(batch["text"], 2)
+        return pa.table({"bigram": grams,
+                         "one": pa.array(np.ones(len(grams), np.int64))})
+
+    counts = partial_groupby_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["bigram"], [("one", "count", "n")])
+    return topk(counts, [("n", True), ("bigram", False)], 20)
+
+
+def e_daily_dense(sf_dir: str) -> rd.Dataset:
+    """Calendar densification (gap fill): events per day INCLUDING
+    zero-event days — grouped day counts left-joined onto the full
+    generated day range. The day spine is tiny (one row per day) and
+    broadcast; counts come from map-side partials, so nothing reshuffles
+    the events."""
+    ev = read(sf_dir, "events", ["ts"])
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        return pa.table({"day": pc.cast(d, pa.timestamp("us"))})
+
+    days = partial_groupby_agg(
+        ev.map_batches(day_of, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["day"], [("one", "count", "n")])
+
+    # driver-side tiny spine from the observed min/max day
+    got = days.take_all()
+    have = {r["day"]: r["n"] for r in got}
+    lo = min(have) if have else None
+    hi = max(have) if have else None
+    if lo is None:
+        return rd.from_arrow(pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "n": pa.array([], pa.int64())}))
+    days_np = np.arange(np.datetime64(lo, "D"),
+                        np.datetime64(hi, "D") + np.timedelta64(1, "D"))
+    spine = pa.array(days_np.astype("datetime64[us]"), pa.timestamp("us"))
+    n = pa.array([have.get(d.as_py(), 0) for d in spine], pa.int64())
+    return rd.from_arrow(pa.table({"day": spine, "n": n}))

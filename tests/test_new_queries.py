@@ -41,6 +41,10 @@ NEW_QUERIES = [
     "o_ntile_price",
     "j_fuzzy_name_match",
     "t_top_tokens_approx",
+    "s_label_centroids",
+    "a_median_price_exact",
+    "t_top_bigrams",
+    "e_daily_dense",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
