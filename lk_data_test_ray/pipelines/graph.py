@@ -8,7 +8,10 @@ the link graph — the web-corpus ranking signal a curation pipeline feeds).
 Simplified (dangling mass dropped) power iteration:
     r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u) / outdeg(u)
 
-Two execution shapes, chosen by node count:
+Three execution shapes, chosen by graph size:
+  * ``local`` — the EDGE set fits the driver: collect once,
+    dictionary-encode nodes, power-iterate with np.bincount.  Avoids the
+    per-iteration streaming-executor floor entirely.
   * ``broadcast`` — ranks fit in one table: per iteration ONE streaming
     pass over the (materialized) edge set with the rank/outdeg map
     broadcast via the closure; contributions reduced map-side
@@ -32,9 +35,41 @@ from ..relational import (drop_empty_blocks, join_partitions,
 def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
              damping: float = 0.85, iters: int = 5,
              mode: str = "auto", broadcast_max_nodes: int = 5_000_000,
+             local_max_edges: int = 5_000_000,
              round_digits: int = 6) -> pa.Table:
     """Returns (node, rank) for every node in src ∪ dst, ranks rounded."""
     edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    # Tiny graphs (edge set fits the driver): every extra Dataset execution
+    # costs a ~1s streaming-executor floor, so 5 iterations × 2 executions
+    # dominates wall time.  Collect the edge list ONCE, dictionary-encode
+    # nodes to int32, and power-iterate with np.bincount — identical numbers
+    # (property-tested against broadcast/shuffle in tests/test_graph.py).
+    if mode == "auto" and edges.count() <= local_max_edges:
+        mode = "local"
+    if mode == "local":
+        et = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=None))
+        n_edges = et.num_rows
+        combined = pa.chunked_array(
+            [et[src_col].combine_chunks(), et[dst_col].combine_chunks()])
+        denc = combined.combine_chunks().dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        node_arr = denc.dictionary
+        n = len(node_arr)
+        si, di = codes[:n_edges], codes[n_edges:]
+        outdeg = np.bincount(si, minlength=n).astype(np.float64)
+        base = (1.0 - damping) / n
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.bincount(di, weights=r[si] / outdeg[si],
+                                  minlength=n)
+            r = base + damping * contrib
+        return pa.table({
+            "node": pa.array(node_arr, node_arr.type),
+            "rank": pa.array(round_half_away(r, round_digits),
+                             pa.float64()),
+        })
 
     # node set + out-degrees (map-side partials; the shuffle moves one row
     # per (node, batch))

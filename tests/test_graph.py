@@ -36,11 +36,15 @@ def test_pagerank_modes_agree(ray_session):
                      mode="broadcast", round_digits=9)
     shuf = pagerank(rd.from_arrow(tbl), "src", "dst", iters=5,
                     mode="shuffle", round_digits=9)
+    loc = pagerank(rd.from_arrow(tbl), "src", "dst", iters=5,
+                   mode="local", round_digits=9)
     b = dict(zip(bcast["node"].to_pylist(), bcast["rank"].to_pylist()))
     s = dict(zip(shuf["node"].to_pylist(), shuf["rank"].to_pylist()))
-    assert set(b) == set(s) == {0, 1, 2, 3, 4}
+    l = dict(zip(loc["node"].to_pylist(), loc["rank"].to_pylist()))
+    assert set(b) == set(s) == set(l) == {0, 1, 2, 3, 4}
     for u in b:
         assert abs(b[u] - s[u]) < 1e-8, (u, b[u], s[u])
+        assert abs(b[u] - l[u]) < 1e-8, (u, b[u], l[u])
 
     edges = list(zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()))
     want = _dense_pagerank(edges, 5)
