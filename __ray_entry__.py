@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_rules_demo": q.v_rules_demo,
         "e_asof_last_order": q.e_asof_last_order,
         "j_range_quantity_bands": q.j_range_quantity_bands,
+        "j_bucketed_orders": q.j_bucketed_orders,
         "dd_clusters": q.dd_clusters,
         # pages flagship + multimodal + sketches (rows-only)
         "pages_validate": q.pages_validate,
@@ -580,6 +581,12 @@ def oracle_sql() -> dict[str, str]:
                          (20.0, 35.0, 'medium'), (35.0, 51.0, 'large'))
                  b(lo, hi, band)
               ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+            GROUP BY 1
+        """,
+        "j_bucketed_orders": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
         "e_asof_last_order": """

@@ -298,7 +298,10 @@ def minhash_lsh_pairs(
     # same pair can surface from several bands → keep max estimate, dedup
     uniq = partial_groupby_agg(pairs, ["id_a", "id_b"],
                                [("est_jaccard", "max", "est_jaccard")])
-    return uniq.filter(lambda r: r["est_jaccard"] >= threshold)
+    return uniq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["est_jaccard"],
+                                            pa.scalar(float(threshold)))),
+        batch_format="pyarrow")
 
 
 def _combined_key(band: np.ndarray, bkey: np.ndarray) -> np.ndarray:

@@ -2439,3 +2439,37 @@ def e_daily_dense(sf_dir: str) -> rd.Dataset:
     spine = pa.array(days_np.astype("datetime64[us]"), pa.timestamp("us"))
     n = pa.array([have.get(d.as_py(), 0) for d in spine], pa.int64())
     return rd.from_arrow(pa.table({"day": spine, "n": n}))
+
+
+def j_bucketed_orders(sf_dir: str) -> rd.Dataset:
+    """Shuffle-free co-bucketed join (SMB pattern): orders and customer are
+    each written ONCE hash-bucketed on custkey, then joined bucket-by-bucket
+    as independent tasks — no all-to-all exchange, resumable per bucket
+    (``pipelines/bucketed.py``).  Per-nation order count + revenue proves
+    value-level parity against the plain SQL join."""
+    import os
+    import shutil
+
+    from .bucketed import bucket_write, bucketed_join
+
+    n_buckets = 8
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    root = f"/tmp/lk_out/bucketed_{os.path.basename(os.path.normpath(sf_dir))}"
+    odir, cdir = os.path.join(root, "orders"), os.path.join(root, "customer")
+    shutil.rmtree(root, ignore_errors=True)
+    bucket_write(orders, "o_custkey", odir, n_buckets=n_buckets)
+    bucket_write(cust, "c_custkey", cdir, n_buckets=n_buckets)
+
+    joined = bucketed_join(odir, cdir, "o_custkey", "c_custkey",
+                           n_buckets=n_buckets)
+    agg = partial_groupby_agg(joined, ["c_nationkey"],
+                              [("o_totalprice", "count", "n_orders"),
+                               ("o_totalprice", "sum", "sum_price")])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_nationkey": b["c_nationkey"],
+            "n_orders": b["n_orders"],
+            "sum_price": pc.round(b["sum_price"], ndigits=2,
+                                  round_mode="half_towards_infinity"),
+        }), batch_format="pyarrow")
