@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_label_centroids": q.s_label_centroids,
         "a_median_price_exact": q.a_median_price_exact,
         "t_top_bigrams": q.t_top_bigrams,
+        "t_bigram_lm_score": q.t_bigram_lm_score,
         "e_daily_dense": q.e_daily_dense,
     }
 
@@ -937,6 +938,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT {_TOKS} AS toks FROM documents) d,
                      unnest(generate_series(1, len(toks) - 1)) AS t(i)
             ) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+        """,
+        "t_bigram_lm_score": f"""
+            WITH toks AS (
+                SELECT doc_id, list_extract(tk, t.i) AS w1,
+                       list_extract(tk, t.i + 1) AS w2
+                FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
+                     unnest(generate_series(1, len(tk) - 1)) AS t(i)
+            ),
+            uni AS (
+                SELECT tok, count(*) AS cu FROM (
+                    SELECT unnest(tk) AS tok
+                    FROM (SELECT {_TOKS} AS tk FROM documents))
+                GROUP BY tok
+            ),
+            v AS (SELECT count(*) AS vs FROM uni),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM toks GROUP BY 1, 2)
+            SELECT b.doc_id,
+                   round(avg(ln((bc.cb + 0.5) / (u.cu + 0.5 * v.vs))), 6)
+                       AS avg_lp
+            FROM toks b
+            JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+            JOIN uni u ON b.w1 = u.tok
+            CROSS JOIN v
+            GROUP BY b.doc_id
         """,
         "e_daily_dense": """
             WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,

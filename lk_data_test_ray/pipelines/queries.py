@@ -2473,3 +2473,86 @@ def j_bucketed_orders(sf_dir: str) -> rd.Dataset:
             "sum_price": pc.round(b["sum_price"], ndigits=2,
                                   round_mode="half_towards_infinity"),
         }), batch_format="pyarrow")
+
+
+def t_bigram_lm_score(sf_dir: str) -> rd.Dataset:
+    """Bigram language-model quality score (perplexity-style): train add-k
+    smoothed bigram/unigram counts on the WHOLE corpus (map-side partials),
+    then score every document as the mean log-prob of its bigrams,
+    lp(w1,w2) = ln((c(w1,w2)+0.5) / (c(w1)+0.5·V)).  The model lives in two
+    count TABLES joined back by hash exchange — the vocabulary is unbounded
+    at corpus scale, so the model is never a driver/broadcast dict (the
+    `t_tfidf_top` discipline).  Reference analog: the frequency-counter
+    reports of ``curation/check_fackel_references.py:32-60`` upgraded to a
+    trained scoring model — the LLM-pipeline "quality score" signal."""
+    from ..functions.text import word_ngrams_batch
+    from ..relational import drop_empty_blocks
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_bi(batch: pa.Table) -> pa.Table:
+        grams, _, grow = word_ngrams_batch(batch["text"], 2)
+        split = pc.split_pattern(grams, " ", max_splits=1)
+        return pa.table({
+            "doc_id": batch["doc_id"].take(pa.array(grow, pa.int64())),
+            "bigram": grams,
+            "w1": pc.list_element(split, 0) if len(grams)
+            else pa.array([], pa.string()),
+        })
+
+    bi = docs.map_batches(explode_bi, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column("one", pa.array(
+            np.ones(b.num_rows, np.int64))), batch_format="pyarrow")
+    # compress instances to a (doc_id, bigram) tf table BEFORE any join: at
+    # corpus scale the joins then move per-doc-distinct counts, not every
+    # bigram instance.  Materialized once — tf feeds both the bigram-count
+    # train pass and the scoring join.
+    tf = partial_groupby_agg(bi, ["doc_id", "bigram", "w1"],
+                             [("one", "count", "m")]).materialize()
+
+    def explode_uni(batch: pa.Table) -> pa.Table:
+        grams, _, _ = word_ngrams_batch(batch["text"], 1)
+        return pa.table({"tok": grams,
+                         "one": pa.array(np.ones(len(grams), np.int64))})
+
+    uc = partial_groupby_agg(
+        docs.map_batches(explode_uni, batch_format="pyarrow"),
+        ["tok"], [("one", "count", "cu")]).materialize()
+    vocab_size = uc.count()
+
+    bc = partial_groupby_agg(
+        tf.select_columns(["bigram", "m"]),
+        ["bigram"], [("m", "sum", "cb")]).map_batches(
+        lambda b: b.select(["bigram", "cb"]).rename_columns(
+            ["bigram_r", "cb"]), batch_format="pyarrow")
+    ucr = uc.map_batches(
+        lambda b: b.select(["tok", "cu"]).rename_columns(["w1_r", "cu"]),
+        batch_format="pyarrow")
+
+    nparts = join_partitions(tf)
+    j = drop_empty_blocks(tf).join(
+        drop_empty_blocks(bc), join_type="inner", num_partitions=nparts,
+        on=("bigram",), right_on=("bigram_r",))
+    j = drop_empty_blocks(j).join(
+        drop_empty_blocks(ucr), join_type="inner", num_partitions=nparts,
+        on=("w1",), right_on=("w1_r",))
+
+    def lp(batch: pa.Table, vs=vocab_size) -> pa.Table:
+        cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = batch["cu"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = batch["m"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lv = np.log((cb + 0.5) / (cu + 0.5 * vs))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lp": pa.array(m * lv, pa.float64()),
+                         "m": batch["m"]})
+
+    agg = partial_groupby_agg(j.map_batches(lp, batch_format="pyarrow"),
+                              ["doc_id"],
+                              [("lp", "sum", "s"), ("m", "sum", "n")])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "avg_lp": pc.round(
+                pc.divide(b["s"], pc.cast(b["n"], pa.float64())),
+                ndigits=6, round_mode="half_towards_infinity"),
+        }), batch_format="pyarrow")
