@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_median_price_exact": q.a_median_price_exact,
         "t_top_bigrams": q.t_top_bigrams,
         "t_bigram_lm_score": q.t_bigram_lm_score,
+        "e_funnel": q.e_funnel,
         "e_daily_dense": q.e_daily_dense,
     }
 
@@ -962,6 +963,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u ON b.w1 = u.tok
             CROSS JOIN v
             GROUP BY b.doc_id
+        """,
+        "e_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY 1)
+            SELECT v.user_id, v.t1 AS ts_view, c.t2 AS ts_click,
+                   p.t3 AS ts_purchase
+            FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+            WHERE p.t3 - v.t1 <= INTERVAL 7 DAY
         """,
         "e_daily_dense": """
             WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,

@@ -2556,3 +2556,57 @@ def t_bigram_lm_score(sf_dir: str) -> rd.Dataset:
                 pc.divide(b["s"], pc.cast(b["n"], pa.float64())),
                 ndigits=6, round_mode="half_towards_infinity"),
         }), batch_format="pyarrow")
+
+
+def e_funnel(sf_dir: str) -> rd.Dataset:
+    """Three-step event funnel (view → click → purchase, each step strictly
+    after the previous, completed within 7 days of the first view): the
+    sequential-pattern operator every event pipeline needs and SQL needs
+    three self-joins for.  Scale shape: ONE hash exchange on user_id, then
+    per partition one sort + segmented ``np.minimum.reduceat`` passes — no
+    per-user Python, wall time independent of user count (the
+    ``e_sessionize`` discipline)."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    window_us = 7 * 86_400 * 1_000_000
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("ts_view", pa.timestamp("us")),
+                            ("ts_click", pa.timestamp("us")),
+                            ("ts_purchase", pa.timestamp("us"))])
+
+    def funnel_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        brk = uid[1:] != uid[:-1]
+        starts = np.concatenate([[0], np.nonzero(brk)[0] + 1])
+        seg = np.cumsum(np.concatenate([[0], brk.astype(np.int64)]))
+        INF = np.iinfo(np.int64).max
+        t1 = np.minimum.reduceat(np.where(et == "view", ts, INF), starts)
+
+        def first_after(kind: str, after: np.ndarray) -> np.ndarray:
+            # per-segment "after" broadcast row-wise; ts > INF is never true,
+            # so an incomplete previous step poisons this one too
+            v = np.where((et == kind) & (ts > after[seg]), ts, INF)
+            return np.minimum.reduceat(v, starts)
+
+        t2 = first_after("click", t1)
+        t3 = first_after("purchase", t2)
+        ok = (t3 != INF) & (t3 - np.where(t1 == INF, 0, t1) <= window_us)
+        return pa.table({
+            "user_id": pa.array(uid[starts][ok], pa.int64()),
+            "ts_view": pa.array(t1[ok].astype("datetime64[us]"),
+                                pa.timestamp("us")),
+            "ts_click": pa.array(t2[ok].astype("datetime64[us]"),
+                                 pa.timestamp("us")),
+            "ts_purchase": pa.array(t3[ok].astype("datetime64[us]"),
+                                    pa.timestamp("us")),
+        })
+
+    return hash_repartition_map(ev, "user_id", funnel_partition)
