@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_bigrams": q.t_top_bigrams,
         "t_bigram_lm_score": q.t_bigram_lm_score,
         "e_funnel": q.e_funnel,
+        "v_snapshot_diff": q.v_snapshot_diff,
         "e_daily_dense": q.e_daily_dense,
     }
 
@@ -979,6 +980,24 @@ def oracle_sql() -> dict[str, str]:
                    p.t3 AS ts_purchase
             FROM v JOIN c USING (user_id) JOIN p USING (user_id)
             WHERE p.t3 - v.t1 <= INTERVAL 7 DAY
+        """,
+        "v_snapshot_diff": """
+            WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+            b AS (
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1
+                            ELSE o_totalprice END AS p
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT -o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 103 = 0
+            )
+            SELECT COALESCE(a.k, b.k) AS o_orderkey,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+            WHERE a.k IS NULL OR b.k IS NULL OR a.p <> b.p
         """,
         "e_daily_dense": """
             WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,

@@ -2610,3 +2610,31 @@ def e_funnel(sf_dir: str) -> rd.Dataset:
         })
 
     return hash_repartition_map(ev, "user_id", funnel_partition)
+
+
+def v_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Snapshot diff (S5 immutable-update companion): classify every key as
+    added/removed/changed between snapshot A (orders) and a deterministically
+    derived snapshot B (keys ≡0 mod 97 dropped, prices ≡0 mod 101 bumped,
+    negated keys ≡0 mod 103 appended).  Only (key, 64-bit row hash) crosses
+    the full-outer exchange — payload width never does
+    (``pipelines/snapshot.py``)."""
+    from .snapshot import snapshot_diff
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def derive_b(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = k % 97 != 0
+        bumped = np.where(k % 101 == 0, p + 1.0, p)
+        extra = k % 103 == 0
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.concatenate([k[keep], -k[extra]]), pa.int64()),
+            "o_totalprice": pa.array(
+                np.concatenate([bumped[keep], p[extra]]), pa.float64()),
+        })
+
+    b = orders.map_batches(derive_b, batch_format="pyarrow")
+    return snapshot_diff(orders, b, "o_orderkey", ["o_totalprice"])
