@@ -240,6 +240,14 @@ def _pages_fixture_glob() -> str:
     return os.path.join(fix, "pages", "*.parquet")
 
 
+def _pages_links_path() -> str:
+    """The sf0.01 fixture's links child table (dangling-link oracle input)."""
+    import os
+
+    return os.path.normpath(os.path.join(
+        os.path.dirname(_pages_fixture_glob()), "..", "links.parquet"))
+
+
 
 def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
     """Unrolled power-iteration SQL (one CTE layer per iteration) over the
@@ -733,6 +741,56 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_pages_fixture_glob()}')
             GROUP BY 1
         """,
+        # same href/anchor regex as functions/extract.py:_A_RE (RE2 'is'
+        # flags ≙ re.I | re.S); anchor cleanup mirrors _TAG/_WS subs.
+        # Verified char-identical to the Python extractor on the fixture.
+        "pages_links": f"""
+            WITH docs AS (
+                SELECT url AS src_url, decode(html) AS h
+                FROM read_parquet('{_pages_fixture_glob()}')
+                WHERE html IS NOT NULL
+            ), m AS (
+                SELECT src_url,
+                       regexp_extract_all(h,
+                           '<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a\\s*>',
+                           1, 'is') AS hrefs,
+                       regexp_extract_all(h,
+                           '<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a\\s*>',
+                           2, 'is') AS anchors
+                FROM docs
+            )
+            SELECT src_url, CAST(i - 1 AS INTEGER) AS ordinal,
+                   hrefs[i] AS dst_url,
+                   trim(regexp_replace(regexp_replace(anchors[i],
+                        '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+            FROM m, unnest(generate_series(1, len(hrefs))) AS t(i)
+        """,
+        # exact anti-join oracle for the raw-Ray hash-membership exchange
+        "pages_dangling_links": f"""
+            SELECT l.src_url, l.ordinal, l.dst_url, l.anchor
+            FROM read_parquet('{_pages_links_path()}') l
+            WHERE NOT EXISTS (
+                SELECT 1 FROM read_parquet('{_pages_fixture_glob()}') p
+                WHERE p.url = l.dst_url)
+        """,
+        # replicates functions/urls.py:normalize_url step by step (lowercase
+        # scheme+host, strip the scheme's default port, drop fragment) before
+        # the per-host count; fixture urls are all well-formed https
+        "pages_url_canon": f"""
+            WITH c AS (
+                SELECT lower(regexp_extract(trim(url),
+                           '^(https?)://([^/?#]*)', 2)) AS host0,
+                       lower(regexp_extract(trim(url),
+                           '^(https?)://([^/?#]*)', 1)) AS scheme
+                FROM read_parquet('{_pages_fixture_glob()}')
+            )
+            SELECT CASE WHEN scheme = 'http'
+                        THEN regexp_replace(host0, ':80$', '')
+                        ELSE regexp_replace(host0, ':443$', '') END AS host,
+                   count(*) AS n_pages
+            FROM c
+            GROUP BY 1
+        """,
         "o_topk_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice
             FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1110,7 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         # mm_payload_entropy (SQL cannot unnest BLOB bytes; numpy-reference
         # pytest in tests/test_similarity_text.py),
         # t_fingerprint_extra, t_lang_id,
-        # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate, pages_links,
+        # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate,
         # approx_stats (sketch estimates), td_curate (LSH-dependent funnel),
         # s_ann_ivf (approximate by design; recall vs the exact baseline is
         # asserted in tests/test_similarity_text.py).
