@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_sliding_windows": q.e_sliding_windows,
         # text analysis
         "t_token_stats": q.t_token_stats,
+        "t_bpe_tokens": q.t_bpe_tokens,
+        "e_gap_quantiles": q.e_gap_quantiles,
         "t_quality": q.t_quality,
         "t_fingerprint": q.t_fingerprint,
         "t_fingerprint_extra": q.t_fingerprint_extra,
@@ -411,6 +413,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_TOKS}) AS n_tokens,
                    length(text) AS n_chars
             FROM documents
+        """,
+        # same RE2 alternation as functions/text.py:BPE_SPLIT_PATTERN
+        "t_bpe_tokens": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+                           )) AS n_bpe_tokens,
+                       len({_TOKS}) AS n_ws_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+                   round(CAST(n_bpe_tokens AS DOUBLE)
+                         / greatest(n_ws_tokens, 1), 6) AS fertility
+            FROM c
+        """,
+        # same linear interpolation as quantile_cont (verified formula-equal)
+        "e_gap_quantiles": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts)
+                            AS DOUBLE) AS gap_us
+                FROM events
+            )
+            SELECT user_id, count(gap_us) AS n_gaps,
+                   round(quantile_cont(gap_us, 0.5), 1) AS p50_gap_us,
+                   round(quantile_cont(gap_us, 0.9), 1) AS p90_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY 1
         """,
         "t_quality": f"""
             SELECT doc_id,

@@ -47,6 +47,23 @@ def token_counts(texts) -> pa.Array:
     return pc.list_value_length(tokens_list(texts))
 
 
+# GPT-2-style pre-tokenizer alternation, restricted to RE2 (no lookahead, so
+# trailing whitespace runs count as one token each): contraction suffixes,
+# space-prefixed letter/digit runs, space-prefixed punctuation runs,
+# whitespace runs. The per-document BPE-ish token count is the budget unit a
+# training pipeline packs/filters on (see td_pack / td_split).
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_counts(texts) -> pa.Array:
+    """Per-document BPE-style pre-token counts — one vectorized RE2 pass
+    (``pc.count_substring_regex``), no tokenizer loop, null-safe."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    return pc.count_substring_regex(arr, BPE_SPLIT_PATTERN)
+
+
 def _segment_sums(flat_vals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Sum ``flat_vals`` per list segment given per-list lengths (reduceat)."""
     out = np.zeros(len(lengths), dtype=np.float64)

@@ -410,6 +410,59 @@ def e_sessionize(sf_dir: str) -> rd.Dataset:
     return hash_repartition_map(ev, "user_id", sessions_partition)
 
 
+def e_gap_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-key quantiles (p50/p90 of a user's inter-event gaps) — the
+    grouped-quantile operator class, at scale: hash exchange on user_id, then
+    per partition one sort by (user, ts) → segmented diff → one value sort by
+    (user, gap) → vectorized segmented linear interpolation (same formula as
+    SQL ``quantile_cont``). No per-group Python; wall time is independent of
+    group count. Gaps reported in µs (interpolated halves are exact in
+    float64, so the rounded output is engine-independent)."""
+    from ..relational import hash_repartition_map, round_half_away
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_gaps", pa.int64()),
+                            ("p50_gap_us", pa.float64()),
+                            ("p90_gap_us", pa.float64())])
+
+    def gap_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        gaps = (ts[1:] - ts[:-1])[same].astype(np.float64)
+        guid = uid[1:][same]
+        if not len(gaps):
+            return out_schema.empty_table()
+        order = np.lexsort((gaps, guid))
+        guid, gaps = guid[order], gaps[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], guid[1:] != guid[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(guid)])))
+
+        def q_at(q: float) -> np.ndarray:
+            x = q * (counts - 1)
+            lo = x.astype(np.int64)
+            frac = x - lo
+            vlo = gaps[starts + lo]
+            vhi = gaps[starts + np.minimum(lo + 1, counts - 1)]
+            return round_half_away(vlo + frac * (vhi - vlo), 1)
+
+        return pa.table({
+            "user_id": pa.array(guid[starts], pa.int64()),
+            "n_gaps": pa.array(counts, pa.int64()),
+            "p50_gap_us": pa.array(q_at(0.5), pa.float64()),
+            "p90_gap_us": pa.array(q_at(0.9), pa.float64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", gap_partition)
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents (Beyond-the-reference components)
 # ---------------------------------------------------------------------------
@@ -427,6 +480,30 @@ def t_token_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def t_bpe_tokens(sf_dir: str) -> rd.Dataset:
+    """BPE-style pre-tokenizer counting (the 'token budget' unit a training
+    pipeline packs and filters on) — one vectorized RE2 pass per batch,
+    alongside the whitespace count for the fertility ratio."""
+    from ..functions.text import bpe_token_counts
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        bpe = bpe_token_counts(batch["text"]).cast(pa.int64())
+        ws = token_counts(batch["text"]).cast(pa.int64())
+        ratio = pc.divide(pc.cast(bpe, pa.float64()),
+                          pc.cast(pc.max_element_wise(ws, 1), pa.float64()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": bpe,
+            "n_ws_tokens": ws,
+            "fertility": pc.round(ratio, ndigits=6,
+                                  round_mode="half_towards_infinity"),
+        })
+
+    return docs.map_batches(counts, batch_format="pyarrow")
 
 
 def t_quality(sf_dir: str) -> rd.Dataset:

@@ -45,6 +45,8 @@ NEW_QUERIES = [
     "a_median_price_exact",
     "t_top_bigrams",
     "e_daily_dense",
+    "t_bpe_tokens",
+    "e_gap_quantiles",
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
