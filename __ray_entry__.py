@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_events_ts_range": q.v_events_ts_range,
         "v_doc_suite": q.v_doc_suite,
         "v_unique_doc_ids": q.v_unique_doc_ids,
+        "v_profile_orders": q.v_profile_orders,
+        "v_daily_lang_drift": q.v_daily_lang_drift,
         # dedup family
         "dd_exact": _dd_exact,
         "dd_first_wins": _dd_first_wins,
@@ -503,6 +505,35 @@ def oracle_sql() -> dict[str, str]:
         "v_unique_doc_ids": """
             SELECT doc_id, count(*) AS n FROM documents
             GROUP BY 1 HAVING count(*) > 1
+        """,
+        "v_profile_orders": "\nUNION ALL".join(
+            f"""
+            SELECT '{c}' AS col, count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct
+            FROM orders"""
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice", "o_orderdate", "o_orderpriority"]),
+        # zero-count (day, lang) cells enter the chi2 sum via the grid join
+        "v_daily_lang_drift": f"""
+            WITH c AS (
+                SELECT strftime(warc_ts, '%Y-%m-%d') AS day, lang,
+                       count(*) AS n
+                FROM read_parquet('{_pages_fixture_glob()}')
+                GROUP BY 1, 2
+            ),
+            lt AS (SELECT lang, sum(n) AS ln FROM c GROUP BY 1),
+            dt AS (SELECT day, sum(n) AS dn FROM c GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+            j AS (
+                SELECT d.day, l.lang, coalesce(c.n, 0) AS o,
+                       d.dn * l.ln / t.t AS e
+                FROM dt d CROSS JOIN lt l CROSS JOIN tot t
+                LEFT JOIN c ON c.day = d.day AND c.lang = l.lang
+            )
+            SELECT day, CAST(sum(o) AS BIGINT) AS n,
+                   round(sum((o - e) * (o - e) / e), 4) AS chi2
+            FROM j GROUP BY 1
         """,
         "dd_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS keeper_id,

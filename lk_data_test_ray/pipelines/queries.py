@@ -912,6 +912,98 @@ def pages_url_canon(sf_dir: str) -> rd.Dataset:
     return partial_groupby_agg(hosts, ["host"], [("one", "count", "n_pages")])
 
 
+def v_profile_orders(sf_dir: str) -> pa.Table:
+    """Distributed column profiler (the validation engine's 'describe', the
+    explicit form of the reference's ad-hoc set-size counters,
+    ``curation/check_authors_exist_in_listperson.py:12,19``): per-column
+    null count + EXACT distinct count from one scan. Each batch emits
+    batch-deduped (col, stringified val) pairs — map-side dedup means the
+    exchange moves unique values only — plus per-column null partials; two
+    map-side-combine groupbys finish. The 100-TB path swaps the exact
+    distinct for the HLL sidecar (``approx_stats``); this is the exact,
+    oracle-checked variant."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    orders = read(sf_dir, "orders", cols)
+    n_rows = read(sf_dir, "orders", [cols[0]]).count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_c, out_v, out_n = [], [], []
+        for c in cols:
+            arr = batch[c].combine_chunks()
+            # stringify via Arrow cast — injective per type (shortest
+            # round-trip repr), so distinct-of-strings == distinct-of-values
+            u = pc.cast(pc.unique(pc.drop_null(arr)), pa.string())
+            out_c.append(pa.array([c] * len(u), pa.string()))
+            out_v.append(u)
+            out_n.append(pa.array([0] * len(u), pa.int64()))
+            out_c.append(pa.array([c], pa.string()))
+            out_v.append(pa.array([None], pa.string()))
+            out_n.append(pa.array([arr.null_count], pa.int64()))
+        return pa.table({"col": pa.concat_arrays(out_c),
+                         "val": pa.concat_arrays(out_v),
+                         "n_null_part": pa.concat_arrays(out_n)})
+
+    emitted = orders.map_batches(pairs, batch_format="pyarrow").materialize()
+    nulls = partial_groupby_agg(
+        emitted.map_batches(
+            lambda b: b.filter(pc.is_null(b["val"])),
+            batch_format="pyarrow"),
+        ["col"], [("n_null_part", "sum", "n_null")]).to_pandas()
+    dedup = partial_groupby_agg(
+        emitted.map_batches(
+            lambda b: b.filter(pc.is_valid(b["val"])),
+            batch_format="pyarrow"),
+        ["col", "val"], [("n_null_part", "count", "k")])
+    distinct = partial_groupby_agg(
+        dedup, ["col"], [("val", "count", "n_distinct")]).to_pandas()
+    merged = nulls.merge(distinct, on="col", how="outer").fillna(0)
+    return pa.table({
+        "col": pa.array(merged["col"], pa.string()),
+        "n_rows": pa.array([n_rows] * len(merged), pa.int64()),
+        "n_null": pa.array(merged["n_null"].astype("int64")),
+        "n_distinct": pa.array(merged["n_distinct"].astype("int64")),
+    })
+
+
+def v_daily_lang_drift(sf_dir: str) -> pa.Table:
+    """Windowed distribution drift (C5 per time bucket, ≙ the reference's
+    histogram reports ``check_fackel_references.py:32-37`` sliced by date):
+    per-day lang histograms tested chi-square against the corpus-wide
+    mixture. One map-side-combine groupby moves only (day, lang) partial
+    counts; the chi2 math runs on the tiny day×lang aggregate (zero-count
+    cells included, as the test requires)."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts", "lang"])
+
+    def day_lang(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(batch["warc_ts"], format="%Y-%m-%d"),
+            "lang": batch["lang"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = partial_groupby_agg(
+        pages.map_batches(day_lang, batch_format="pyarrow"),
+        ["day", "lang"], [("one", "sum", "n")]).to_pandas()
+    pivot = counts.pivot_table(index="day", columns="lang", values="n",
+                               aggfunc="sum", fill_value=0).sort_index()
+    obs = pivot.to_numpy(dtype=np.float64)
+    day_tot = obs.sum(axis=1)
+    lang_tot = obs.sum(axis=0)
+    total = obs.sum()
+    exp = np.outer(day_tot, lang_tot) / total
+    chi2 = ((obs - exp) ** 2 / exp).sum(axis=1)
+    return pa.table({
+        "day": pa.array(pivot.index.to_list(), pa.string()),
+        "n": pa.array(day_tot.astype(np.int64)),
+        "chi2": pa.array(round_half_away(chi2, 4), pa.float64()),
+    })
+
+
 def a_lang_fractions(sf_dir: str) -> rd.Dataset:
     """Distribution check input (A7/C5, ≙ histogram reports
     ``check_fackel_references.py:32-37``): per-lang counts + fraction of

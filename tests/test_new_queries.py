@@ -47,6 +47,9 @@ NEW_QUERIES = [
     "e_daily_dense",
     "t_bpe_tokens",
     "e_gap_quantiles",
+    "v_profile_orders",
+    # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
+    # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
     # at this test's sf0.001 it mismatches by construction — parity is
     # checked by the driver/oracle_check at sf0.01, correctness by
