@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_funnel": q.e_funnel,
         "v_snapshot_diff": q.v_snapshot_diff,
         "e_daily_dense": q.e_daily_dense,
+        "e_retention_cohorts": q.e_retention_cohorts,
+        "td_gopher_rules": q.td_gopher_rules,
+        "q10_returned_revenue": q.q10_returned_revenue,
+        "g_degree_stats": q.g_degree_stats,
+        "dd_containment": q.dd_containment,
     }
 
 
@@ -1224,6 +1229,106 @@ def oracle_sql() -> dict[str, str]:
             FROM c, unnest(generate_series(
                 CAST(floor(cb / 512) AS BIGINT),
                 CAST(floor((cb + nt - 1) / 512) AS BIGINT))) AS t(i)
+        """,
+        "e_retention_cohorts": """
+            WITH f AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY 1
+            ), w AS (
+                SELECT DISTINCT e.user_id, f.cohort_week,
+                       CAST(datediff('day', f.cohort_week,
+                                     date_trunc('week', e.ts)) // 7
+                            AS BIGINT) AS week_offset
+                FROM events e JOIN f USING (user_id)
+            )
+            SELECT cohort_week, week_offset, count(*) AS n_users
+            FROM w GROUP BY 1, 2
+        """,
+        "td_gopher_rules": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), f AS (
+                SELECT doc_id, len(words) AS n_words,
+                       coalesce(list_aggregate(list_transform(words,
+                           x -> length(x)), 'sum'), 0) * 1.0
+                           / greatest(len(words), 1) AS mean_raw,
+                       len(list_filter(words,
+                           x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+                           / greatest(len(words), 1) AS alpha_raw,
+                       len(list_filter(words,
+                           x -> list_contains([{_STOP_SQL}], x)))
+                           AS n_stop
+                FROM w
+            )
+            SELECT doc_id, n_words,
+                   round(mean_raw, 6) AS mean_word_len,
+                   round(alpha_raw, 6) AS frac_alpha, n_stop,
+                   (n_words BETWEEN 5 AND 100000)
+                       AND mean_raw >= 2.0 AND mean_raw <= 12.0
+                       AND alpha_raw >= 0.6 AND n_stop >= 1 AS passes
+            FROM f
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   c_acctbal, n_name
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-10-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "g_degree_stats": f"""
+            WITH docs AS (
+                SELECT url AS src_url, decode(html) AS h
+                FROM read_parquet('{_pages_fixture_glob()}')
+                WHERE html IS NOT NULL
+            ), m AS (
+                SELECT src_url,
+                       regexp_extract_all(h,
+                           '<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a\\s*>',
+                           1, 'is') AS hrefs
+                FROM docs
+            ), links AS (
+                SELECT src_url, hrefs[i] AS dst_url
+                FROM m, unnest(generate_series(1, len(hrefs))) AS t(i)
+            )
+            SELECT deg, count(*) AS n_urls, 'out' AS direction
+            FROM (SELECT src_url, count(*) AS deg FROM links GROUP BY 1)
+            GROUP BY 1
+            UNION ALL
+            SELECT deg, count(*) AS n_urls, 'in' AS direction
+            FROM (SELECT dst_url, count(*) AS deg FROM links GROUP BY 1)
+            GROUP BY 1
+        """,
+        "dd_containment": f"""
+            WITH arrs AS (SELECT doc_id,
+                                 regexp_split_to_array(text, '\\s+') AS arr
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS shingle
+                   FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / least(sa.sz, sb.sz)
+                  >= {q.CONTAINMENT_THRESHOLD}
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact

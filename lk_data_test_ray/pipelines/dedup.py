@@ -90,7 +90,7 @@ def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Tab
 def shingle_jaccard_pairs(
     ds: rd.Dataset, id_col: str, text_col: str, k: int = 2,
     threshold: float = 0.5, max_df: int | None = None,
-    _sh: rd.Dataset | None = None,
+    _sh: rd.Dataset | None = None, metric: str = "jaccard",
 ) -> rd.Dataset:
     """Exact Jaccard over word-k-shingle sets for all pairs sharing a shingle.
 
@@ -100,7 +100,12 @@ def shingle_jaccard_pairs(
     the cap (scale guard; leaves recall to the LSH path). ``_sh``: optional
     precomputed (id, shingle) Dataset (the matmul fallback hands its
     materialized shingle rows over so they are not recomputed).
+    ``metric="overlap"`` switches the score to the overlap coefficient
+    (containment of the smaller set: inter/min(|A|,|B|)) — the asymmetric
+    near-dup test that catches a document embedded inside a longer one,
+    which Jaccard dilutes; same plan, only the final division changes.
     """
+    score_col = "containment" if metric == "overlap" else "jaccard"
     sh = _sh if _sh is not None else ds.map_batches(
         lambda b: _shingle_rows(b, id_col, text_col, k), batch_format="pyarrow")
     # per-doc set sizes stay DISTRIBUTED and are attached to the pair rows by
@@ -124,7 +129,7 @@ def shingle_jaccard_pairs(
     from ..relational import drop_empty_blocks
 
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                            ("jaccard", pa.float64())])
+                            (score_col, pa.float64())])
     inter = drop_empty_blocks(inter)
     if inter is None:
         return rd.from_arrow(out_schema.empty_table())
@@ -147,12 +152,13 @@ def shingle_jaccard_pairs(
         it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
         sa = batch["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
         sb = batch["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-        j = it / (sa + sb - it)
+        denom = np.minimum(sa, sb) if metric == "overlap" else (sa + sb - it)
+        j = it / denom
         keep = j >= threshold
         return pa.table({
             "id_a": pa.array(a[keep], pa.int64()),
             "id_b": pa.array(b[keep], pa.int64()),
-            "jaccard": pa.array(round_half_away(j[keep], 6), pa.float64()),
+            score_col: pa.array(round_half_away(j[keep], 6), pa.float64()),
         }, schema=out_schema)
 
     return inter.map_batches(finish, batch_format="pyarrow")
@@ -473,6 +479,7 @@ def embedding_cosine_pairs(
 def shingle_jaccard_pairs_matmul(
     ds: rd.Dataset, id_col: str, text_col: str, k: int = 2,
     threshold: float = 0.5, max_dense_cells: int = 500_000_000,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
     """Exact shingle-Jaccard via blocked set-intersection matmul.
 
@@ -515,7 +522,8 @@ def shingle_jaccard_pairs_matmul(
     n_sh_est = int(merged.estimate() * 1.1) + 1
     if n_docs * n_sh_est > max_dense_cells:
         return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
-                                     threshold=threshold, _sh=sh)
+                                     threshold=threshold, _sh=sh,
+                                     metric=metric)
     # small by the guard: compact global vocabulary built driver-side
     # (shingle text never leaves as pair rows)
     from ..relational import collect_tables
@@ -542,8 +550,11 @@ def shingle_jaccard_pairs_matmul(
         out_a, out_b, out_j = [], [], []
         for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist()):
             inter = S_[lo:hi] @ S_.T  # (block, n_docs)
-            union = sizes_[lo:hi, None] + sizes_[None, :] - inter
-            jac = inter / np.maximum(union, 1.0)
+            if metric == "overlap":
+                denom = np.minimum(sizes_[lo:hi, None], sizes_[None, :])
+            else:
+                denom = sizes_[lo:hi, None] + sizes_[None, :] - inter
+            jac = inter / np.maximum(denom, 1.0)
             rows, cols = np.nonzero(jac >= threshold)
             keep = (rows + lo) < cols  # id_a < id_b by sorted position
             rows, cols = rows[keep], cols[keep]
@@ -553,7 +564,8 @@ def shingle_jaccard_pairs_matmul(
         return pa.table({
             "id_a": pa.array(out_a, pa.int64()),
             "id_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
+            ("containment" if metric == "overlap" else "jaccard"):
+                pa.array(out_j, pa.float64()),
         })
 
     return rd.from_items(blocks, override_num_blocks=len(blocks)).map_batches(

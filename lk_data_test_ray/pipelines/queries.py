@@ -25,6 +25,7 @@ from ..relational import (broadcast_join, join_partitions,
 
 # thresholds shared verbatim with the oracle SQL
 JACCARD_THRESHOLD = 0.3
+CONTAINMENT_THRESHOLD = 0.6
 COSINE_THRESHOLD = 0.3
 Q1_CUTOFF = np.datetime64("1998-09-02", "us")
 EVENTS_TS_MAX = np.datetime64("2024-01-30", "us")
@@ -2807,3 +2808,205 @@ def v_snapshot_diff(sf_dir: str) -> rd.Dataset:
 
     b = orders.map_batches(derive_b, batch_format="pyarrow")
     return snapshot_diff(orders, b, "o_orderkey", ["o_totalprice"])
+
+
+def e_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Weekly cohort retention (the event-pipeline staple: users bucketed by
+    the Monday week of their FIRST event, counted once per week they return):
+    ONE hash exchange on user_id co-locates each user's history, then a
+    sort-within-partition + segmented-numpy pass derives (cohort, offset,
+    user) with per-partition dedup — per-partition distinct counts sum
+    globally because a user never spans partitions.  The tiny
+    (cohort_week × week_offset) merge is map-side-combined.  No per-user
+    Python (the ``e_funnel`` discipline); SQL needs a self-join + DISTINCT."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    out_schema = pa.schema([("cohort_week", pa.timestamp("us")),
+                            ("week_offset", pa.int64()),
+                            ("n_users", pa.int64())])
+    US_PER_DAY = 86_400_000_000
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // US_PER_DAY
+        # Monday-aligned week start (epoch 1970-01-01 is a Thursday → Mondays
+        # are day ≡ 4 mod 7), matching DuckDB date_trunc('week')
+        week = day - ((day - 4) % 7)
+        brk = uid[1:] != uid[:-1]
+        starts = np.concatenate([[0], np.nonzero(brk)[0] + 1])
+        seg = np.cumsum(np.concatenate([[0], brk.astype(np.int64)]))
+        first_week = week[starts]
+        offset = (week - first_week[seg]) // 7
+        # dedup (user, offset) within the partition — exact globally because
+        # the exchange co-located every row of the user
+        packed = np.unique(uid * 65_536 + offset)
+        u_uid, u_off = packed // 65_536, packed % 65_536
+        cohort = first_week[np.searchsorted(uid[starts], u_uid)]
+        cells, n = np.unique(cohort * 65_536 + u_off, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(
+                ((cells // 65_536) * US_PER_DAY).astype("datetime64[us]"),
+                pa.timestamp("us")),
+            "week_offset": pa.array(cells % 65_536, pa.int64()),
+            "n_users": pa.array(n, pa.int64()),
+        })
+
+    parts = hash_repartition_map(ev, "user_id", per_partition)
+    return partial_groupby_agg(parts, ["cohort_week", "week_offset"],
+                               [("n_users", "sum", "n_users")])
+
+
+def td_gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 repurposed
+    as explicit rule rows, M10's rule-table classifier over text features):
+    per-doc word count, mean word length, alphabetic-word fraction and
+    stopword hits, each tested against fixed bounds; one fully vectorized
+    Arrow/numpy pass per batch (list-flatten + parent-indexed bincounts —
+    no token loop), no shuffle at all."""
+    from ..functions.text import STOPWORDS
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch["text"].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        par = parent[keep]
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)[keep]
+        alpha = pc.match_substring_regex(
+            flat, "[a-zA-Z]").to_numpy(zero_copy_only=False)[keep]
+        stop = pc.is_in(flat, value_set=pa.array(
+            STOPWORDS, pa.string())).to_numpy(zero_copy_only=False)[keep]
+        n_words = np.bincount(par, minlength=n)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        mean_len = np.bincount(par, weights=lens, minlength=n) / denom
+        frac_alpha = np.bincount(par, weights=alpha, minlength=n) / denom
+        n_stop = np.bincount(par, weights=stop, minlength=n).astype(np.int64)
+        passes = ((n_words >= 5) & (n_words <= 100_000)
+                  & (mean_len >= 2.0) & (mean_len <= 12.0)
+                  & (frac_alpha >= 0.6) & (n_stop >= 1))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(round_half_away(mean_len, 6),
+                                      pa.float64()),
+            "frac_alpha": pa.array(round_half_away(frac_alpha, 6),
+                                   pa.float64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "passes": pa.array(passes),
+        })
+
+    return docs.map_batches(feats, batch_format="pyarrow")
+
+
+def q10_returned_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q10 shape (returned-item revenue per customer, one quarter):
+    fact-side filters pushed before the single orderkey shuffle join,
+    map-side partial sum per customer, then the customer/nation dims fold
+    in as broadcast lookups and only the top 20 survive the final sort."""
+    from ..relational import drop_empty_blocks
+
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def returned(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "revenue_part": rev})
+
+    line = drop_empty_blocks(
+        line.map_batches(returned, batch_format="pyarrow"))
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                     "o_orderdate"])
+
+    def in_q4_1996(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-10-01", "us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi)))
+        return batch.select(["o_orderkey", "o_custkey"])
+
+    orders = drop_empty_blocks(
+        orders.map_batches(in_q4_1996, batch_format="pyarrow"))
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_name", pa.string()),
+                            ("revenue", pa.float64()),
+                            ("c_acctbal", pa.float64()),
+                            ("n_name", pa.string())])
+    if line is None or orders is None:
+        return rd.from_arrow(out_schema.empty_table())
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=join_partitions(line, orders),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = partial_groupby_agg(joined, ["o_custkey"],
+                              [("revenue_part", "sum", "revenue")])
+    agg = agg.map_batches(_round_stage({"revenue": 2}),
+                          batch_format="pyarrow")
+    # dims are tiny → fold nation into customer driver-side, broadcast once
+    nation = read_table(sf_dir, "nation")
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    n_idx = pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"])
+    cust = cust.append_column("n_name", pc.take(nation["n_name"], n_idx))
+    agg = broadcast_join(
+        agg, cust.select(["c_custkey", "c_name", "c_acctbal", "n_name"]),
+        "o_custkey", "c_custkey", how="inner")
+    out = topk(agg, [("revenue", True), ("o_custkey", False)], 20)
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "c_name", "revenue", "c_acctbal",
+                            "n_name"]).rename_columns(out_schema.names),
+        batch_format="pyarrow")
+
+
+def g_degree_stats(sf_dir: str) -> rd.Dataset:
+    """Link-graph degree distribution (in- and out-): the first thing a
+    graph pipeline reports before any traversal.  Two chained
+    map-side-combined groupbys per direction over the extracted-links child
+    table — the exchange moves (url, partial count) rows, never the html."""
+    links = pages_links(sf_dir)
+    out = partial_groupby_agg(
+        partial_groupby_agg(
+            links.select_columns(["src_url"]), ["src_url"],
+            [("src_url", "count", "deg")]),
+        ["deg"], [("deg", "count", "n_urls")]).map_batches(
+        lambda b: b.append_column(
+            "direction", pa.array(["out"] * b.num_rows, pa.string())),
+        batch_format="pyarrow")
+    inn = partial_groupby_agg(
+        partial_groupby_agg(
+            links.select_columns(["dst_url"]), ["dst_url"],
+            [("dst_url", "count", "deg")]),
+        ["deg"], [("deg", "count", "n_urls")]).map_batches(
+        lambda b: b.append_column(
+            "direction", pa.array(["in"] * b.num_rows, pa.string())),
+        batch_format="pyarrow")
+    return out.union(inn)
+
+
+def dd_containment(sf_dir: str) -> rd.Dataset:
+    """Asymmetric near-dup via the overlap coefficient (containment of the
+    smaller shingle set, the metric that catches a document pasted inside a
+    longer one where Jaccard dilutes below threshold): the exact
+    inverted-index plan of ``dd_shingle_jaccard`` — shingle explode →
+    per-shingle co-occurrence pairs → pair-count exchange → distributed
+    size joins — with only the final division swapped."""
+    from .dedup import shingle_jaccard_pairs_matmul
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    return shingle_jaccard_pairs_matmul(docs, "doc_id", "text", k=2,
+                                        threshold=CONTAINMENT_THRESHOLD,
+                                        metric="overlap")

@@ -48,6 +48,11 @@ NEW_QUERIES = [
     "t_bpe_tokens",
     "e_gap_quantiles",
     "v_profile_orders",
+    "e_retention_cohorts",
+    "td_gopher_rules",
+    "q10_returned_revenue",
+    "dd_containment",
+    # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
     # g_pagerank's oracle SQL reads the sf0.01 pages fixture (driver scale);
