@@ -235,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": q.q10_returned_revenue,
         "g_degree_stats": q.g_degree_stats,
         "dd_containment": q.dd_containment,
+        "s_kmeans": q.s_kmeans,
+        "a_zipf_slope": q.a_zipf_slope,
+        "e_anomaly_zscore": q.e_anomaly_zscore,
     }
 
 
@@ -1330,6 +1333,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / least(sa.sz, sb.sz)
                   >= {q.CONTAINMENT_THRESHOLD}
         """,
+        "a_zipf_slope": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                    AS tok
+                FROM documents
+            ), freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+            ranked AS (
+                SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r
+                FROM freq
+            )
+            SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+                   count(*) AS n_tokens
+            FROM ranked
+        """,
+        "e_anomaly_zscore": """
+            WITH s AS (
+                SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, e.value,
+                   round((e.value - s.mu) / s.sd, 4) AS z
+            FROM events e JOIN s USING (user_id)
+            WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0
+        """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact
         # a_distinct_users_per_type in tests/test_sketches.py),
@@ -1339,5 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate,
         # approx_stats (sketch estimates), td_curate (LSH-dependent funnel),
         # s_ann_ivf (approximate by design; recall vs the exact baseline is
-        # asserted in tests/test_similarity_text.py).
+        # asserted in tests/test_similarity_text.py),
+        # s_kmeans (iterative float clustering; cluster sizes are asserted
+        # against a single-process numpy reference in tests/test_kmeans.py).
     }

@@ -3010,3 +3010,177 @@ def dd_containment(sf_dir: str) -> rd.Dataset:
     return shingle_jaccard_pairs_matmul(docs, "doc_id", "text", k=2,
                                         threshold=CONTAINMENT_THRESHOLD,
                                         metric="overlap")
+
+
+def s_kmeans(sf_dir: str) -> pa.Table:
+    """Fully DISTRIBUTED Lloyd's k-means over the embeddings table (k=8,
+    5 iterations, deterministic init = the k lowest-vec_id vectors) — the
+    clustering pass a curation pipeline runs before per-cluster sampling,
+    and the full-data big sibling of the driver-side sampled quantizer in
+    ``similarity.train_centroids``.  Per iteration: centroids broadcast
+    once via ``ray.put``; each batch computes assignments with one matmul
+    and emits k moment rows (count, per-dim sum, ssq) — the exchange moves
+    k×(d+2) floats per batch, never a vector; the driver merges k rows and
+    updates.  Inputs materialized ONCE and reused across iterations.
+    Approximation-free and fixed-seed deterministic; cluster SIZES are
+    exact and run-stable (asserted against a single-process numpy
+    reference in tests), float inertia is rounded."""
+    import ray
+
+    k, iters = 8, 5
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    init_rows = topk(emb, [("vec_id", False)], k).take_all()
+    init_rows.sort(key=lambda r: r["vec_id"])
+    cents = np.asarray([r["embedding"] for r in init_rows], dtype=np.float64)
+
+    def make_partials(cref):
+        def partials(batch: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            kk, d = C.shape
+            if batch.num_rows == 0:
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ssq": pa.array([], pa.float64()),
+                    "sums": pa.array([], pa.list_(pa.float64())),
+                })
+            arr = batch["embedding"].combine_chunks()
+            X = np.asarray(arr.values, dtype=np.float64).reshape(-1, d)
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+                  + (C * C).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            onehot = np.zeros((len(X), kk), dtype=np.float64)
+            onehot[np.arange(len(X)), a] = 1.0
+            sums = onehot.T @ X                      # (k, d)
+            n = np.bincount(a, minlength=kk).astype(np.int64)
+            ssq = np.bincount(a, weights=d2[np.arange(len(X)), a],
+                              minlength=kk)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(n),
+                "ssq": pa.array(ssq, pa.float64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        return partials
+
+    def merge(rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = np.zeros(k, dtype=np.int64)
+        ssq = np.zeros(k, dtype=np.float64)
+        s = np.zeros_like(cents)
+        for r in rows:
+            c = r["cluster"]
+            n[c] += r["n"]
+            ssq[c] += r["ssq"]
+            s[c] += np.asarray(r["sums"], dtype=np.float64)
+        return n, ssq, s
+
+    for _ in range(iters):
+        rows = emb.map_batches(make_partials(ray.put(cents)),
+                               batch_format="pyarrow").take_all()
+        n, _ssq, s = merge(rows)
+        upd = n > 0
+        cents[upd] = s[upd] / n[upd, None]   # empty cluster keeps its seat
+    rows = emb.map_batches(make_partials(ray.put(cents)),
+                           batch_format="pyarrow").take_all()
+    n, ssq, _s = merge(rows)
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "size": pa.array(n),
+        "inertia": pa.array(round_half_away(ssq, 4), pa.float64()),
+        "centroid_norm": pa.array(
+            round_half_away(np.sqrt((cents * cents).sum(1)), 6),
+            pa.float64()),
+    })
+
+
+def a_zipf_slope(sf_dir: str) -> rd.Dataset:
+    """Zipf exponent of the corpus token distribution (OLS slope of
+    ln(freq) on ln(rank)) — the one-number sanity check that a text corpus
+    is natural-language-shaped.  Token frequencies come from the map-side
+    combined exchange; the ranked regression runs on the VOCABULARY table
+    (orders of magnitude smaller than the corpus; single-block here —
+    bounded vocab — with the ``o_ntile_price`` band-prefix-sum rank as the
+    documented heavy-vocab path)."""
+    docs = read(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(batch["text"].combine_chunks(), ""), r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"tok": flat,
+                         "one": pa.array(np.ones(len(flat), np.int64))})
+
+    freq = partial_groupby_agg(docs.map_batches(toks, batch_format="pyarrow"),
+                               ["tok"], [("one", "sum", "f")])
+
+    def slope(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[("f", "descending"),
+                                              ("tok", "ascending")])
+        f = tbl["f"].take(idx).to_numpy(zero_copy_only=False)
+        y = np.log(f.astype(np.float64))
+        x = np.log(np.arange(1, len(f) + 1, dtype=np.float64))
+        nn = float(len(f))
+        b = ((nn * (x * y).sum() - x.sum() * y.sum())
+             / (nn * (x * x).sum() - x.sum() ** 2))
+        return pa.table({
+            "zipf_slope": pa.array(round_half_away(np.array([b]), 6),
+                                   pa.float64()),
+            "n_tokens": pa.array([len(f)], pa.int64()),
+        })
+
+    return freq.repartition(1).map_batches(slope, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+def e_anomaly_zscore(sf_dir: str) -> rd.Dataset:
+    """Per-user z-score outlier detection (events whose value sits >3σ from
+    the user's own mean — the per-entity anomaly shape drift monitoring
+    needs): user moments from one map-side-combined exchange, then ONE
+    hash join of the stats back onto the stream and a vectorized filter.
+    The stats side scales with user count, so it is JOINED, not broadcast
+    (the J2/J3 round-1 lesson)."""
+    from ..relational import drop_empty_blocks
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        return pa.table({"su": batch["user_id"], "s1": v,
+                         "s2": pc.multiply(v, v),
+                         "one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    stats = partial_groupby_agg(ev.map_batches(pre, batch_format="pyarrow"),
+                                ["su"], [("s1", "sum", "s1"),
+                                         ("s2", "sum", "s2"),
+                                         ("one", "sum", "n")])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("value", pa.float64()),
+                            ("z", pa.float64())])
+    ev2 = drop_empty_blocks(ev)
+    stats = drop_empty_blocks(stats)
+    if ev2 is None or stats is None:
+        return rd.from_arrow(out_schema.empty_table())
+    joined = ev2.join(stats, join_type="inner",
+                      num_partitions=join_partitions(ev2, stats),
+                      on=("user_id",), right_on=("su",))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        s1 = batch["s1"].to_numpy(zero_copy_only=False)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = s1 / n
+        sd = np.sqrt(np.maximum(s2 / n - mu * mu, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - mu) / sd
+        keep = (sd > 0) & (np.abs(z) > 3.0)
+        return pa.table({
+            "event_id": batch["event_id"].filter(pa.array(keep)),
+            "user_id": batch["user_id"].filter(pa.array(keep)),
+            "value": batch["value"].filter(pa.array(keep)),
+            "z": pa.array(round_half_away(z[keep], 4), pa.float64()),
+        }, schema=out_schema)
+
+    return joined.map_batches(flag, batch_format="pyarrow")

@@ -52,6 +52,8 @@ NEW_QUERIES = [
     "td_gopher_rules",
     "q10_returned_revenue",
     "dd_containment",
+    "a_zipf_slope",
+    "e_anomaly_zscore",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
