@@ -1435,15 +1435,18 @@ def t_tfidf_top(sf_dir: str) -> rd.Dataset:
     """Per-document top-3 TF-IDF terms — the classic corpus-statistics join
     (reference analog: the term/mention frequency counters of
     ``curation/check_fackel_references.py:32-60``, upgraded to a weighted
-    ranking). Distributed shape: token explode → map-side partial tf →
-    df via a second tiny grouped count → tf ⋈ df as a HASH join (the
-    vocabulary is unbounded at corpus scale — never a driver broadcast) →
-    vectorized score → grouped top-k via the segmented-rank exchange."""
+    ranking). Distributed shape: token explode → ONE hash exchange on
+    ``token`` co-locating every (doc_id, token) pair of a term, inside which
+    tf (grouped count), df (rows per term — the vocabulary is unbounded at
+    corpus scale, never a driver broadcast) and the score are all computed
+    vectorized → grouped top-k via the segmented-rank doc_id exchange.
+    Replaces the earlier tf-groupby + tf⋈df shuffle join: same result, one
+    exchange instead of three."""
     import os
 
     import pyarrow.parquet as pq
 
-    from ..relational import drop_empty_blocks, topk_per_key
+    from ..relational import hash_repartition_map, topk_per_key
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
     # exact corpus size from parquet footers: no Dataset execution needed
@@ -1461,33 +1464,24 @@ def t_tfidf_top(sf_dir: str) -> rd.Dataset:
         })
 
     pairs = docs.map_batches(explode, batch_format="pyarrow")
-    # materialized ONCE: tf feeds BOTH the df count and the join — lazy, the
-    # token explode + grouped count would execute twice
-    tf = partial_groupby_agg(pairs, ["doc_id", "token"],
-                             [("token", "count", "tf")]).materialize()
-    df = partial_groupby_agg(
-        tf.select_columns(["token"]).map_batches(
-            lambda b: b.append_column("one", pa.array(
-                np.ones(b.num_rows, dtype=np.int64))),
-            batch_format="pyarrow"),
-        ["token"], [("one", "count", "df")])
-    df = df.map_batches(
-        lambda b: b.select(["token", "df"]).rename_columns(["token_r", "df"]),
-        batch_format="pyarrow")
-    tf = drop_empty_blocks(tf)
-    df = drop_empty_blocks(df)
-    joined = tf.join(df, join_type="inner",
-                     num_partitions=join_partitions(pairs),
-                     on=("token",), right_on=("token_r",))
 
-    def score(batch: pa.Table) -> pa.Table:
-        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = tfv * np.log(float(n_docs) / dfv)
-        return pa.table({"doc_id": batch["doc_id"], "token": batch["token"],
+    def tf_df_score(tbl: pa.Table) -> pa.Table:
+        # every row of each token is in this partition: tf = grouped pair
+        # count; df = tf rows per token; score attached by index_in — all
+        # Arrow/numpy kernels, no per-group Python
+        g = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
+            [([], "count_all")])
+        d = pa.TableGroupBy(g.select(["token"]), "token").aggregate(
+            [([], "count_all")])
+        idx = pc.index_in(g["token"], value_set=d["token"].combine_chunks())
+        dfv = pc.take(d["count_all"], idx).to_numpy(zero_copy_only=False)
+        tfv = g["count_all"].to_numpy(zero_copy_only=False)
+        s = tfv.astype(np.float64) * np.log(
+            float(n_docs) / dfv.astype(np.float64))
+        return pa.table({"doc_id": g["doc_id"], "token": g["token"],
                          "score": pa.array(s, pa.float64())})
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    scored = hash_repartition_map(pairs, "token", tf_df_score)
     top = topk_per_key(scored, "doc_id", [("score", True), ("token", False)], 3)
     return top.map_batches(
         lambda b: b.set_column(b.column_names.index("score"), "score",
