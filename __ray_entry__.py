@@ -100,9 +100,14 @@ def _s_ann_topk(sf_dir: str):
 
 
 def _s_ann_ivf(sf_dir: str):
+    # driver entry probes ALL cells (nprobe == n_cells): exhaustive IVF is
+    # exactly brute force, so this exercises the full IVF machinery (k-means
+    # training, cell assignment, per-cell scoring, cross-cell merge) under a
+    # hard exact oracle; approximation quality at partial nprobe is asserted
+    # by the recall test in tests/test_similarity_text.py
     return _sim.ann_ivf(
         read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        _sim.load_queries(sf_dir, 10), k=5, n_cells=16, nprobe=6)
+        _sim.load_queries(sf_dir, 10), k=5, n_cells=16, nprobe=16)
 
 
 def _s_ann_lsh(sf_dir: str):
@@ -238,6 +243,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_kmeans": q.s_kmeans,
         "a_zipf_slope": q.a_zipf_slope,
         "e_anomaly_zscore": q.e_anomaly_zscore,
+        "q14_promo_revenue": q.q14_promo_revenue,
+        "q18_big_orders": q.q18_big_orders,
+        "e_ffill_last_purchase": q.e_ffill_last_purchase,
+        "td_chunks": q.td_chunks,
+        "a_salted_event_counts": q.a_salted_event_counts,
     }
 
 
@@ -582,6 +592,25 @@ def oracle_sql() -> dict[str, str]:
                   >= {q.COSINE_THRESHOLD}
         """,
         "s_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 10)),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM s) t
+            WHERE rank <= 5
+        """,
+        # exhaustive-probe IVF (nprobe == n_cells) is exactly brute force,
+        # so the oracle is the same exact top-k SQL as s_ann_topk
+        "s_ann_ivf": """
             WITH q AS (SELECT vec_id AS query_id,
                               CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings
@@ -1358,6 +1387,57 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s USING (user_id)
             WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0
         """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 *
+                       sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END)
+                       / sum(l.l_extendedprice * (1 - l.l_discount)),
+                       6) AS promo_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        """,
+        "q18_big_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250.0)
+            SELECT c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "e_ffill_last_purchase": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type = 'purchase'
+                              THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                       AS last_purchase_value
+            FROM events
+        """,
+        "td_chunks": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
+                       len(regexp_split_to_array(text, '\\s+')) AS n
+                FROM documents),
+            idx AS (
+                SELECT doc_id, t, n,
+                       unnest(generate_series(
+                           0, (greatest(n - 12, 0) + 7) // 8)) AS chunk_id
+                FROM toks)
+            SELECT doc_id, chunk_id,
+                   least(chunk_id * 8 + 12, n) - chunk_id * 8 AS n_tokens,
+                   array_to_string(
+                       t[chunk_id * 8 + 1:least(chunk_id * 8 + 12, n)],
+                       ' ') AS chunk_text
+            FROM idx
+        """,
+        "a_salted_event_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact
         # a_distinct_users_per_type in tests/test_sketches.py),
@@ -1366,8 +1446,6 @@ def oracle_sql() -> dict[str, str]:
         # t_fingerprint_extra, t_lang_id,
         # dd_minhash_lsh, dd_simhash, s_ann_lsh, pages_validate,
         # approx_stats (sketch estimates), td_curate (LSH-dependent funnel),
-        # s_ann_ivf (approximate by design; recall vs the exact baseline is
-        # asserted in tests/test_similarity_text.py),
         # s_kmeans (iterative float clustering; cluster sizes are asserted
         # against a single-process numpy reference in tests/test_kmeans.py).
     }

@@ -3178,3 +3178,190 @@ def e_anomaly_zscore(sf_dir: str) -> rd.Dataset:
         }, schema=out_schema)
 
     return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def q14_promo_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14 shape: global conditional-numerator ratio (promo revenue %
+    for one shipping year). The part dimension collapses to its PROMO key
+    set, broadcast once (|part|/6 int64s; at extreme part cardinality the
+    same query runs as the q3-style partkey shuffle join — the ratio shape
+    is unchanged); lineitem streams through ONE map emitting two float
+    partials per batch, so nothing shuffles (A4 global counters,
+    ≙ ``scripts/enrich_fackel_bibls.py:113-116`` match/nomatch ratio)."""
+    promo_tbl = read_table(sf_dir, "part", ["p_partkey", "p_type"])
+    promo_keys = promo_tbl.filter(
+        pc.equal(promo_tbl["p_type"], "PROMO"))["p_partkey"].combine_chunks()
+
+    line = read(sf_dir, "lineitem",
+                ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"],
+                             pa.scalar(np.datetime64("1996-01-01", "us"))),
+            pc.less(batch["l_shipdate"],
+                    pa.scalar(np.datetime64("1997-01-01", "us"))))
+        batch = batch.filter(m)
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        is_promo = pc.is_in(batch["l_partkey"], value_set=promo_keys)
+        promo_rev = pc.if_else(is_promo, rev, pa.scalar(0.0))
+        return pa.table({
+            "promo": pa.array([pc.sum(promo_rev).as_py() or 0.0],
+                              pa.float64()),
+            "total": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+        })
+
+    parts = line.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables([t if isinstance(t, pa.Table)
+                            else pa.Table.from_batches([t])
+                            for t in _ray.get(parts)])
+    promo = pc.sum(tbl["promo"]).as_py() or 0.0
+    total = pc.sum(tbl["total"]).as_py() or 1.0
+    return pa.table({"promo_pct": pa.array(
+        [round_half_away(np.array([100.0 * promo / total]), 6)[0]],
+        pa.float64())})
+
+
+def q18_big_orders(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q18 shape (large-volume orders): aggregate → HAVING → join the
+    tiny survivor set back against the fact tables. The per-order quantity
+    sum runs map-side-partial; survivors of ``sum_qty > 250`` (~1% of
+    orders — bounded by the threshold's selectivity, which is the point of
+    Q18) broadcast into the orders scan, and the customer dim folds in as a
+    second broadcast; nothing all-to-all anywhere."""
+    line = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sums = partial_groupby_agg(line, ["l_orderkey"],
+                               [("l_quantity", "sum", "sum_qty")])
+    big = sums.filter(expr="sum_qty > 250.0")
+    # survivor set is small by construction: driver collect bounded by it
+    surv_tbl = pa.Table.from_pandas(big.to_pandas(), preserve_index=False)
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+    j = broadcast_join(orders, surv_tbl, "o_orderkey", "l_orderkey",
+                       how="inner")
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = broadcast_join(j, cust, "o_custkey", "c_custkey", how="left")
+    return j.select_columns(
+        ["c_name", "o_orderkey", "o_totalprice", "sum_qty"])
+
+
+def e_ffill_last_purchase(sf_dir: str) -> rd.Dataset:
+    """Per-key ordered forward-fill (LAST_VALUE ... IGNORE NULLS): each
+    event carries the value of its user's most recent 'purchase' event at
+    or before it. One user_id hash exchange, one sort per partition, then a
+    segmented numpy cummax-of-indices fill — no per-group Python, wall time
+    independent of user count (the e_sessionize treatment applied to the
+    fill window shape)."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type",
+                                 "value"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("last_purchase_value", pa.float64())])
+
+    def ffill(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        n = tbl.num_rows
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        val = tbl["value"].to_numpy(zero_copy_only=False)
+        is_p = pc.equal(tbl["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        pos = np.where(is_p, np.arange(n), -1)
+        last_pos = np.maximum.accumulate(pos)
+        # segment starts: rows sorted by user → any filled position >= the
+        # current user's first row index belongs to this user
+        first = np.ones(n, dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0))
+        valid = last_pos >= seg_start
+        filled = np.where(valid, val[np.clip(last_pos, 0, n - 1)], np.nan)
+        return pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "last_purchase_value": pa.array(filled, pa.float64(),
+                                            mask=~valid),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", ffill)
+
+
+TD_CHUNK_SIZE = 12
+TD_CHUNK_STRIDE = 8
+
+
+def td_chunks(sf_dir: str) -> rd.Dataset:
+    """Training-data chunking: split each document into fixed-size token
+    windows (size 12, stride 8 → overlapping context windows, the
+    LLM-pretraining chunk shape). Pure within-row flat-map expansion with
+    stable ordinals (M1+M11): chunk token indices are built arithmetically
+    (repeat/arange), gathered from the flattened token buffer in one take,
+    and re-joined per chunk with Arrow kernels — no per-row Python."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    size, stride = TD_CHUNK_SIZE, TD_CHUNK_STRIDE
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("chunk_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("chunk_text", pa.string())])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False
+                                                   ).astype(np.int64)
+        row_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=row_off[1:])
+        # chunks per row: ceil(max(n - size, 0) / stride) + 1  (>=1 per row)
+        n_chunks = np.maximum(lens - size, 0)
+        n_chunks = (n_chunks + stride - 1) // stride + 1
+        doc_rep = np.repeat(np.arange(len(lens)), n_chunks)
+        # ordinal of each chunk within its row
+        tot = int(n_chunks.sum())
+        chunk_off = np.zeros(len(n_chunks) + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=chunk_off[1:])
+        ordinal = np.arange(tot) - chunk_off[doc_rep]
+        start = ordinal * stride
+        clen = np.minimum(start + size, lens[doc_rep]) - start
+        # flatten all chunk token positions: for chunk j, indices
+        # row_off[row] + start[j] + arange(clen[j])
+        tok_rep = np.repeat(np.arange(tot), clen)
+        tok_off = np.zeros(tot + 1, dtype=np.int64)
+        np.cumsum(clen, out=tok_off[1:])
+        within = np.arange(int(clen.sum())) - tok_off[tok_rep]
+        gather = row_off[doc_rep][tok_rep] + start[tok_rep] + within
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(tok_off, pa.int32()) if tot < (1 << 30)
+            else pa.array(tok_off), flat.take(pa.array(gather)))
+        text = pc.binary_join(chunk_lists, " ")
+        return pa.table({
+            "doc_id": batch["doc_id"].take(pa.array(doc_rep)),
+            "chunk_id": pa.array(ordinal, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "chunk_text": text,
+        }, schema=out_schema)
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+def a_salted_event_counts(sf_dir: str) -> rd.Dataset:
+    """Skew-safe grouped count, driver-visible (the north-rule's hot-key
+    treatment): group on ``(key, salt)`` so one Zipf-hot key spreads across
+    ``salt_buckets`` reducers, then merge the ≤ buckets partial rows per
+    key in a second tiny reduce. Result is identical to a plain
+    ``GROUP BY``; only the shuffle shape changes (§4 skew row)."""
+    from ..relational import salted_groupby_count
+
+    ev = read(sf_dir, "events", ["event_type"])
+    out = salted_groupby_count(ev, "event_type", salt_buckets=16,
+                               out_name="n")
+    return out.map_batches(
+        lambda b: b.select(["event_type", "n"]), batch_format="pyarrow")

@@ -54,6 +54,12 @@ NEW_QUERIES = [
     "dd_containment",
     "a_zipf_slope",
     "e_anomaly_zscore",
+    "q14_promo_revenue",
+    "q18_big_orders",
+    "e_ffill_last_purchase",
+    "td_chunks",
+    "a_salted_event_counts",
+    "s_ann_ivf",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
