@@ -220,3 +220,59 @@ def simhash64_batch(tok_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
                   axis=1, dtype=np.uint64)
     out[live] = packed
     return out
+
+
+def rolling_fingerprints_batch(strings, window: int = 16) -> np.ndarray:
+    """Batch ``rolling_fingerprint`` over an Arrow string array — bitwise
+    EQUAL to the scalar (property-tested), zero-copy over the utf-8 buffer.
+
+    The scalar walks every byte in Python (~len(text) big-int ops per doc —
+    a hot-path row loop). Here every window hash of every document is
+    computed in ``window`` vectorized passes over the flat byte buffer:
+    Mersenne-61 modular arithmetic stays in uint64 via a split multiply
+    (×257 = rot53(hi·257) + lo·257, since ×2^53 mod 2^61−1 is a 61-bit
+    rotation) and one shift-add reduction per pass. Only the rare short doc
+    (≤ window bytes → blake2b path) costs a Python call; nulls → 0.
+    """
+    import pyarrow as pa
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    n = len(strings)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    odtype = (np.int64 if pa.types.is_large_string(strings.type)
+              or pa.types.is_large_binary(strings.type) else np.int32)
+    offs = np.frombuffer(strings.buffers()[1], dtype=odtype)[
+        strings.offset:strings.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(strings.buffers()[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+
+    M = np.uint64(_MERSENNE61)
+    long = lens > window
+    if long.any():
+        nw = np.where(long, lens - window + 1, 0)
+        tot = int(nw.sum())
+        doc_rep = np.repeat(np.arange(n), nw)
+        w_off = np.zeros(n + 1, np.int64)
+        np.cumsum(nw, out=w_off[1:])
+        starts = (offs[:-1][doc_rep]
+                  + (np.arange(tot) - w_off[:-1][doc_rep]))
+        h = np.zeros(tot, np.uint64)
+        lo_mask = np.uint64((1 << 53) - 1)
+        for j in range(window):
+            hi257 = (h >> np.uint64(53)) * np.uint64(257)
+            t1 = (hi257 >> np.uint64(8)) + ((hi257 & np.uint64(0xFF))
+                                            << np.uint64(53))
+            s = (t1 + (h & lo_mask) * np.uint64(257)
+                 + data[starts + j].astype(np.uint64))
+            s = (s & M) + (s >> np.uint64(61))
+            h = np.where(s >= M, s - M, s)
+        out[long] = np.minimum.reduceat(h, w_off[:-1][long])
+    # short non-empty docs: blake2b of the raw bytes (scalar path semantics)
+    short = (lens > 0) & ~long
+    for i in np.nonzero(short)[0]:
+        out[i] = stable_hash64(data[offs[i]:offs[i + 1]].tobytes())
+    # null/empty rows stay 0 (scalar: ``text or ""`` → 0)
+    return out

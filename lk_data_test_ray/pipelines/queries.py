@@ -538,20 +538,34 @@ def t_fingerprint(sf_dir: str) -> rd.Dataset:
 
 
 def t_fingerprint_extra(sf_dir: str) -> rd.Dataset:
-    """Rolling-hash winnowing fingerprint + 64-bit SimHash (rows-only)."""
+    """Rolling-hash winnowing fingerprint + 64-bit SimHash (rows-only).
+
+    Both signers run batched: the winnowing fingerprint as ``window``
+    vectorized Mersenne-61 passes over the zero-copy utf-8 buffer
+    (``hashing.rolling_fingerprints_batch``), the SimHash from
+    dictionary-encoded token hashes (``hashing.simhash64_batch``) — each
+    bitwise-equal to its scalar (property-tested), no per-row Python."""
+    import pandas as pd
+
+    from ..functions.hashing import rolling_fingerprints_batch, simhash64_batch
+
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        texts = batch["text"].combine_chunks()
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        counts = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc.list_flatten(toks).dictionary_encode()
+        uniq = np.asarray(enc.dictionary, dtype=object)
+        th = (pd.util.hash_array(uniq, categorize=False)
+              [enc.indices.to_numpy(zero_copy_only=False)]
+              if len(uniq) else np.empty(0, np.uint64))
         return pa.table({
             "doc_id": batch["doc_id"],
-            "rolling_fp": pa.array(
-                np.array([rolling_fingerprint(t or "") for t in texts],
-                         dtype=np.uint64), pa.uint64()),
-            "simhash": pa.array(
-                np.array([simhash64(t or []) for t in toks.to_pylist()],
-                         dtype=np.uint64), pa.uint64()),
+            "rolling_fp": pa.array(rolling_fingerprints_batch(texts),
+                                   pa.uint64()),
+            "simhash": pa.array(simhash64_batch(th, counts), pa.uint64()),
         })
 
     return docs.map_batches(fp, batch_format="pyarrow")

@@ -192,3 +192,29 @@ def test_levenshtein_matrix_vs_duckdb():
             want = con.execute(
                 "SELECT levenshtein(?, ?)", [s, t]).fetchone()[0]
             assert got[i, j] == want, (s, t, got[i, j], want)
+
+
+def test_rolling_fingerprints_batch_equals_scalar():
+    """Batch winnowing signer is bitwise-equal to the scalar, including
+    empty/short/unicode rows, nulls, sliced arrays and large_string."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lk_data_test_ray.functions.hashing import (
+        rolling_fingerprint, rolling_fingerprints_batch)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=80)), max_size=20))
+    def check(texts):
+        want = np.array([rolling_fingerprint(t or "") for t in texts],
+                        dtype=np.uint64)
+        for typ in (pa.string(), pa.large_string()):
+            arr = pa.array(texts, typ)
+            assert np.array_equal(rolling_fingerprints_batch(arr), want)
+        if len(texts) > 2:
+            sl = pa.array(texts, pa.string()).slice(1, len(texts) - 2)
+            assert np.array_equal(rolling_fingerprints_batch(sl), want[1:-1])
+
+    check()
