@@ -89,14 +89,15 @@ def run_flagship(sf_dir: str, fresh: bool = True,
     out = f"/tmp/lk_bench/pages_n{n}"
     if fresh:
         shutil.rmtree(out, ignore_errors=True)
-    # one scan task per core (the v3 bytes-level extraction halved per-row
-    # bandwidth, so 32 workers now beat 16 on this box — round 1 capped at
-    # 16); ~16k-row scan items give ≥4 tasks per core for load balance
+    # scan items auto-size to total/(4×CPUs) clamped [4k, 32k] rows: ≥4
+    # tasks per core at bench volume, capped item size at soak volume (the
+    # v3 bytes-level extraction halved per-row bandwidth, so 32 workers
+    # beat 16 on this box — round 1 capped at 16)
     t0 = time.time()
     summary = run_validation(
         os.path.join(fix, "pages"), out,
         lang_hist_path=os.path.join(fix, "lang_hist.parquet"),
-        wave_size=16, concurrency=num_cpus, scan_target_rows=16_384)
+        wave_size=16, concurrency=num_cpus)
     wall = time.time() - t0
     return {"wall_sec": round(wall, 3), "rows": summary["n_rows"],
             "rows_per_sec": round(summary["n_rows"] / wall, 1),

@@ -219,12 +219,15 @@ _FN_CACHE: dict = {}
 
 
 def plan_scan_items(files: list[str], partition_of: dict[str, int],
-                    target_rows: int = 32_768) -> list[dict]:
+                    target_rows: int | None = 32_768) -> list[dict]:
     """Split input files into (path, row-group range, pid) scan items.
 
     One item ≈ ``target_rows`` rows → enough tasks to saturate the cluster
     even when files ≫ cores are unavailable; parquet footers only are read
-    here (driver-side, cheap).
+    here (driver-side, cheap). ``target_rows=None`` auto-sizes to
+    ``total_rows / (4 × cluster CPUs)`` clamped to [4096, 32768]: ≥4 tasks
+    per core for load balance at small volume, capped item size at large
+    volume so per-task overhead stays <1% of task work.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -238,6 +241,16 @@ def plan_scan_items(files: list[str], partition_of: dict[str, int],
     # overlap them (order preserved: executor.map yields in input order)
     with ThreadPoolExecutor(max_workers=16) as ex:
         metas = list(ex.map(_meta, files))
+
+    if target_rows is None:
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        total = sum(n for _, n in metas)
+        target_rows = int(min(32_768, max(4096, total // max(1, 4 * cpus))))
 
     items = []
     for f, (n_rg, n_rows) in zip(files, metas):

@@ -70,7 +70,7 @@ def run_validation(
     drift_alpha: float = 1e-3,
     clean_dir: str | None = None,
     use_actor_pool: bool = False,
-    scan_target_rows: int = 32_768,
+    scan_target_rows: int | None = None,
     collect_ray_stats: bool = False,
 ) -> dict:
     """Run the full suite; returns the summary dict (also written as JSON)."""
@@ -121,7 +121,17 @@ def run_validation(
         # (an rd.range-based lazy fan-out was measured SLOWER than these
         # driver-side puts — 3.53s vs 3.25s at 32 CPUs/2.4M rows — the range
         # op adds a task layer that doesn't fuse with batch_size=1 rebatching)
-        ds = rd.from_items(items, override_num_blocks=len(items))
+        # Pre-put one single-row block per item: from_items mints its blocks
+        # serially through one producing task (~4.4ms/block = a 20% serial
+        # fraction at 32 CPUs); from_arrow_refs hands the scheduler every
+        # block immediately, so the scan goes full-width from t=0 (measured
+        # +13% row-phase throughput at 32 CPUs / 4.8M rows).
+        import ray as _ray
+
+        ds = rd.from_arrow_refs([
+            _ray.put(pa.table({k: [it[k]]
+                               for k in ("path", "rg_lo", "rg_hi", "pid")}))
+            for it in items])
         kwargs = dict(batch_format="pyarrow", batch_size=1)
         if concurrency is not None:
             kwargs["concurrency"] = concurrency
