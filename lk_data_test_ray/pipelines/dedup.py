@@ -28,7 +28,7 @@ import ray.data as rd
 
 from ..functions.hashing import md5_hex
 from ..functions.text import TOKEN_SPLIT
-from ..relational import (join_partitions, partial_groupby_agg,
+from ..relational import (partial_groupby_agg,
                           round_half_away)
 
 # ---------------------------------------------------------------------------
@@ -139,12 +139,10 @@ def shingle_jaccard_pairs(
     sz_b = sizes.map_batches(
         lambda b: pa.table({"b_key": b[id_col], "sz_b": b["sz"]}),
         batch_format="pyarrow")
-    inter = inter.join(sz_a, join_type="inner",
-                       num_partitions=join_partitions(inter, sz_a),
-                       on=("id_a",), right_on=("a_key",))
-    inter = inter.join(sz_b, join_type="inner",
-                       num_partitions=join_partitions(inter, sz_b),
-                       on=("id_b",), right_on=("b_key",))
+    from ..relational import exchange_join
+
+    inter = exchange_join(inter, sz_a, "id_a", "a_key")
+    inter = exchange_join(inter, sz_b, "id_b", "b_key")
 
     def finish(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
@@ -679,11 +677,10 @@ def bloom_incremental_members(
         batch_format="pyarrow"))
     if candidates is None or committed_keys is None:
         return rd.from_arrow(out_schema.empty_table())
-    verified = candidates.join(committed_keys, join_type="left_semi",
-                               num_partitions=join_partitions(candidates,
-                                                              committed_keys),
-                               on=("__key",),
-                               right_on=("__ckey",))
+    from ..relational import exchange_join
+
+    verified = exchange_join(candidates, committed_keys, "__key", "__ckey",
+                             how="left_semi")
     return verified.drop_columns(["__key"])
 
 

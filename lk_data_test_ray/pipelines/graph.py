@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..relational import (drop_empty_blocks, join_partitions,
+from ..relational import (drop_empty_blocks,
                           partial_groupby_agg, round_half_away)
 
 
@@ -143,15 +143,13 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
                             "r": pa.array(np.full(b.num_rows, 1.0 / n_nodes),
                                           pa.float64())}),
         batch_format="pyarrow")
-    ew = edges.join(outdeg_ds.map_batches(
+    from ..relational import exchange_join
+
+    ew = exchange_join(edges, outdeg_ds.map_batches(
         lambda b: pa.table({"onode": b["node"], "od": b["od"]}),
-        batch_format="pyarrow"), join_type="inner",
-        num_partitions=join_partitions(edges),
-        on=(src_col,), right_on=("onode",)).materialize()
+        batch_format="pyarrow"), src_col, "onode").materialize()
     for _ in range(iters):
-        j = ew.join(ranks_ds, join_type="inner",
-                    num_partitions=join_partitions(ew),
-                    on=(src_col,), right_on=("rnode",))
+        j = exchange_join(ew, ranks_ds, src_col, "rnode")
 
         def contrib(batch: pa.Table) -> pa.Table:
             c = (batch["r"].to_numpy(zero_copy_only=False)
@@ -181,12 +179,12 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
                     "r": pa.array(np.full(b.num_rows, base), pa.float64())}),
                 batch_format="pyarrow").materialize()
             continue
-        joined = nodes_ds.select_columns(["node"]).join(
+        joined = exchange_join(
+            nodes_ds.select_columns(["node"]),
             sums.map_batches(lambda b: pa.table({"snode": b["node"],
                                                  "c": b["c"]}),
                              batch_format="pyarrow"),
-            join_type="left_outer", num_partitions=join_partitions(nodes_ds),
-            on=("node",), right_on=("snode",))
+            "node", "snode", how="left_outer")
         ranks_ds = joined.map_batches(new_rank,
                                       batch_format="pyarrow").materialize()
 

@@ -100,9 +100,9 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
             [("o_orderkey", pa.int64()),
              ("o_orderdate", pa.timestamp("us")),
              ("revenue", pa.float64())]).empty_table())
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=join_partitions(line, orders),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..relational import exchange_join
+
+    joined = exchange_join(line, orders, "l_orderkey", "o_orderkey")
 
     def pre(batch: pa.Table) -> pa.Table:
         disc = pc.multiply(batch["l_extendedprice"],
@@ -145,9 +145,9 @@ def q5_regional_revenue(sf_dir: str) -> rd.Dataset:
         return rd.from_arrow(pa.schema(
             [("n_name", pa.string()),
              ("revenue", pa.float64())]).empty_table())
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=join_partitions(line, orders),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..relational import exchange_join
+
+    joined = exchange_join(line, orders, "l_orderkey", "o_orderkey")
 
     def pre(batch: pa.Table) -> pa.Table:
         disc = pc.multiply(batch["l_extendedprice"],
@@ -189,16 +189,17 @@ def j_anti_customers_no_events(sf_dir: str) -> rd.Dataset:
     users = read(sf_dir, "events", ["user_id"]).map_batches(
         _batch_distinct("user_id"), batch_format="pyarrow")
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return cust.join(users, join_type="left_anti",
-                     num_partitions=join_partitions(cust, users),
-                     on=("c_custkey",), right_on=("user_id",))
+    from ..relational import exchange_join
+
+    return exchange_join(cust, users, "c_custkey", "user_id",
+                         how="left_anti")
 
 
 def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
     """Semi-join existence probe (J3, ≙ ``make_texts.py:363-366``) — same
     distributed shape as J2 (``left_semi``, no driver-side key set)."""
     ev = read(sf_dir, "events", ["user_id", "event_type"])
-    from ..relational import drop_empty_blocks
+    from ..relational import drop_empty_blocks, exchange_join
 
     err_users = drop_empty_blocks(ev.map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["user_id"]),
@@ -208,9 +209,8 @@ def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
     if err_users is None:
         return rd.from_arrow(pa.schema(
             [("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table())
-    return cust.join(err_users, join_type="left_semi",
-                     num_partitions=join_partitions(cust, err_users),
-                     on=("c_custkey",), right_on=("user_id",))
+    return exchange_join(cust, err_users, "c_custkey", "user_id",
+                         how="left_semi")
 
 
 def a_dup_user_event(sf_dir: str) -> rd.Dataset:
@@ -1608,9 +1608,10 @@ def j_full_outer_activity(sf_dir: str) -> rd.Dataset:
         ["user_id"], [("one", "count", "n_events")])
     o_cnt = drop_empty_blocks(o_cnt)
     e_cnt = drop_empty_blocks(e_cnt)
-    joined = o_cnt.join(e_cnt, join_type="full_outer",
-                        num_partitions=join_partitions(orders, ev),
-                        on=("o_custkey",), right_on=("user_id",))
+    from ..relational import exchange_join
+
+    joined = exchange_join(o_cnt, e_cnt, "o_custkey", "user_id",
+                           how="full_outer")
 
     def finish(batch: pa.Table) -> pa.Table:
         # Ray's full_outer merges the key pair into the left key column
@@ -2707,13 +2708,10 @@ def t_bigram_lm_score(sf_dir: str) -> rd.Dataset:
         lambda b: b.select(["tok", "cu"]).rename_columns(["w1_r", "cu"]),
         batch_format="pyarrow")
 
-    nparts = join_partitions(tf)
-    j = drop_empty_blocks(tf).join(
-        drop_empty_blocks(bc), join_type="inner", num_partitions=nparts,
-        on=("bigram",), right_on=("bigram_r",))
-    j = drop_empty_blocks(j).join(
-        drop_empty_blocks(ucr), join_type="inner", num_partitions=nparts,
-        on=("w1",), right_on=("w1_r",))
+    from ..relational import exchange_join
+
+    j = exchange_join(tf, bc, "bigram", "bigram_r")
+    j = exchange_join(j, ucr, "w1", "w1_r")
 
     def lp(batch: pa.Table, vs=vocab_size) -> pa.Table:
         cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -2957,9 +2955,9 @@ def q10_returned_revenue(sf_dir: str) -> rd.Dataset:
                             ("n_name", pa.string())])
     if line is None or orders is None:
         return rd.from_arrow(out_schema.empty_table())
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=join_partitions(line, orders),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..relational import exchange_join
+
+    joined = exchange_join(line, orders, "l_orderkey", "o_orderkey")
     agg = partial_groupby_agg(joined, ["o_custkey"],
                               [("revenue_part", "sum", "revenue")])
     agg = agg.map_batches(_round_stage({"revenue": 2}),
@@ -2983,26 +2981,34 @@ def q10_returned_revenue(sf_dir: str) -> rd.Dataset:
 def g_degree_stats(sf_dir: str) -> rd.Dataset:
     """Link-graph degree distribution (in- and out-): the first thing a
     graph pipeline reports before any traversal.  Two chained
-    map-side-combined groupbys per direction over the extracted-links child
-    table — the exchange moves (url, partial count) rows, never the html."""
-    links = pages_links(sf_dir)
-    out = partial_groupby_agg(
-        partial_groupby_agg(
-            links.select_columns(["src_url"]), ["src_url"],
-            [("src_url", "count", "deg")]),
-        ["deg"], [("deg", "count", "n_urls")]).map_batches(
-        lambda b: b.append_column(
-            "direction", pa.array(["out"] * b.num_rows, pa.string())),
-        batch_format="pyarrow")
-    inn = partial_groupby_agg(
-        partial_groupby_agg(
-            links.select_columns(["dst_url"]), ["dst_url"],
-            [("dst_url", "count", "deg")]),
-        ["deg"], [("deg", "count", "n_urls")]).map_batches(
-        lambda b: b.append_column(
-            "direction", pa.array(["in"] * b.num_rows, pa.string())),
-        batch_format="pyarrow")
-    return out.union(inn)
+    per-url count inside ONE url-hash exchange (all rows of a url are
+    co-located, so the count is exact and the degree histogram partial is
+    computed locally), then a tiny grouped merge per degree value — the
+    exchange moves (url) rows, never the html. Links materialize ONCE: the
+    in- and out-degree branches would otherwise each re-run the per-page
+    link extraction (measured 2× the wall)."""
+    from ..relational import hash_repartition_map
+
+    links = pages_links(sf_dir).materialize()
+
+    def one_direction(col: str, label: str) -> rd.Dataset:
+        def local_hist(tbl: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(tbl, col).aggregate([([], "count_all")])
+            d = pa.TableGroupBy(pa.table({"deg": g["count_all"]}),
+                                "deg").aggregate([([], "count_all")])
+            return pa.table({"deg": d["deg"],
+                             "n_part": d["count_all"]})
+
+        parts = hash_repartition_map(links.select_columns([col]), col,
+                                     local_hist)
+        return partial_groupby_agg(
+            parts, ["deg"], [("n_part", "sum", "n_urls")]).map_batches(
+            lambda b: b.append_column(
+                "direction", pa.array([label] * b.num_rows, pa.string())),
+            batch_format="pyarrow")
+
+    return one_direction("src_url", "out").union(
+        one_direction("dst_url", "in"))
 
 
 def dd_containment(sf_dir: str) -> rd.Dataset:
