@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_ffill_last_purchase": q.e_ffill_last_purchase,
         "td_chunks": q.td_chunks,
         "a_salted_event_counts": q.a_salted_event_counts,
+        "q11_important_parts": q.q11_important_parts,
+        "q22_idle_rich_customers": q.q22_idle_rich_customers,
     }
 
 
@@ -1437,6 +1439,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a_salted_event_counts": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "q11_important_parts": """
+            WITH pr AS (SELECT l_partkey, sum(l_quantity) AS sum_qty
+                        FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, sum_qty FROM pr
+            WHERE sum_qty > 1.5 * (SELECT avg(sum_qty) FROM pr)
+        """,
+        "q22_idle_rich_customers": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact

@@ -3385,3 +3385,67 @@ def a_salted_event_counts(sf_dir: str) -> rd.Dataset:
                                out_name="n")
     return out.map_batches(
         lambda b: b.select(["event_type", "n"]), batch_format="pyarrow")
+
+
+def q11_important_parts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q11 shape: grouped total vs a fraction of the GLOBAL total
+    (``HAVING sum(...) > k × (SELECT sum(...) ...)``) — the two-phase
+    global-then-filter pattern. Per-part quantity sums come from map-side
+    partials; the global total is an ``O(1)`` Dataset reduction over the
+    materialized per-part aggregate (never a driver collect of the part
+    list); the scalar broadcasts into the filter. Quantity sums are
+    integer-valued doubles, so both engine and oracle compare exactly."""
+    line = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    per_part = partial_groupby_agg(
+        line, ["l_partkey"], [("l_quantity", "sum", "sum_qty")]).materialize()
+    total = per_part.sum("sum_qty")
+    n_parts = per_part.count()
+    # threshold = 1.5 x the mean per-part quantity: both engine and oracle
+    # derive it as the same exact-float division, so the comparison is
+    # deterministic at every sf
+    thresh = 1.5 * (total / max(1, n_parts))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["sum_qty"], pa.scalar(thresh)))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def q22_idle_rich_customers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 shape: global scalar subquery + anti-join (customers with
+    above-average balance and no orders). The average folds from per-batch
+    (sum, count) partials into one driver scalar (A4); the no-orders side is
+    the J2 distributed anti-join (map-side per-batch distinct, one hash
+    exchange — no driver key set)."""
+    from ..relational import exchange_join
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pa.array([pc.sum(batch["c_acctbal"]).as_py() or 0.0],
+                          pa.float64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    import ray as _ray
+
+    parts = pa.concat_tables([
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in _ray.get(
+            cust.map_batches(partials, batch_format="pyarrow")
+            .to_arrow_refs())])
+    avg = (pc.sum(parts["s"]).as_py() or 0.0) / max(
+        1, pc.sum(parts["n"]).as_py() or 0)
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], pa.scalar(avg))),
+        batch_format="pyarrow")
+    cutoff = pa.scalar(np.datetime64("2001-01-01", "us"))
+    buyers = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_orderdate"], cutoff))
+        .select(["o_custkey"]), batch_format="pyarrow").map_batches(
+        _batch_distinct("o_custkey"), batch_format="pyarrow")
+    return exchange_join(rich, buyers, "c_custkey", "o_custkey",
+                         how="left_anti")

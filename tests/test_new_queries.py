@@ -60,6 +60,8 @@ NEW_QUERIES = [
     "td_chunks",
     "a_salted_event_counts",
     "s_ann_ivf",
+    "q11_important_parts",
+    "q22_idle_rich_customers",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
