@@ -72,17 +72,33 @@ def _final_topk(k: int):
     return merge
 
 
+_SCORER_CACHE: dict = {}
+
+
 def ann_brute_force(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     k: int = 5, concurrency=None) -> rd.Dataset:
-    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1-based."""
+    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1-based.
+
+    Runs as STATELESS tasks with the scorer cached once per worker process
+    (keyed by the broadcast ref): the scorer's only state is the normalized
+    query matrix, and an actor pool pays ~0.5 s spin-up per actor per
+    execution for that trivial state (the relational.broadcast_join
+    rationale applies verbatim)."""
     ref = ray.put(queries)
-    partial = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col,
-                                   vec_col=vec_col, k=k),
-        batch_format="pyarrow", max_restarts=0,
-        concurrency=concurrency if concurrency is not None else 4)
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = ref.hex()
+        sc = _SCORER_CACHE.get(key)
+        if sc is None:
+            sc = BruteForceScorer(ref, id_col, vec_col, k)
+            _SCORER_CACHE[key] = sc
+        return sc(batch)
+
+    kwargs = dict(batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partial = ds.map_batches(score, **kwargs)
     return partial.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow")
 
@@ -311,8 +327,17 @@ def ann_ivf(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
                 "cos": pa.array(out_c, pa.float64()),
             })
 
-    scored = ds.map_batches(
-        ScoreCells, fn_constructor_kwargs=dict(ref=state_ref, kk=k),
-        batch_format="pyarrow", concurrency=2, max_restarts=0)
+    def score_cells(batch: pa.Table) -> pa.Table:
+        # stateless task + per-worker cache (same rationale as
+        # ann_brute_force: centroid/query state is trivial, actor-pool
+        # spin-up is not)
+        key = state_ref.hex()
+        sc = _SCORER_CACHE.get(key)
+        if sc is None:
+            sc = ScoreCells(state_ref, k)
+            _SCORER_CACHE[key] = sc
+        return sc(batch)
+
+    scored = ds.map_batches(score_cells, batch_format="pyarrow")
     return scored.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow")
