@@ -3176,9 +3176,9 @@ def e_anomaly_zscore(sf_dir: str) -> rd.Dataset:
     stats = drop_empty_blocks(stats)
     if ev2 is None or stats is None:
         return rd.from_arrow(out_schema.empty_table())
-    joined = ev2.join(stats, join_type="inner",
-                      num_partitions=join_partitions(ev2, stats),
-                      on=("user_id",), right_on=("su",))
+    from ..relational import exchange_join
+
+    joined = exchange_join(ev2, stats, "user_id", "su")
 
     def flag(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)

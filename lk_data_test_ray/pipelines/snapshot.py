@@ -61,9 +61,9 @@ def snapshot_diff(a: rd.Dataset, b: rd.Dataset, key: str,
                                          batch_format="pyarrow"))
     kb = drop_empty_blocks(b.map_batches(to_kh("h_b", "__kb"),
                                          batch_format="pyarrow"))
-    j = ka.join(kb, join_type="full_outer",
-                num_partitions=join_partitions(ka, kb),
-                on=(key,), right_on=("__kb",))
+    from ..relational import exchange_join
+
+    j = exchange_join(ka, kb, key, "__kb", how="full_outer")
 
     def classify(batch: pa.Table) -> pa.Table:
         ha, hb = batch["h_a"], batch["h_b"]
