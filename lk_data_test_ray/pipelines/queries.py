@@ -19,9 +19,8 @@ import ray.data as rd
 from ..checks.vocab import ISO_639_1
 from ..functions.hashing import md5_hex, rolling_fingerprint, simhash64
 from ..functions.text import lang_id, quality_features, token_counts
-from ..relational import (broadcast_join, join_partitions,
-                          partial_groupby_agg, read, read_table,
-                          round_half_away, topk)
+from ..relational import (broadcast_join, partial_groupby_agg, read,
+                          read_table, round_half_away, topk)
 
 # thresholds shared verbatim with the oracle SQL
 JACCARD_THRESHOLD = 0.3

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..relational import drop_empty_blocks, join_partitions
+from ..relational import drop_empty_blocks
 
 _FNV = np.uint64(0x100000001B3)
 
