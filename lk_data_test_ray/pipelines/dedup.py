@@ -498,26 +498,34 @@ def shingle_jaccard_pairs_matmul(
     sh = ds.map_batches(
         lambda b: _shingle_rows(b, id_col, text_col, k),
         batch_format="pyarrow").materialize()
-    # guard inputs from DISTRIBUTED partials: exact n_docs (tiny grouped
-    # count) + HLL-estimated global vocabulary size (per-batch sketch
-    # partials, OR-merged — ±2% at precision 12, padded 10%); Σ per-doc
-    # distinct would over-estimate shared vocabularies ~10x and push the
-    # dense path into the (much slower) inverted-index fallback needlessly
+    # guard inputs from DISTRIBUTED partials in ONE pass: HLL estimates of
+    # BOTH the doc count and the global vocabulary size (per-batch sketch
+    # partials, OR-merged — ±2% at precision 12, each padded 10%; the guard
+    # only needs the right order of magnitude). Σ per-doc distinct would
+    # over-estimate shared vocabularies ~10x and push the dense path into
+    # the (much slower) inverted-index fallback needlessly; a separate
+    # grouped doc count paid one more full exchange for exactness the guard
+    # does not need.
     from ..sketches import HyperLogLog
 
-    n_docs = partial_groupby_agg(
-        sh, [id_col], [("shingle", "count", "sz")]).count()
+    def guard_partial(batch: pa.Table) -> pa.Table:
+        hs = HyperLogLog(12)
+        hs.update_strings(np.asarray(batch["shingle"].to_pylist(),
+                                     dtype=object))
+        hd = HyperLogLog(12)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hd.update_hashes(ids.view(np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table({"sh_blob": pa.array([hs.to_bytes()], pa.binary()),
+                         "id_blob": pa.array([hd.to_bytes()], pa.binary())})
 
-    def hll_partial(batch: pa.Table) -> pa.Table:
-        h = HyperLogLog(12)
-        h.update_strings(np.asarray(batch["shingle"].to_pylist(),
-                                    dtype=object))
-        return pa.table({"blob": pa.array([h.to_bytes()], pa.binary())})
-
-    merged = HyperLogLog(12)
-    for row in sh.map_batches(hll_partial, batch_format="pyarrow").take_all():
-        merged = merged.merge(HyperLogLog.from_bytes(row["blob"]))
-    n_sh_est = int(merged.estimate() * 1.1) + 1
+    m_sh, m_id = HyperLogLog(12), HyperLogLog(12)
+    for row in sh.map_batches(guard_partial,
+                              batch_format="pyarrow").take_all():
+        m_sh = m_sh.merge(HyperLogLog.from_bytes(row["sh_blob"]))
+        m_id = m_id.merge(HyperLogLog.from_bytes(row["id_blob"]))
+    n_sh_est = int(m_sh.estimate() * 1.1) + 1
+    n_docs = int(m_id.estimate() * 1.1) + 1
     if n_docs * n_sh_est > max_dense_cells:
         return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
                                      threshold=threshold, _sh=sh,
