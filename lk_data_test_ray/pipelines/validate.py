@@ -134,7 +134,11 @@ def run_validation(
             for it in items])
         kwargs = dict(batch_format="pyarrow", batch_size=1)
         if concurrency is not None:
-            kwargs["concurrency"] = concurrency
+            # never ask for more concurrent tasks than there are scan items
+            # (small inputs would warn and reserve slots that cannot fill)
+            kwargs["concurrency"] = (min(concurrency, len(items))
+                                     if isinstance(concurrency, int)
+                                     else concurrency)
         if use_actor_pool:
             # actor-pool mode for heavy per-actor state (model scorers):
             # setup once per actor in __init__, work per batch in __call__
