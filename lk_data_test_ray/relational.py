@@ -433,12 +433,23 @@ def exchange_join(left: rd.Dataset, right: rd.Dataset,
     bucket but never match (Acero equi-join semantics), same as SQL.
 
     Partitioning assumption: one hash range of BOTH sides fits a join
-    task's heap; size ``p_bits`` to the cluster (default ≈ log2(cores)).
-    Skewed keys: a single pathological key lands in one task — salt
-    upstream (``salted_groupby_count`` pattern) if a key exceeds a worker.
+    task's heap. Default ``p_bits`` scales with the DATA, not just the
+    cluster: ≈ one partition per 256 MiB of joined input (metadata
+    estimate), floored at log2(cores) and capped at 2^10 — a count tuned
+    to one box is wrong both ways at 4N nodes (the join_partitions
+    rationale). Skewed keys: a single pathological key lands in one task —
+    salt upstream (``salted_groupby_count`` pattern) if one key exceeds a
+    worker.
     """
     if p_bits is None:
-        p_bits = default_p_bits()
+        total = 0
+        for ds in (left, right):
+            try:
+                total += ds.size_bytes() or 0
+            except Exception:
+                pass
+        need = int(np.ceil(np.log2(max(1, total // (256 << 20)) + 1)))
+        p_bits = min(10, max(default_p_bits(), need))
     P = 1 << p_bits
     arrow_how = _ARROW_JOIN_TYPE[how]
     l_schema = left.schema().base_schema

@@ -72,3 +72,22 @@ def test_exchange_join_empty_sides(ray_session):
     out2 = exchange_join(rd.from_arrow(left), rd.from_arrow(empty),
                          "k", "rk", how="inner", p_bits=2).to_pandas()
     assert len(out2) == 0
+
+
+def test_exchange_join_null_keys(ray_session):
+    """Null join keys never match (SQL semantics), but left_outer keeps the
+    null-keyed left rows with a null right side."""
+    import ray.data as rd
+
+    left = pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                     "a": pa.array([10, 11, 12], pa.int64())})
+    right = pa.table({"rk": pa.array([1, None], pa.int64()),
+                      "b": pa.array([100, 101], pa.int64())})
+    inner = exchange_join(rd.from_arrow(left), rd.from_arrow(right),
+                          "k", "rk", how="inner", p_bits=2).to_pandas()
+    assert sorted(inner["a"]) == [10]
+    louter = exchange_join(rd.from_arrow(left), rd.from_arrow(right),
+                           "k", "rk", how="left_outer", p_bits=2).to_pandas()
+    assert len(louter) == 3
+    assert louter.set_index("a")["b"].notna().to_dict() == {
+        10: True, 11: False, 12: False}
