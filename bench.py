@@ -166,9 +166,12 @@ def single_run(sf_dir: str, num_cpus: int, with_queries: bool,
 
 
 SCALING_MULTIPLIER = 8  # scaling input = 8× the bench sf so that parallel
-# work dominates the ~1.1s fixed per-run floor (driver puts + streaming-
+# work dominates the ~0.9s fixed per-run floor (driver puts + streaming-
 # executor startup + global phase) — the regime a 100 TB job is always in;
-# both CPU levels of a pair use the SAME input
+# both CPU levels of a pair use the SAME input. NOT larger: doubling the
+# input makes the pair WORSE (measured 0.715→0.650 and 0.779→0.682 on two
+# hosts) because the 32-CPU leg saturates host memory bandwidth first —
+# the floor asymmetry is the smaller of the two effects (BASELINE.md).
 
 
 def _control_probe(n: int) -> dict:
