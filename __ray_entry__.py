@@ -23,6 +23,7 @@ from lk_data_test_ray.checks.vocab import ISO_639_1
 from lk_data_test_ray.pipelines import dedup as _dedup
 from lk_data_test_ray.pipelines import queries as q
 from lk_data_test_ray.pipelines import similarity as _sim
+from lk_data_test_ray.pipelines import tpch as _tpch
 from lk_data_test_ray.relational import read
 
 SF001 = "/root/testdata/sf0.001"
@@ -250,6 +251,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_salted_event_counts": q.a_salted_event_counts,
         "q11_important_parts": q.q11_important_parts,
         "q22_idle_rich_customers": q.q22_idle_rich_customers,
+        "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
+        "q4_priority_exists": _tpch.q4_priority_exists,
+        "q7_nation_volume": _tpch.q7_nation_volume,
+        "q8_market_share": _tpch.q8_market_share,
+        "q9_profit": _tpch.q9_profit,
+        "q12_priority_linecount": _tpch.q12_priority_linecount,
+        "q13_order_count_distribution": _tpch.q13_order_count_distribution,
+        "q15_top_supplier": _tpch.q15_top_supplier,
+        "q16_supplier_part_counts": _tpch.q16_supplier_part_counts,
+        "q17_small_qty_revenue": _tpch.q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _tpch.q19_disjunctive_revenue,
+        "q20_excess_shippers": _tpch.q20_excess_shippers,
+        "q21_waiting_suppliers": _tpch.q21_waiting_suppliers,
     }
 
 
@@ -1451,6 +1465,195 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
               AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        """,
+        "q2_min_cost_supplier": """
+            WITH l AS (
+                SELECT l_partkey, l_suppkey, l_extendedprice
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_size = 7)
+                  AND l_suppkey IN (SELECT s_suppkey FROM supplier
+                                    JOIN nation ON s_nationkey = n_nationkey
+                                    JOIN region ON n_regionkey = r_regionkey
+                                    WHERE r_name = 'EUROPE')),
+            b AS (
+                SELECT l_partkey, l_suppkey, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY l_extendedprice, l_suppkey) AS rn
+                FROM l)
+            SELECT s_acctbal, s_name, n_name,
+                   l_partkey AS p_partkey, l_extendedprice AS min_price
+            FROM b
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey
+            LIMIT 10
+        """,
+        "q4_priority_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       EXTRACT(year FROM l_shipdate) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01')
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END) / sum(volume),
+                         6) AS mkt_share
+            FROM (
+                SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n1.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n2.n_regionkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01')
+            GROUP BY 1
+        """,
+        "q9_profit": """
+            SELECT n_name, o_year, round(sum(amount), 2) AS sum_profit
+            FROM (
+                SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount)
+                           - 0.1 * p_retailprice * l_quantity AS amount
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE p_name LIKE '%red%')
+            GROUP BY 1, 2
+        """,
+        "q12_priority_linecount": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q13_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_custkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+                GROUP BY 1)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 13)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#3'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = lineitem.l_partkey)
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)),
+                                  0.0), 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_excess_shippers": """
+            WITH sq AS (
+                SELECT l_suppkey, sum(l_quantity) AS sq
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN sq ON s_suppkey = l_suppkey
+            WHERE sq > 1.5 * (SELECT avg(sq) FROM sq)
+        """,
+        "q21_waiting_suppliers": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey, l_returnflag
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'),
+            per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS n_r,
+                       min(CASE WHEN l_returnflag = 'R'
+                                THEN l_suppkey END) AS supp
+                FROM l GROUP BY 1)
+            SELECT w.supp AS s_suppkey, s_name, w.numwait
+            FROM (SELECT supp, count(*) AS numwait
+                  FROM per_order WHERE n_supp > 1 AND n_r = 1
+                  GROUP BY 1) w
+            JOIN supplier ON s_suppkey = w.supp
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 10
         """,
         # no oracle (rows-only): o_sample_orders (engine-specific sampling),
         # a_distinct_users_hll (sketch estimate; epsilon-tested vs the exact

@@ -62,6 +62,19 @@ NEW_QUERIES = [
     "s_ann_ivf",
     "q11_important_parts",
     "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit",
+    "q12_priority_linecount",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
