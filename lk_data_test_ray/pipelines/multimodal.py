@@ -59,22 +59,45 @@ def sniff_kind(payload_prefixes: list[bytes | None]) -> list[str]:
     return out
 
 
+def sniff_kind_batch(payload) -> pa.Array:
+    """Vectorized sniff: one 8-byte slice + one equality pass per magic.
+
+    No two MAGIC entries can match the same prefix (none is a prefix of
+    another), so match order is irrelevant and a flat if_else chain equals
+    the scalar first-match loop (property-tested in tests/test_multimodal).
+    """
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    prefix = pc.binary_slice(payload, 0, 8)
+    kind = pa.nulls(len(prefix), pa.string())
+    kind = pc.fill_null(kind, "application/octet-stream")
+    for magic, k in MAGIC:
+        hit = pc.fill_null(
+            pc.equal(pc.binary_slice(prefix, 0, len(magic)),
+                     pa.scalar(magic, type=prefix.type)), False)
+        kind = pc.if_else(hit, pa.scalar(k, pa.string()), kind)
+    return pc.if_else(pc.is_null(payload), pa.scalar("none/missing"),
+                      kind)
+
+
+def payload_meta_table(batch: pa.Table, id_col: str = "url",
+                       payload_col: str = "html") -> pa.Table:
+    """(id, kind, n_bytes) rows for one Arrow slab — fully vectorized."""
+    n_bytes = pc.coalesce(
+        pc.binary_length(batch[payload_col]), pa.scalar(0)).cast(pa.int64())
+    return pa.table({
+        "url": batch[id_col].cast(pa.string()),
+        "kind": sniff_kind_batch(batch[payload_col]).cast(pa.string()),
+        "n_bytes": n_bytes,
+    }, schema=MEDIA_META_SCHEMA)
+
+
 def payload_metadata(ds: rd.Dataset, id_col: str = "url",
                      payload_col: str = "html") -> rd.Dataset:
-    """(id, kind, n_bytes) per payload — stateless, vectorized where possible."""
+    """(id, kind, n_bytes) per payload — stateless, vectorized."""
 
     def meta(batch: pa.Table) -> pa.Table:
-        n_bytes = pc.coalesce(
-            pc.binary_length(batch[payload_col]), pa.scalar(0)).cast(pa.int64())
-        # slice BEFORE materializing to python: only 8 bytes/row leave Arrow,
-        # not the full (possibly multi-MB) payloads
-        prefixes = pc.binary_slice(
-            batch[payload_col].combine_chunks(), 0, 8).to_pylist()
-        return pa.table({
-            "url": batch[id_col].cast(pa.string()),
-            "kind": pa.array(sniff_kind(prefixes), pa.string()),
-            "n_bytes": n_bytes,
-        }, schema=MEDIA_META_SCHEMA)
+        return payload_meta_table(batch, id_col, payload_col)
 
     return ds.select_columns([id_col, payload_col]).map_batches(
         meta, batch_format="pyarrow")

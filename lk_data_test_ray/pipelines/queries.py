@@ -693,10 +693,9 @@ def pages_links(sf_dir: str) -> rd.Dataset:
     import os
 
     from ..functions.extract import extract_links
+    from ..sources.scan import fused_parquet_map
 
     fix = _pages_fixture(sf_dir)
-    pages = rd.read_parquet(os.path.join(fix, "pages"),
-                            columns=["url", "html"])
 
     def explode(batch: pa.Table) -> pa.Table:
         srcs, ords, dsts, anchors = [], [], [], []
@@ -713,19 +712,26 @@ def pages_links(sf_dir: str) -> rd.Dataset:
             "anchor": pa.array(anchors, pa.string()),
         })
 
-    return pages.map_batches(explode, batch_format="pyarrow")
+    # link extraction fused into the read task: html never enters the
+    # object store, only the (src, ordinal, dst, anchor) child rows do
+    return fused_parquet_map(os.path.join(fix, "pages"), explode,
+                             columns=["url", "html"])
 
 
 def mm_payload_meta(sf_dir: str) -> rd.Dataset:
-    """Multimodal: binary payload sniff + per-kind byte accounting."""
+    """Multimodal: binary payload sniff + per-kind byte accounting.
+
+    The sniff+length is fused INTO the parquet read task (fused_parquet_map)
+    so the multi-KB html payloads never enter the object store — only
+    (url, kind, n_bytes) rows flow out of each scan item."""
     import os
 
-    from .multimodal import payload_metadata
+    from ..sources.scan import fused_parquet_map
+    from .multimodal import payload_meta_table
 
     fix = _pages_fixture(sf_dir)
-    pages = rd.read_parquet(os.path.join(fix, "pages"),
-                            columns=["url", "html"])
-    meta = payload_metadata(pages)
+    meta = fused_parquet_map(os.path.join(fix, "pages"), payload_meta_table,
+                             columns=["url", "html"])
     return partial_groupby_agg(
         meta, ["kind"],
         [("n_bytes", "sum", "total_bytes"), ("n_bytes", "count", "n")])
@@ -2041,10 +2047,9 @@ def mm_payload_entropy(sf_dir: str) -> rd.Dataset:
     import os
 
     from ..functions.extract import binary_views
+    from ..sources.scan import fused_parquet_map
 
     fix = _pages_fixture(sf_dir)
-    pages = rd.read_parquet(os.path.join(fix, "pages"),
-                            columns=["url", "html"])
 
     def entropy(batch: pa.Table) -> pa.Table:
         arr = batch["html"].combine_chunks()
@@ -2071,8 +2076,9 @@ def mm_payload_entropy(sf_dir: str) -> rd.Dataset:
             "entropy_bits": pa.array(round_half_away(ent, 6), pa.float64()),
         })
 
-    return pages.map_batches(entropy, batch_format="pyarrow",
-                             batch_size=4096)
+    # fused into the read task — payload bytes never cross the object store
+    return fused_parquet_map(os.path.join(fix, "pages"), entropy,
+                             columns=["url", "html"])
 
 
 def a_distinct_users_hll(sf_dir: str) -> rd.Dataset:
@@ -2279,10 +2285,9 @@ def pages_redact(sf_dir: str) -> rd.Dataset:
     import os
 
     from ..functions.redact import redact
+    from ..sources.scan import fused_parquet_map
 
     fix = _pages_fixture(sf_dir)
-    pages = rd.read_parquet(os.path.join(fix, "pages"),
-                            columns=["url", "html"])
 
     def scrub(batch: pa.Table) -> pa.Table:
         # fixture payloads are valid UTF-8 (asserted by the generator's
@@ -2300,8 +2305,9 @@ def pages_redact(sf_dir: str) -> rd.Dataset:
             "redacted_md5": md5s,
         })
 
-    return pages.map_batches(scrub, batch_format="pyarrow",
-                             batch_size=4096)
+    # fused into the read task — raw payloads never cross the object store
+    return fused_parquet_map(os.path.join(fix, "pages"), scrub,
+                             columns=["url", "html"])
 
 
 def o_ntile_price(sf_dir: str) -> rd.Dataset:

@@ -3,6 +3,7 @@ kernels (token counts, quality features, language ID), multimodal stages."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 import ray.data as rd
 
@@ -162,3 +163,38 @@ def test_mm_payload_entropy_matches_reference(ray_session):
         assert abs(got[u] - want) < 1e-5, u
         checked += 1
     assert checked > 30
+
+
+def test_sniff_kind_batch_matches_scalar():
+    # every magic, a null, short payloads, and junk — vector == scalar
+    payloads = [b"\x89PNG\r\n\x1a\nxx", b"\xff\xd8\xffdata", b"GIF89a",
+                b"RIFFxxxxWAVE", b"ID3\x04tag", b"\x1aE\xdf\xa3mkv",
+                b"<html><b>", b"<!doctype html>", b"<!DOCTYPE HTML>",
+                None, b"random bytes", b"", b"<h", b"\x89PN"]
+    arr = pa.array(payloads, pa.binary())
+    vec = multimodal.sniff_kind_batch(arr).to_pylist()
+    sca = multimodal.sniff_kind(
+        pc.binary_slice(arr, 0, 8).to_pylist())
+    assert vec == sca
+    # large_binary path too (fixture tables use large types end-to-end)
+    large = arr.cast(pa.large_binary())
+    assert multimodal.sniff_kind_batch(large).to_pylist() == sca
+
+
+def test_fused_parquet_map(pages_fixture):
+    import os
+
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.multimodal import payload_meta_table
+    from lk_data_test_ray.sources.scan import fused_parquet_map
+
+    path = os.path.join(pages_fixture, "pages")
+    fused = fused_parquet_map(path, payload_meta_table,
+                              columns=["url", "html"],
+                              target_rows=1024).to_pandas()
+    plain = rd.read_parquet(path, columns=["url", "html"]).map_batches(
+        payload_meta_table, batch_format="pyarrow").to_pandas()
+    fused = fused.sort_values("url").reset_index(drop=True)
+    plain = plain.sort_values("url").reset_index(drop=True)
+    assert fused.equals(plain)
