@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,
         "v_csv_source": q.v_csv_source,
+        "v_warc_source": q.v_warc_source,
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
         "a_distinct_users_hll": q.a_distinct_users_hll,
@@ -1086,6 +1087,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(sum(value), 2) AS sum_value,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        # v_warc_source parses WARC-style segments serialized FROM the pages
+        # fixture — the oracle is the fixture itself (md5 proves payloads
+        # round-tripped byte-identically; NULL payload stays NULL)
+        "v_warc_source": f"""
+            SELECT url, warc_ts,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes,
+                   md5(decode(html)) AS payload_md5
+            FROM read_parquet('{_pages_fixture_glob()}')
         """,
         "a_corr_qty_price": """
             SELECT l_returnflag, count(*) AS n,

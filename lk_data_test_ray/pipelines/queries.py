@@ -1997,6 +1997,36 @@ def v_csv_source(sf_dir: str) -> rd.Dataset:
                            batch_format="pyarrow")
 
 
+def v_warc_source(sf_dir: str) -> rd.Dataset:
+    """S1 over raw web-archive bytes (the Common-Crawl ingestion shape):
+    the pages fixture re-serialized as WARC-style segments, parsed back one
+    task per segment (``sources/warc.py``). Output is a compact digest per
+    record — (url, warc_ts, n_bytes, payload_md5) — so the oracle compare
+    never ships payload bytes; the md5 proves the payload round-tripped
+    byte-identically, NULL payloads included."""
+    import hashlib
+    import os
+
+    from ..sources.warc import ensure_warc_segments, read_warc
+
+    fix = _pages_fixture(sf_dir)
+    warc_dir = ensure_warc_segments(fix)
+    recs = read_warc(warc_dir)
+
+    def compact(batch: pa.Table) -> pa.Table:
+        html = batch["html"]
+        md5s = pa.array([None if v is None else hashlib.md5(v).hexdigest()
+                         for v in html.to_pylist()], pa.string())
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "n_bytes": pc.binary_length(html).cast(pa.int64()),
+            "payload_md5": md5s,
+        })
+
+    return recs.map_batches(compact, batch_format="pyarrow")
+
+
 def a_corr_qty_price(sf_dir: str) -> rd.Dataset:
     """Grouped Pearson correlation (quantity vs extended price per return
     flag) from one-pass distributive moments (Σx, Σy, Σxy, Σx², Σy², n) —
