@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_split": q.td_split,
         "g_pagerank": q.g_pagerank,
         "td_decontaminate": q.td_decontaminate,
+        "dd_ngram_coverage": q.dd_ngram_coverage,
         "a_price_histogram": q.a_price_histogram,
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,
@@ -1066,6 +1067,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
             FROM grams g JOIN ev USING (g)
             WHERE g.doc_id % 50 != 0
+            GROUP BY 1
+        """,
+        "dd_ngram_coverage": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' '
+                       || arr[i+3] || ' ' || arr[i+4] AS g
+                FROM tok,
+                     unnest(generate_series(1, greatest(len(arr) - 4, 0)))
+                         AS t(i)),
+            cnt AS (SELECT g, count(*) AS nd FROM grams GROUP BY 1)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+            FROM grams JOIN cnt USING (g)
             GROUP BY 1
         """,
         "a_price_histogram": """

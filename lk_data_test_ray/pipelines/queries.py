@@ -1835,6 +1835,72 @@ def g_pagerank(sf_dir: str) -> pa.Table:
     return pagerank(links, "src_url", "dst_url", damping=0.85, iters=5)
 
 
+def dd_ngram_coverage(sf_dir: str) -> rd.Dataset:
+    """Cross-document n-gram duplication coverage (the RefinedWeb /
+    MassiveText repeated-content signal): per document, the fraction of its
+    DISTINCT word 5-grams that also occur in at least one OTHER document.
+
+    Shape: per-batch distinct (gram, doc) rows (a doc is one row, so
+    within-batch distinct is globally distinct) → ONE hash exchange on the
+    gram — each partition owns every occurrence of its grams, computes
+    per-gram doc counts with a vectorized ``group_by``, and emits per-doc
+    partials (n_dup, n_tot) — → tiny doc-keyed sum. Grams are exchanged as
+    strings here for oracle-exactness; at 100 TB the key would be a 128-bit
+    gram hash (same plan, constant-width keys). Docs with <5 tokens have no
+    grams and no row (matching the SQL)."""
+    K = 5
+    from ..functions.text import word_ngrams_batch
+    from ..relational import hash_repartition_map
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        grams, gcnt, grow = word_ngrams_batch(batch["text"], K)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "g": grams,
+            "doc_id": pa.array(ids[grow], pa.int64()),
+        })
+        return tbl.group_by(["g", "doc_id"]).aggregate([])  # distinct pairs
+
+    pairs = docs.map_batches(gram_rows, batch_format="pyarrow")
+
+    def per_gram_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64()),
+                             "n_tot": pa.array([], pa.int64())})
+        # docs-per-gram, then mark each (gram, doc) row dup if its gram has
+        # ≥2 docs; count + flag-attach are both vectorized Acero ops
+        cnt = tbl.group_by(["g"]).aggregate([("doc_id", "count")])
+        joined = tbl.join(cnt, keys="g", join_type="inner")
+        part = pa.table({
+            "doc_id": joined["doc_id"],
+            "dup": pc.greater_equal(joined["doc_id_count"],
+                                    2).cast(pa.int64()),
+        })
+        agg = part.group_by(["doc_id"]).aggregate(
+            [("dup", "sum"), ("dup", "count")])
+        return pa.table({
+            "doc_id": agg["doc_id"],
+            "n_dup": agg["dup_sum"].cast(pa.int64()),
+            "n_tot": agg["dup_count"].cast(pa.int64()),
+        })
+
+    partials = hash_repartition_map(pairs, "g", per_gram_partition)
+    per_doc = partial_groupby_agg(
+        partials, ["doc_id"],
+        [("n_dup", "sum", "n_dup"), ("n_tot", "sum", "n_grams")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        frac = (batch["n_dup"].to_numpy(zero_copy_only=False)
+                / batch["n_grams"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "dup_frac", pa.array(round_half_away(frac, 6), pa.float64()))
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def td_decontaminate(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination (the GPT-3/Pile n-gram overlap check):
     flag every training document sharing at least one word 4-gram with the
