@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_hash_sample": q.o_hash_sample,
         "m_unpivot_lineitem": q.m_unpivot_lineitem,
         "j_full_outer_activity": q.j_full_outer_activity,
+        "j_upsert_cdc": q.j_upsert_cdc,
         "e_first_last_per_user": q.e_first_last_per_user,
         "q6_revenue_delta": q.q6_revenue_delta,
         "e_cum_daily": q.e_cum_daily,
@@ -993,6 +994,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'tax' AS measure,
                    l_tax AS value FROM lineitem
+        """,
+        "j_upsert_cdc": """
+            WITH ch AS (
+                SELECT user_id AS c_custkey,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op,
+                       round(value, 2) AS new_bal,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events),
+            latest AS (SELECT * FROM ch WHERE rn = 1)
+            SELECT c.c_custkey, c.c_acctbal, 'kept' AS src
+            FROM customer c LEFT JOIN latest l USING (c_custkey)
+            WHERE l.op IS NULL
+            UNION ALL
+            SELECT l.c_custkey, l.new_bal AS c_acctbal,
+                   CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+                        ELSE 'updated' END AS src
+            FROM latest l LEFT JOIN customer c USING (c_custkey)
+            WHERE l.op = 'U'
         """,
         "j_full_outer_activity": """
             SELECT COALESCE(o.o_custkey, e.user_id) AS ckey,

@@ -1590,6 +1590,91 @@ def m_unpivot_lineitem(sf_dir: str) -> rd.Dataset:
     return line.map_batches(melt, batch_format="pyarrow")
 
 
+def j_upsert_cdc(sf_dir: str) -> rd.Dataset:
+    """CDC upsert / snapshot merge (the distributed, immutable form of the
+    reference's in-place table update S5, ``enrich_person_indices.py:58``):
+    apply a change stream to a base snapshot — latest change per key wins,
+    'D' deletes, 'U' replaces-or-inserts — producing a NEW snapshot, never
+    mutating the base.
+
+    Changes derive deterministically from events (op='D' on error events,
+    else 'U' with the event value as the new balance; latest by (ts,
+    event_id)). Plan: tag base + changes into one stream → ONE hash
+    exchange on the key → per-partition vectorized resolution (sort +
+    segmented last-per-key, is_in splits) — no per-key Python, no driver
+    materialization of either side."""
+    from ..relational import hash_repartition_map
+
+    base = read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ev = read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "ts_us": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "eid": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "op": pa.array(["B"] * n, pa.string()),
+            "bal": batch["c_acctbal"].cast(pa.float64()),
+        })
+
+    def tag_changes(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(batch["event_type"], "error"),
+                        pa.scalar("D"), pa.scalar("U"))
+        return pa.table({
+            "key": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "eid": batch["event_id"].cast(pa.int64()),
+            "op": op,
+            "bal": pa.array(round_half_away(
+                batch["value"].to_numpy(zero_copy_only=False), 2),
+                pa.float64()),
+        })
+
+    stream = base.map_batches(tag_base, batch_format="pyarrow").union(
+        ev.map_batches(tag_changes, batch_format="pyarrow"))
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_acctbal", pa.float64()),
+                            ("src", pa.string())])
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        is_base = pc.equal(tbl["op"], "B")
+        base_t = tbl.filter(is_base)
+        ch = tbl.filter(pc.invert(is_base))
+        if ch.num_rows:
+            ch = ch.take(pc.sort_indices(
+                pa.table({"key": ch["key"], "ts_us": ch["ts_us"],
+                          "eid": ch["eid"]}),
+                sort_keys=[("key", "ascending"), ("ts_us", "ascending"),
+                           ("eid", "ascending")]))
+            keys = ch["key"].to_numpy(zero_copy_only=False)
+            last = np.flatnonzero(
+                np.concatenate([keys[1:] != keys[:-1], [True]]))
+            latest = ch.take(pa.array(last, pa.int64()))
+        else:
+            latest = ch
+        latest_keys = latest["key"].combine_chunks()
+        base_keys = base_t["key"].combine_chunks()
+        kept = base_t.filter(pc.invert(
+            pc.is_in(base_t["key"], value_set=latest_keys)))
+        ups = latest.filter(pc.equal(latest["op"], "U"))
+        src = pc.if_else(pc.is_in(ups["key"], value_set=base_keys),
+                         pa.scalar("updated"), pa.scalar("inserted"))
+        return pa.concat_tables([
+            pa.table({"c_custkey": kept["key"], "c_acctbal": kept["bal"],
+                      "src": pa.array(["kept"] * kept.num_rows,
+                                      pa.string())}, schema=out_schema),
+            pa.table({"c_custkey": ups["key"], "c_acctbal": ups["bal"],
+                      "src": src.cast(pa.string())}, schema=out_schema),
+        ])
+
+    return hash_repartition_map(stream, "key", resolve)
+
+
 def j_full_outer_activity(sf_dir: str) -> rd.Dataset:
     """Distributed FULL OUTER join (the one equi-join type the suite lacked):
     per-customer order counts ⋈ per-user event counts, either side may be
