@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_pagerank": q.g_pagerank,
         "td_decontaminate": q.td_decontaminate,
         "dd_ngram_coverage": q.dd_ngram_coverage,
+        "dd_semantic": q.dd_semantic,
         "a_price_histogram": q.a_price_histogram,
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,

@@ -498,6 +498,86 @@ def embedding_cosine_pairs(
         block_col).map_groups(pairs_in_block, batch_format="pyarrow")
 
 
+def semantic_dedup(ds: rd.Dataset, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_cells: int = 8,
+                   threshold: float = 0.95, train_sample: int = 2048,
+                   seed: int = 13) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then WITHIN
+    each cluster drop all but one of every cosine-near-identical group
+    (keeper = min id — order-independent, same convention as D1).
+
+    Plan: centroids from a driver-side sample (deterministic seeded
+    k-means, the IVF quantizer in ``similarity.train_centroids``) broadcast
+    once → per-batch cell assignment (one matmul) → ONE hash exchange on
+    the cell id → per-partition, per-cell: normalized matmul adjacency +
+    vectorized min-label propagation. The cluster bounds the quadratic
+    term exactly as SemDeDup prescribes at scale.
+
+    Returns (id, cluster, keeper) for every input vector; ``keeper == id``
+    marks survivors.
+    """
+    from ..relational import hash_repartition_map
+    from .similarity import _normalize, train_centroids
+
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = np.asarray(list(sample_rows[vec_col]), dtype=np.float64)
+    cents = train_centroids(sample, n_cells, seed=seed)
+    dim = cents.shape[1]
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        arr = batch[vec_col].combine_chunks()
+        X = _normalize(np.asarray(arr.values, dtype=np.float64)
+                       .reshape(-1, dim))
+        cell = np.argmax(X @ C.T, axis=1).astype(np.int64)
+        return pa.table({
+            "id": batch[id_col].cast(pa.int64()),
+            "cluster": pa.array(cell, pa.int64()),
+            "vec": pa.array(list(X), pa.list_(pa.float64())),
+        })
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+    out_schema = pa.schema([("id", pa.int64()), ("cluster", pa.int64()),
+                            ("keeper", pa.int64())])
+
+    def dedup_cells(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            pa.table({"cluster": tbl["cluster"], "id": tbl["id"]}),
+            sort_keys=[("cluster", "ascending"), ("id", "ascending")])
+        tbl = tbl.take(order)
+        cells = tbl["cluster"].to_numpy(zero_copy_only=False)
+        ids = tbl["id"].to_numpy(zero_copy_only=False)
+        X = np.asarray(tbl["vec"].combine_chunks().values,
+                       dtype=np.float64).reshape(len(ids), dim)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(cells[1:] != cells[:-1]) + 1, [len(ids)]])
+        keepers = np.empty(len(ids), dtype=np.int64)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            S = X[lo:hi]
+            adj = (S @ S.T) >= threshold        # includes the diagonal
+            lab = ids[lo:hi].astype(np.float64)
+            while True:
+                # min label over neighbors, fully vectorized per cell
+                new = np.min(np.where(adj, lab[None, :], np.inf), axis=1)
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            keepers[lo:hi] = lab.astype(np.int64)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cells, pa.int64()),
+            "keeper": pa.array(keepers, pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(assigned, "cluster", dedup_cells)
+
+
 def shingle_jaccard_pairs_matmul(
     ds: rd.Dataset, id_col: str, text_col: str, k: int = 2,
     threshold: float = 0.5, max_dense_cells: int = 500_000_000,

@@ -1986,6 +1986,19 @@ def dd_ngram_coverage(sf_dir: str) -> rd.Dataset:
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def dd_semantic(sf_dir: str) -> rd.Dataset:
+    """SemDeDup-style semantic near-dup removal over the embeddings table
+    (cluster with a seeded quantizer, drop cosine-near-identical vectors
+    within each cluster, keeper = min id). No SQL oracle — k-means isn't
+    SQL-expressible; a single-process numpy reference asserts identical
+    (id, cluster, keeper) triples in pytest."""
+    from .dedup import semantic_dedup
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(emb, "vec_id", "embedding",
+                          n_cells=8, threshold=0.95)
+
+
 def td_decontaminate(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination (the GPT-3/Pile n-gram overlap check):
     flag every training document sharing at least one word 4-gram with the

@@ -247,3 +247,50 @@ def test_simhash_batch_equals_scalar():
     got = simhash64_batch(th, counts)
     for i, d in enumerate(docs):
         assert int(got[i]) == simhash64(d), (i, d)
+
+
+def test_semantic_dedup_matches_numpy_reference():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.dedup import semantic_dedup
+    from lk_data_test_ray.pipelines.similarity import (_normalize,
+                                                       train_centroids)
+
+    rng = np.random.default_rng(5)
+    n, d, tau, cells = 300, 16, 0.95, 4
+    base = rng.normal(size=(40, d))
+    # near-identical groups: each base vector plus jittered copies
+    X = np.concatenate([base[rng.integers(0, 40, n - 40)]
+                        + rng.normal(scale=0.01, size=(n - 40, d)), base])
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in X],
+                              pa.list_(pa.float64())),
+    }))
+    got = semantic_dedup(ds, "vec_id", "embedding", n_cells=cells,
+                         threshold=tau, train_sample=4096).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+
+    # single-process reference with identical semantics
+    cents = train_centroids(X[: 2048].astype(np.float64), cells, seed=13)
+    Xn = _normalize(X.astype(np.float64))
+    cell = np.argmax(Xn @ cents.T, axis=1)
+    ref_keeper = np.empty(n, dtype=np.int64)
+    for c in np.unique(cell):
+        sel = np.flatnonzero(cell == c)
+        S = Xn[sel]
+        adj = (S @ S.T) >= tau
+        lab = ids[sel].astype(float)
+        while True:
+            new = np.min(np.where(adj, lab[None, :], np.inf), axis=1)
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        ref_keeper[sel] = lab.astype(np.int64)
+    assert (got["cluster"].to_numpy() == cell).all()
+    assert (got["keeper"].to_numpy() == ref_keeper).all()
+    # the jittered corpus must actually deduplicate something
+    assert (got["keeper"] != got["id"]).sum() > 50
