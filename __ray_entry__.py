@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_decontaminate": q.td_decontaminate,
         "dd_ngram_coverage": q.dd_ngram_coverage,
         "dd_semantic": q.dd_semantic,
+        "t_bpe_merges": q.t_bpe_merges,
         "a_price_histogram": q.a_price_histogram,
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,

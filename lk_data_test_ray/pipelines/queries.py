@@ -1986,6 +1986,33 @@ def dd_ngram_coverage(sf_dir: str) -> rd.Dataset:
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def t_bpe_merges(sf_dir: str) -> pa.Table:
+    """Tokenizer training: learn the corpus's top-8 BPE merge rules
+    (``functions/bpe.py``) from a distributed word-type frequency table —
+    the LLM-pipeline vocabulary-induction step. Deterministic (count-desc,
+    lexical-asc tiebreak) but iterative, so no SQL oracle; a single-process
+    reference asserts the exact merge table in pytest."""
+    from ..functions.bpe import train_bpe
+    from ..functions.text import TOKEN_SPLIT
+
+    docs = read(sf_dir, "documents", ["text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(),
+                                      TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        t = pa.table({"word": flat}).filter(
+            pc.greater(pc.utf8_length(flat), 0))
+        agg = t.group_by(["word"]).aggregate([("word", "count")])
+        return pa.table({"word": agg["word"],
+                         "n": agg["word_count"].cast(pa.int64())})
+
+    word_ds = partial_groupby_agg(
+        docs.map_batches(words, batch_format="pyarrow"),
+        ["word"], [("n", "sum", "n")])
+    return train_bpe(word_ds, n_merges=8)
+
+
 def dd_semantic(sf_dir: str) -> rd.Dataset:
     """SemDeDup-style semantic near-dup removal over the embeddings table
     (cluster with a seeded quantizer, drop cosine-near-identical vectors

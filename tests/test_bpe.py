@@ -1,0 +1,63 @@
+"""Distributed BPE trainer vs a single-process reference."""
+import collections
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lk_data_test_ray.functions.bpe import apply_merge_batch, train_bpe
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Textbook BPE on a word-frequency dict, same tiebreak (count desc,
+    (left, right) lexical asc), leftmost-greedy non-overlapping apply."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(n_merges):
+        counts = collections.Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), w = best
+        merges.append((step, a, b, a + b, w))
+        for word, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[word] = out
+    return merges
+
+
+def test_apply_merge_overlapping_chain():
+    batch = pa.table({
+        "syms": pa.array([["a", "a", "a"], ["a", "a", "a", "a"],
+                          ["b", "a", "a"], []],
+                         pa.list_(pa.string())),
+        "n": pa.array([1, 1, 1, 1], pa.int64()),
+    })
+    out = apply_merge_batch(batch, "a", "a")
+    assert out["syms"].to_pylist() == [
+        ["aa", "a"], ["aa", "aa"], ["b", "aa"], []]
+
+
+def test_train_bpe_matches_reference():
+    rng = np.random.default_rng(3)
+    vocab = ["the", "then", "there", "other", "hello", "help", "low",
+             "lower", "lowest", "newest", "widest", "banana", "bandana"]
+    wc = {w: int(rng.integers(1, 50)) for w in vocab}
+    ds = rd.from_arrow(pa.table({
+        "word": pa.array(list(wc), pa.string()),
+        "n": pa.array([wc[w] for w in wc], pa.int64()),
+    })).repartition(4)
+    got = train_bpe(ds, n_merges=10).to_pylist()
+    ref = _ref_bpe(wc, 10)
+    assert [(r["step"], r["left"], r["right"], r["merged"], r["n"])
+            for r in got] == ref
