@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_ngram_coverage": q.dd_ngram_coverage,
         "dd_semantic": q.dd_semantic,
         "t_bpe_merges": q.t_bpe_merges,
+        "td_dsir_weights": q.td_dsir_weights,
         "a_price_histogram": q.a_price_histogram,
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,
@@ -1110,6 +1111,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
                          / CAST(count(*) AS DOUBLE), 6) AS dup_frac
             FROM grams JOIN cnt USING (g)
+            GROUP BY 1
+        """,
+        "td_dsir_weights": f"""
+            WITH tok AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+                WHERE len(w) > 0),
+            b AS (SELECT doc_id,
+                         (('0x' || substr(md5(w), 1, 8))::BIGINT % 64)
+                             AS bkt
+                  FROM tok),
+            t AS (SELECT bkt, count(*) AS c FROM b
+                  WHERE doc_id % 50 = 0 GROUP BY 1),
+            r AS (SELECT bkt, count(*) AS c FROM b
+                  WHERE doc_id % 50 != 0 GROUP BY 1),
+            tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM t) AS tt,
+                           (SELECT coalesce(sum(c), 0) FROM r) AS rr),
+            lr AS (SELECT g.bkt,
+                          ln((coalesce(t.c, 0) + 1.0) / (tot.tt + 64))
+                          - ln((coalesce(r.c, 0) + 1.0) / (tot.rr + 64))
+                              AS lr
+                   FROM (SELECT unnest(generate_series(0, 63)) AS bkt) g
+                   LEFT JOIN t USING (bkt) LEFT JOIN r USING (bkt), tot)
+            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(lr.lr), 6) AS dsir_weight
+            FROM b JOIN lr USING (bkt)
+            WHERE b.doc_id % 50 != 0
             GROUP BY 1
         """,
         "a_price_histogram": """

@@ -2013,6 +2013,86 @@ def t_bpe_merges(sf_dir: str) -> pa.Table:
     return train_bpe(word_ds, n_merges=8)
 
 
+def td_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by the log-likelihood ratio of its hashed
+    unigram features under a target vs raw bucket distribution — the
+    data-selection step before importance sampling a pretraining corpus.
+
+    Target split = ``doc_id % 50 == 0`` (the decontamination convention);
+    B = 64 md5-derived buckets so the hash is ENGINE-NEUTRAL and the whole
+    operator is oracle-checked in SQL. Two passes: (1) per-batch bucket
+    count partials for both splits (a 64-row table per batch, summed by a
+    tiny groupby — driver state O(B)); (2) per-doc segmented sum of the
+    broadcast log-ratio vector over its token buckets. md5 runs once per
+    DISTINCT token per batch (dictionary-encode first)."""
+    import hashlib
+
+    from ..functions.text import TOKEN_SPLIT
+
+    B = 64
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _buckets(texts) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket per token, tokens-per-row) for a text column chunk."""
+        toks = pc.split_pattern_regex(texts.combine_chunks()
+                                      if isinstance(texts, pa.ChunkedArray)
+                                      else texts, TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # recompute per-row counts over kept tokens only
+        rows = np.repeat(np.arange(len(nper)),
+                         np.nan_to_num(nper).astype(np.int64))
+        rows = rows[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        enc = flat.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        ub = np.array([int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % B
+                       for u in uniq], dtype=np.int64) \
+            if uniq else np.empty(0, np.int64)
+        bkt = ub[enc.indices.to_numpy(zero_copy_only=False)] \
+            if uniq else np.empty(0, np.int64)
+        return bkt, rows, len(nper)
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        bkt, rows, _ = _buckets(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        is_target = (ids[rows] % 50) == 0
+        t_cnt = np.bincount(bkt[is_target], minlength=B)
+        r_cnt = np.bincount(bkt[~is_target], minlength=B)
+        return pa.table({
+            "bkt": pa.array(np.arange(B, dtype=np.int64)),
+            "t_cnt": pa.array(t_cnt.astype(np.int64)),
+            "r_cnt": pa.array(r_cnt.astype(np.int64)),
+        })
+
+    cnt = partial_groupby_agg(
+        docs.map_batches(count_partials, batch_format="pyarrow"),
+        ["bkt"], [("t_cnt", "sum", "t_cnt"), ("r_cnt", "sum", "r_cnt")]
+    ).to_pandas().sort_values("bkt")
+    t = cnt["t_cnt"].to_numpy(dtype=np.float64)
+    r = cnt["r_cnt"].to_numpy(dtype=np.float64)
+    lr = (np.log((t + 1.0) / (t.sum() + B))
+          - np.log((r + 1.0) / (r.sum() + B)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        raw = (ids % 50) != 0
+        bkt, rows, n = _buckets(batch["text"])
+        w = np.bincount(rows, weights=lr[bkt], minlength=n)
+        ntok = np.bincount(rows, minlength=n).astype(np.int64)
+        keep = raw & (ntok > 0)  # zero-token docs have no rows in the SQL
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(ntok[keep], pa.int64()),
+            "dsir_weight": pa.array(round_half_away(w[keep], 6),
+                                    pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def dd_semantic(sf_dir: str) -> rd.Dataset:
     """SemDeDup-style semantic near-dup removal over the embeddings table
     (cluster with a seeded quantizer, drop cosine-near-identical vectors
