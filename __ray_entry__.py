@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_semantic": q.dd_semantic,
         "t_bpe_merges": q.t_bpe_merges,
         "td_dsir_weights": q.td_dsir_weights,
+        "v_pruned_ts_range": q.v_pruned_ts_range,
         "a_price_histogram": q.a_price_histogram,
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,
@@ -1139,6 +1140,12 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN lr USING (bkt)
             WHERE b.doc_id % 50 != 0
             GROUP BY 1
+        """,
+        "v_pruned_ts_range": """
+            SELECT event_id, ts, user_id, round(value, 2) AS value
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                         AND TIMESTAMP '2024-01-17 00:00:00'
         """,
         "a_price_histogram": """
             SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,

@@ -2239,6 +2239,62 @@ def _events_sidecar(sf_dir: str, fmt: str) -> str:
     return out_dir
 
 
+def _events_ts_clustered(sf_dir: str) -> str:
+    """Deterministic ts-SORTED parquet sidecar of events with small row
+    groups — the key-clustered storage layout zone-map pruning needs
+    (a time-partitioned event log / date-sorted crawl snapshot)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/lk_srcfmt/{tag}_tssorted"
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "ts", "user_id", "value"])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+        pq.write_table(t, os.path.join(out_dir, "events.parquet"),
+                       row_group_size=256)
+        open(marker, "w").close()
+    return out_dir
+
+
+PRUNE_TS_LO = "2024-01-10 00:00:00"
+PRUNE_TS_HI = "2024-01-17 00:00:00"
+
+
+def v_pruned_ts_range(sf_dir: str) -> rd.Dataset:
+    """Range scan with zone-map predicate pushdown (``sources/scan.py``):
+    plan from row-group footer statistics over a ts-clustered events
+    sidecar, read only the row groups whose [min, max] intersects the
+    range, filter exactly inside the read task. A pytest asserts the
+    planner actually skipped row groups; the oracle is the plain BETWEEN
+    over the unsorted events table (same rows, clustering-independent)."""
+    import os
+
+    from ..sources.scan import pruned_range_scan
+
+    import datetime as dt
+
+    d = _events_ts_clustered(sf_dir)
+    lo = dt.datetime.fromisoformat(PRUNE_TS_LO)
+    hi = dt.datetime.fromisoformat(PRUNE_TS_HI)
+    ds = pruned_range_scan(os.path.join(d, "events.parquet"), "ts", lo, hi,
+                           columns=["event_id", "ts", "user_id", "value"])
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("value"), "value",
+            pa.array(round_half_away(
+                batch["value"].to_numpy(zero_copy_only=False), 2),
+                pa.float64()))
+
+    return ds.map_batches(rounded, batch_format="pyarrow")
+
+
 def v_jsonl_source(sf_dir: str) -> rd.Dataset:
     """Non-parquet source format (S1 over JSONL via ``ray.data.read_json``):
     grouped sum/count over the JSONL mirror must equal the parquet oracle

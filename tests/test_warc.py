@@ -37,3 +37,48 @@ def test_warc_truncated_raises():
     data = segment_table(tbl)
     with pytest.raises(ValueError):
         parse_segment(data[:-10])  # payload cut short
+
+
+def test_zone_map_pruning_skips_row_groups(sf_dir):
+    """plan_pruned_items must read strictly fewer row groups than a full
+    scan on ts-clustered storage, and pruned_range_scan must equal the
+    full-scan + filter result exactly."""
+    import datetime as pydt
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.queries import _events_ts_clustered
+    from lk_data_test_ray.sources.scan import (plan_pruned_items,
+                                               pruned_range_scan)
+
+    d = _events_ts_clustered(sf_dir)
+    f = os.path.join(d, "events.parquet")
+    lo = pydt.datetime(2024, 1, 10)
+    hi = pydt.datetime(2024, 1, 17)
+    items, kept, total = plan_pruned_items([f], "ts", lo, hi)
+    assert total > 1, "sidecar must have multiple row groups for this test"
+    assert 0 < kept < total  # pruning actually happened
+
+    got = pruned_range_scan(f, "ts", lo, hi,
+                            columns=["event_id", "ts"]).to_pandas()
+    full = pq.read_table(f, columns=["event_id", "ts"])
+    mask = pc.and_(pc.greater_equal(full["ts"], lo),
+                   pc.less_equal(full["ts"], hi))
+    ref = full.filter(mask).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert got.equals(ref)
+
+    # a range before all data plans zero items and returns an empty,
+    # correctly-typed dataset
+    items0, kept0, _ = plan_pruned_items([f], "ts",
+                                         pydt.datetime(1990, 1, 1),
+                                         pydt.datetime(1990, 1, 2))
+    assert items0 == [] and kept0 == 0
+    empty = pruned_range_scan(f, "ts", pydt.datetime(1990, 1, 1),
+                              pydt.datetime(1990, 1, 2),
+                              columns=["event_id", "ts"])
+    assert empty.count() == 0
