@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "t_tfidf_top",
     "t_repetition",
     "td_split",
+    "v_warc_source",
+    "dd_ngram_coverage",
+    "td_dsir_weights",
+    "j_upsert_cdc",
 ]
 
 
