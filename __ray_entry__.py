@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_ngram_coverage": q.dd_ngram_coverage,
         "dd_semantic": q.dd_semantic,
         "t_bpe_merges": q.t_bpe_merges,
+        "t_bpe_encode": q.t_bpe_encode,
         "td_dsir_weights": q.td_dsir_weights,
         "v_pruned_ts_range": q.v_pruned_ts_range,
         "a_price_histogram": q.a_price_histogram,

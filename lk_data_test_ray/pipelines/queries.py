@@ -2013,6 +2013,66 @@ def t_bpe_merges(sf_dir: str) -> pa.Table:
     return train_bpe(word_ds, n_merges=8)
 
 
+def t_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Tokenizer application: encode the corpus with the merge table
+    ``t_bpe_merges`` learned, reporting per-doc word count, post-merge BPE
+    token count and the compression ratio. The merge list is tiny and
+    broadcast in the closure; each batch dictionary-encodes its tokens so
+    the merges run once per DISTINCT word per batch, then per-doc sums
+    come from one bincount over the dictionary indices. Deterministic but
+    iterative upstream (no SQL oracle); encode-vs-reference equality is
+    pytest-asserted."""
+    from ..functions.bpe import apply_merge_batch
+    from ..functions.text import TOKEN_SPLIT
+
+    merges = t_bpe_merges(sf_dir)
+    mlist = list(zip(merges["left"].to_pylist(),
+                     merges["right"].to_pylist()))
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(),
+                                      TOKEN_SPLIT)
+        nper = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        rows = np.repeat(np.arange(len(nper)), nper)
+        rows = rows[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        enc = flat.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        if uniq:
+            syms = pa.table({
+                "syms": pa.array([list(w) for w in uniq],
+                                 pa.list_(pa.string())),
+                "n": pa.array(np.ones(len(uniq), np.int64)),
+            })
+            for a, b in mlist:
+                syms = apply_merge_batch(syms, a, b)
+            per_word = pc.list_value_length(syms["syms"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            n_bpe = np.bincount(rows, weights=per_word[idx],
+                                minlength=len(nper)).astype(np.int64)
+        else:
+            n_bpe = np.zeros(len(nper), np.int64)
+        n_words = np.bincount(rows, minlength=len(nper)).astype(np.int64)
+        ratio = np.divide(n_bpe, n_words,
+                          out=np.zeros(len(nper), np.float64),
+                          where=n_words > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "tokens_per_word": pa.array(round_half_away(ratio, 6),
+                                        pa.float64()),
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
 def td_dsir_weights(sf_dir: str) -> rd.Dataset:
     """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
     score every raw document by the log-likelihood ratio of its hashed

@@ -61,3 +61,39 @@ def test_train_bpe_matches_reference():
     ref = _ref_bpe(wc, 10)
     assert [(r["step"], r["left"], r["right"], r["merged"], r["n"])
             for r in got] == ref
+
+
+def test_bpe_encode_matches_reference(sf_dir):
+    from lk_data_test_ray.pipelines.queries import (t_bpe_encode,
+                                                    t_bpe_merges)
+
+    merges = t_bpe_merges(sf_dir).to_pylist()
+    got = t_bpe_encode(sf_dir).to_pandas().set_index("doc_id")
+
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    checked = 0
+    for _, row in docs.head(40).iterrows():
+        words = [w for w in (row["text"] or "").split() if w]
+        n_bpe = 0
+        for w in words:
+            s = list(w)
+            for m in merges:
+                a, b = m["left"], m["right"]
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            n_bpe += len(s)
+        g = got.loc[row["doc_id"]]
+        assert int(g["n_words"]) == len(words)
+        assert int(g["n_bpe_tokens"]) == n_bpe, row["doc_id"]
+        checked += 1
+    assert checked == 40
