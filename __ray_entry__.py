@@ -117,6 +117,12 @@ def _s_ann_lsh(sf_dir: str):
         _sim.load_queries(sf_dir, 10), k=5)
 
 
+def _s_ann_pq(sf_dir: str):
+    return _sim.ann_pq(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _sim.load_queries(sf_dir, 10), k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational (SURVEY.md §2.4/§2.5/§2.6)
@@ -164,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "s_ann_topk": _s_ann_topk,
         "s_ann_lsh": _s_ann_lsh,
+        "s_ann_pq": _s_ann_pq,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,

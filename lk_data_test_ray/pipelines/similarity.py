@@ -234,6 +234,109 @@ def ann_lsh(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
     return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
+def _pq_train(sample: np.ndarray, m: int, codes: int, n_iter: int = 10,
+              seed: int = 13) -> np.ndarray:
+    """(m, codes, d/m) subspace codebooks: plain L2 Lloyd per subspace on a
+    driver-side sample (seeded init, fixed iterations — run-stable)."""
+    n, d = sample.shape
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, codes, sub), dtype=np.float64)
+    for j in range(m):
+        X = sample[:, j * sub:(j + 1) * sub]
+        init = rng.choice(len(X), size=min(codes, len(X)), replace=False)
+        C = X[np.sort(init)].copy()
+        for _ in range(n_iter):
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+                  + (C * C).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                mem = X[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books[j, :len(C)] = C
+        if len(C) < codes:
+            books[j, len(C):] = C[-1]
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 PQ codes: argmin-L2 per subspace — one matmul each."""
+    m, codes, sub = books.shape
+    out = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        X = mat[:, j * sub:(j + 1) * sub]
+        C = books[j]
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+              + (C * C).sum(1)[None, :])
+        out[:, j] = np.argmin(d2, axis=1)
+    return out
+
+
+def ann_pq(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
+           id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+           m: int = 8, codes: int = 16, train_sample: int = 2048,
+           seed: int = 13) -> rd.Dataset:
+    """Product-quantized ANN (Jégou et al., TPAMI 2011): each vector
+    compresses to ``m`` uint8 codes (64 float32 dims → 8 bytes here, the
+    memory path that lets a 10^12-vector index fit a cluster); queries
+    score candidates by asymmetric distance (ADC) — per-query distance
+    TABLES to every codebook entry, so scoring a batch is ``m`` table
+    lookups per vector, no float vector ever re-read.
+
+    Same output contract as ``ann_brute_force`` (query_id, neighbor_id,
+    rank); recall vs the exact top-k is pytest-asserted. Codebooks train on
+    a driver sample and broadcast once; encode + score fuse into one
+    stateless map over the dataset."""
+    qids, qmat = queries
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = _normalize(np.asarray(list(sample_rows[vec_col]),
+                                   dtype=np.float64))
+    books = _pq_train(sample, m, codes, seed=seed)
+    qnorm = _normalize(qmat.astype(np.float64))
+    # (nq, m, codes) ADC tables: ||q_sub - c||² per codebook entry
+    sub = books.shape[2]
+    tables = np.empty((len(qnorm), m, codes), dtype=np.float64)
+    for j in range(m):
+        Q = qnorm[:, j * sub:(j + 1) * sub]
+        C = books[j]
+        tables[:, j, :] = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T)
+                           + (C * C).sum(1)[None, :])
+    state = ray.put((books, tables, qids))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bks, tbls, qq = ray.get(state)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(np.asarray(batch[vec_col].to_pylist(),
+                                    dtype=np.float64))
+        code = pq_encode(mat, bks)  # (n, m)
+        # ADC: d2[q, i] = Σ_j tbls[q, j, code[i, j]]
+        d2 = np.zeros((len(qq), len(ids)), dtype=np.float64)
+        for j in range(bks.shape[0]):
+            d2 += tbls[:, j, code[:, j]]
+        out_q, out_n, out_c = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(len(qq)):
+            row = d2[qi]
+            mask = ids != qq[qi]
+            cand = np.flatnonzero(mask)
+            top = cand[np.argsort(row[cand], kind="stable")[:kk]]
+            out_q.extend([qq[qi]] * len(top))
+            out_n.extend(ids[top])
+            # approx cosine from ADC distance (normalized vectors:
+            # L2² = 2 - 2cos) — keeps _final_topk's ordering contract
+            out_c.extend(1.0 - row[top] / 2.0)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
+
+
 def load_queries(sf_dir: str, n_queries: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
     """First n_queries embeddings (by id) as the broadcastable query matrix."""

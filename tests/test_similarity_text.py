@@ -198,3 +198,27 @@ def test_fused_parquet_map(pages_fixture):
     fused = fused.sort_values("url").reset_index(drop=True)
     plain = plain.sort_values("url").reset_index(drop=True)
     assert fused.equals(plain)
+
+
+def test_ann_pq_recall_and_codes():
+    ds, mat = _emb_ds()
+    qids = np.arange(10, dtype=np.int64)
+    exact = _numpy_topk(mat, list(range(10)), 5)
+    res = similarity.ann_pq(ds, (qids, mat[qids]), k=5, m=8,
+                            codes=16).to_pandas()
+    hits = total = 0
+    for qi in range(10):
+        got = set(res[res["query_id"] == qi]["neighbor_id"])
+        hits += len(got & set(exact[qi]))
+        total += 5
+    # 8x16 codebooks over 64 dims: lossy but must recover most of top-5
+    assert hits / total >= 0.5, hits / total
+    # encode determinism + shape: 8 uint8 codes per vector
+    books = similarity._pq_train(
+        similarity._normalize(mat.astype(np.float64)), 8, 16)
+    c1 = similarity.pq_encode(similarity._normalize(mat.astype(np.float64)),
+                              books)
+    c2 = similarity.pq_encode(similarity._normalize(mat.astype(np.float64)),
+                              books)
+    assert c1.dtype == np.uint8 and c1.shape == (len(mat), 8)
+    assert (c1 == c2).all()
