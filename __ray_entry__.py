@@ -171,6 +171,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_topk": _s_ann_topk,
         "s_ann_lsh": _s_ann_lsh,
         "s_ann_pq": _s_ann_pq,
+        # skew-aware join, CUBE lattice, blocklist filter, domain mixing,
+        # first-class set ops
+        "j_skew_user_events": q.j_skew_user_events,
+        "a_cube_lang_source": q.a_cube_lang_source,
+        "t_badwords": q.t_badwords,
+        "td_mix_sample": q.td_mix_sample,
+        "o_intersect_except": q.o_intersect_except,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -340,6 +347,48 @@ def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "j_skew_user_events": """
+            SELECT c_mktsegment, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1
+        """,
+        "a_cube_lang_source": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "t_badwords": f"""
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN tok IN ({q.BADWORDS_SQL_LIST})
+                       THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+                   round(sum(CASE WHEN tok IN ({q.BADWORDS_SQL_LIST})
+                             THEN 1 ELSE 0 END)
+                         / greatest(count(*), 1), 6) AS bad_frac,
+                   (sum(CASE WHEN tok IN ({q.BADWORDS_SQL_LIST})
+                        THEN 1 ELSE 0 END)
+                    / greatest(count(*), 1)) < 0.1 AS keep
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY doc_id
+        """,
+        "td_mix_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE (doc_id * 2654435761) % 100 <
+                  CASE WHEN substr(source, 4)::BIGINT < 5 THEN 100
+                       WHEN substr(source, 4)::BIGINT < 10 THEN 50
+                       ELSE 10 END
+        """,
+        "o_intersect_except": """
+            SELECT user_id, 'intersect' AS setop FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'error')
+            UNION ALL
+            SELECT user_id, 'except' AS setop FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                EXCEPT
+                SELECT user_id FROM events WHERE event_type = 'error')
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

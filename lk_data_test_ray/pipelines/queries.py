@@ -3871,3 +3871,174 @@ def q22_idle_rich_customers(sf_dir: str) -> rd.Dataset:
         _batch_distinct("o_custkey"), batch_format="pyarrow")
     return exchange_join(rich, buyers, "c_custkey", "o_custkey",
                          how="left_anti")
+
+
+def j_skew_user_events(sf_dir: str) -> rd.Dataset:
+    """Skew-aware join (hybrid broadcast-hot/exchange-cold,
+    ``relational.skew_join``): events ⋈ customer on user_id with a low hot
+    threshold so the heavy-hitter path actually exercises — hot users'
+    events join a broadcast customer slice block-parallel, cold users go
+    through the disjoint-range exchange. Per-segment counts prove
+    value-level parity with the plain SQL join. The 100-TB shape for a
+    bot-hammered key the reference never faces (SURVEY.md §4 "Skew")."""
+    from ..relational import skew_join
+
+    events = read(sf_dir, "events", ["user_id", "value"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = skew_join(events, cust, "user_id", "c_custkey", how="inner",
+                       hot_count=50)
+    agg = partial_groupby_agg(joined, ["c_mktsegment"],
+                              [("value", "count", "n_events"),
+                               ("value", "sum", "sum_value")])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "n_events": b["n_events"],
+            "sum_value": pc.round(b["sum_value"], ndigits=2,
+                                  round_mode="half_towards_infinity"),
+        }), batch_format="pyarrow")
+
+
+def a_cube_lang_source(sf_dir: str) -> rd.Dataset:
+    """CUBE over (lang, source): all four grouping sets — (lang, source),
+    (lang), (source), () — from ONE map-side partial aggregation at the
+    finest grain; the three coarser sets are derived vectorized from the
+    ~100 (lang × source) rows, never a second scan of the fact table
+    (the ``a_rollup_cust`` treatment generalized to the full lattice).
+    NULL marks a rolled-up dimension, as SQL's CUBE does."""
+    docs = read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    base = partial_groupby_agg(docs, ["lang", "source"],
+                               [("n_chars", "count", "n_docs"),
+                                ("n_chars", "sum", "sum_chars")])
+
+    def cube(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.combine_chunks()
+        lang = tbl["lang"]
+        src = tbl["source"]
+        n = tbl["n_docs"]
+        s = tbl["sum_chars"]
+        nulls = pa.nulls(1, pa.string())
+
+        def agg_over(keys: list[str]) -> pa.Table:
+            if not keys:
+                return pa.table({
+                    "lang": nulls, "source": nulls,
+                    "n_docs": pa.array([pc.sum(n).as_py()], pa.int64()),
+                    "sum_chars": pa.array([pc.sum(s).as_py()], pa.int64()),
+                })
+            g = tbl.group_by(keys).aggregate(
+                [("n_docs", "sum"), ("sum_chars", "sum")])
+            out = {
+                "lang": g["lang"] if "lang" in keys
+                else pa.nulls(g.num_rows, pa.string()),
+                "source": g["source"] if "source" in keys
+                else pa.nulls(g.num_rows, pa.string()),
+                "n_docs": g["n_docs_sum"],
+                "sum_chars": g["sum_chars_sum"],
+            }
+            return pa.table(out)
+
+        fine = pa.table({"lang": lang, "source": src,
+                         "n_docs": n, "sum_chars": s})
+        return pa.concat_tables([
+            fine, agg_over(["lang"]), agg_over(["source"]), agg_over([])])
+
+    # the derivation needs EVERY fine-grain row in one place — bounded by
+    # |langs| × |sources| (tiny), so a single-task repartition is safe
+    return base.repartition(1).map_batches(cube, batch_format="pyarrow")
+
+
+BADWORDS_SQL_LIST = "'slow','dup','spark'"
+
+
+def t_badwords(sf_dir: str) -> rd.Dataset:
+    """C4-style blocklist filter: per-document fraction of blocklisted
+    tokens (vectorized ``pc.is_in`` over the flattened token list +
+    segmented bincount — zero per-row Python), with the keep/drop flag a
+    training-data curation pass would gate on. The blocklist is data, not
+    code (M10's rule-table shape applied to text quality)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    bad = pa.array([w.strip("'") for w in BADWORDS_SQL_LIST.split(",")])
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=bad).to_numpy(zero_copy_only=False)
+        seg = np.repeat(np.arange(len(lens)), lens)
+        n_bad = np.bincount(seg, weights=hit,
+                            minlength=len(lens)).astype(np.int64)
+        frac = n_bad / np.maximum(lens, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_bad": pa.array(n_bad, pa.int64()),
+            "bad_frac": pa.array(round_half_away(frac, 6), pa.float64()),
+            "keep": pa.array(frac < 0.1),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def td_mix_sample(sf_dir: str) -> rd.Dataset:
+    """Domain-mixture sampling (pretraining data mixing): each source is
+    kept at its own target rate — here 100% / 50% / 10% by source tier —
+    with a deterministic multiplicative key hash as the keep predicate
+    (engine-neutral: the SQL side computes the identical BIGINT
+    expression, so the sample is oracle-checkable, unlike seeded RNG).
+    Pure per-batch filter: no shuffle, no driver state; at 100 TB the
+    rates table is the only broadcast."""
+    docs = read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        suffix = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 99),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+        rate = np.where(suffix < 5, 100, np.where(suffix < 10, 50, 10))
+        k = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = (k * 2654435761) % 100
+        return batch.filter(pa.array(h < rate))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def o_intersect_except(sf_dir: str) -> rd.Dataset:
+    """INTERSECT / EXCEPT as first-class distributed set ops (O6 beyond the
+    membership-join form): distinct click-users ∩ / ∖ distinct error-users
+    in one pass — map-side per-batch distinct on each tagged side, one hash
+    exchange co-locates a key's tags, presence flags decide the op. Emits
+    (user_id, setop) rows; DuckDB's INTERSECT/EXCEPT is the oracle."""
+    from ..relational import hash_repartition_map
+
+    events = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        a = batch.filter(pc.equal(et, "click"))
+        b = batch.filter(pc.equal(et, "error"))
+        return pa.table({
+            "user_id": pa.concat_arrays([
+                a["user_id"].combine_chunks(),
+                b["user_id"].combine_chunks()]),
+            "is_a": pa.array([True] * a.num_rows + [False] * b.num_rows),
+        }).group_by(["user_id", "is_a"]).aggregate([])
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+
+    def decide(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["user_id"]).aggregate([("is_a", "max"),
+                                                 ("is_a", "min")])
+        has_a = g["is_a_max"].to_numpy(zero_copy_only=False)
+        has_b = pc.invert(g["is_a_min"]).to_numpy(zero_copy_only=False)
+        # rows with only click → has_a & !has_b... careful: is_a_min True
+        # means every tag row was the click side (no error row)
+        only_a = np.asarray(has_a) & np.asarray(
+            g["is_a_min"].to_numpy(zero_copy_only=False))
+        both = np.asarray(has_a) & np.asarray(has_b)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        out_ids = np.concatenate([uid[both], uid[only_a]])
+        ops = np.array(["intersect"] * int(both.sum())
+                       + ["except"] * int(only_a.sum()), dtype=object)
+        return pa.table({"user_id": pa.array(out_ids, pa.int64()),
+                         "setop": pa.array(ops, pa.string())})
+
+    return hash_repartition_map(tagged, "user_id", decide)

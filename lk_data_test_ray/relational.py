@@ -665,3 +665,160 @@ def collect_tables(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
         if t.num_rows and set(schema.names) <= set(t.column_names):
             tables.append(t.select(schema.names).cast(schema))
     return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+# ---------------------------------------------------------------------------
+# skew-aware join (hot-key broadcast + cold-key exchange)
+# ---------------------------------------------------------------------------
+
+
+def detect_hot_keys(refs: list, key: str, m: int = 256):
+    """Heavy-hitter sketch of ``key`` across Arrow block refs.
+
+    One remote Misra-Gries partial per block (``sketches.topk.ApproxTopK``:
+    local exact top-m + residual bound), merged on the driver — O(m) bytes
+    per block regardless of key cardinality. Returns (merged sketch,
+    total row count); callers threshold on the sketch's UPPER count
+    bounds, which makes detection conservative: a possibly-hot key is
+    treated as hot (any split is correct; misclassification only costs a
+    little broadcast traffic).
+    """
+    from .sketches.topk import ApproxTopK
+
+    @ray.remote
+    def partial(tbl) -> tuple[bytes, int]:
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_batches([tbl])
+        if tbl.num_rows == 0:
+            return ApproxTopK(m).to_bytes(), 0
+        vc = pa.table({key: tbl[key]}).group_by([key]).aggregate(
+            [(key, "count")])
+        items = vc[key].to_numpy(zero_copy_only=False).astype(object)
+        counts = vc[f"{key}_count"].to_numpy(zero_copy_only=False)
+        return ApproxTopK.from_counts(items, counts, m).to_bytes(), tbl.num_rows
+
+    parts = ray.get([partial.remote(r) for r in refs])
+    merged = ApproxTopK.merge_many([ApproxTopK.from_bytes(b)
+                                    for b, _ in parts])
+    total = sum(n for _, n in parts)
+    return merged, total
+
+
+def skew_join(left: rd.Dataset, right: rd.Dataset,
+              left_on: str, right_on: str, how: str = "inner",
+              hot_count: int | None = None, p_bits: int | None = None,
+              sketch_m: int = 256) -> rd.Dataset:
+    """Equi-join that survives skewed keys: the hybrid broadcast/exchange
+    plan (Spark AQE's skew-join treatment, done eagerly).
+
+    A plain hash exchange sends EVERY row of a key to one partition — one
+    pathological key (a bot host hammering one URL, a null-ish default id)
+    turns a 256-node join into one straggler task. Here:
+
+      1. ONE pass over the left side's blocks builds mergeable heavy-hitter
+         partials (constant bytes per block); keys whose upper count bound
+         ≥ ``hot_count`` (default: 4× an average hash-range's share, i.e.
+         keys that would dominate their partition) are *hot*.
+      2. The right side's rows for hot keys are collected and broadcast
+         once via ``ray.put`` (assumption, documented: the right side is
+         per-key bounded — dimension-like — so |hot slice| ≈ |hot keys| ×
+         rows/key is small even when the LEFT side is pathological).
+      3. Hot left rows join the broadcast slice **block-parallel** — every
+         left block is its own join task, so the hot key's work spreads
+         over the cluster instead of one partition.
+      4. Cold rows of both sides go through the normal disjoint-range
+         ``exchange_join``; results union (hot/cold partition the key
+         space, so no row is produced twice).
+
+    Both sides are consumed exactly once (raw block refs, as
+    ``exchange_join``). Supported ``how``: inner / left_outer / left_semi /
+    left_anti (right/full outer would need right-unmatched tracking across
+    the block-parallel hot tasks — use ``exchange_join`` for those).
+    Reference analog: the reference's lookup joins never face skew
+    (single process, toy scale) — this is the 100-TB capability its
+    semantics demand (SURVEY.md §4 "Skew").
+    """
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"skew_join does not support how={how!r}")
+    if p_bits is None:
+        p_bits = default_p_bits()
+    P = 1 << p_bits
+    arrow_how = _ARROW_JOIN_TYPE[how]
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+
+    lrefs = left.to_arrow_refs()
+    rrefs = right.to_arrow_refs()
+    if not lrefs or not rrefs:
+        return exchange_join(left, right, left_on, right_on, how,
+                             p_bits=p_bits)
+
+    def _as_ds(refs, schema):
+        # blocks are already materialized — wrap, don't re-execute
+        return rd.from_arrow_refs(refs) if refs else rd.from_arrow(
+            schema.empty_table())
+
+    sketch, total = detect_hot_keys(lrefs, left_on, m=sketch_m)
+    # default threshold: a key 4× an average hash-range's share would
+    # dominate its partition
+    thr = hot_count if hot_count is not None else max(1024, 4 * total // P)
+    hot = [item for item, _lo, hi in sketch.top(sketch_m) if hi >= thr]
+    key_type = l_schema.field(left_on).type
+    # sketch items come back stringified (merge canonicalizes to str);
+    # cast back through Arrow — integer & string join keys supported
+    hot_arr = pc.cast(pa.array([str(h) for h in hot], pa.string()),
+                      key_type) if hot else None
+
+    if hot_arr is None or len(hot_arr) == 0:
+        return exchange_join(_as_ds(lrefs, l_schema), _as_ds(rrefs, r_schema),
+                             left_on, right_on, how, p_bits=p_bits)
+
+    @ray.remote
+    def split(tbl, key: str, hot_keys, pb: int):
+        """bucket 0..P-1 = cold hash ranges; bucket P = hot rows."""
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_batches([tbl])
+        if tbl.num_rows == 0:
+            return tuple(tbl for _ in range((1 << pb) + 1))
+        is_hot = pc.is_in(tbl[key], value_set=hot_keys)
+        hot_part = tbl.filter(is_hot)
+        cold = tbl.filter(pc.invert(pc.fill_null(is_hot, False)))
+        if cold.num_rows == 0:
+            return tuple([cold] * (1 << pb) + [hot_part])
+        bucket = _bucket_of(cold[key], pb)
+        return tuple([cold.filter(pa.array(bucket == p))
+                      for p in range(1 << pb)] + [hot_part])
+
+    @ray.remote
+    def pjoin(nl: int, *parts):
+        lp = [p for p in parts[:nl] if p.num_rows]
+        rp = [p for p in parts[nl:] if p.num_rows]
+        lt = pa.concat_tables(lp) if lp else l_schema.empty_table()
+        rt = pa.concat_tables(rp) if rp else r_schema.empty_table()
+        return lt.join(rt, keys=[left_on], right_keys=[right_on],
+                       join_type=arrow_how)
+
+    @ray.remote
+    def concat_parts(*parts):
+        live = [p for p in parts if p.num_rows]
+        return pa.concat_tables(live) if live else r_schema.empty_table()
+
+    @ray.remote
+    def hot_join(lpart, rhot):
+        if lpart.num_rows == 0:
+            return l_schema.empty_table().join(
+                r_schema.empty_table(), keys=[left_on],
+                right_keys=[right_on], join_type=arrow_how)
+        return lpart.join(rhot, keys=[left_on], right_keys=[right_on],
+                          join_type=arrow_how)
+
+    lsp = [split.options(num_returns=P + 1).remote(r, left_on, hot_arr,
+                                                   p_bits) for r in lrefs]
+    rsp = [split.options(num_returns=P + 1).remote(r, right_on, hot_arr,
+                                                   p_bits) for r in rrefs]
+    out = [pjoin.remote(len(lsp), *[refs[p] for refs in lsp],
+                        *[refs[p] for refs in rsp])
+           for p in range(P)]
+    rhot_ref = concat_parts.remote(*[refs[P] for refs in rsp])
+    out += [hot_join.remote(refs[P], rhot_ref) for refs in lsp]
+    return rd.from_arrow_refs(out)

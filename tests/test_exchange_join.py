@@ -91,3 +91,82 @@ def test_exchange_join_null_keys(ray_session):
     assert len(louter) == 3
     assert louter.set_index("a")["b"].notna().to_dict() == {
         10: True, 11: False, 12: False}
+
+
+# ---------------------------------------------------------------------------
+# skew_join: hybrid broadcast-hot/exchange-cold must equal exchange_join
+# ---------------------------------------------------------------------------
+
+SKEW_TYPES = ["inner", "left_outer", "left_semi", "left_anti"]
+
+
+@pytest.mark.parametrize("how", SKEW_TYPES)
+@pytest.mark.parametrize("ktype", ["int", "string"])
+def test_skew_join_equals_exchange_join(ray_session, how, ktype):
+    import ray.data as rd
+
+    from lk_data_test_ray.relational import skew_join
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    # pathological skew: one key owns half the left side
+    raw = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 80, n))
+    if ktype == "string":
+        lk = pa.array([f"k{v}" for v in raw], pa.string())
+        rk = pa.array([f"k{v}" for v in range(100)], pa.string())
+    else:
+        lk = pa.array(raw.astype(np.int64), pa.int64())
+        rk = pa.array(np.arange(100, dtype=np.int64), pa.int64())
+    left = rd.from_arrow(pa.table(
+        {"k": lk, "v": np.arange(n, dtype=np.int64)})).repartition(6)
+    right = rd.from_arrow(pa.table(
+        {"rk": rk, "w": np.arange(100, dtype=np.int64) * 7})).repartition(3)
+
+    got = _sorted_pd(pa.Table.from_pandas(
+        skew_join(left, right, "k", "rk", how=how,
+                  hot_count=300).to_pandas(), preserve_index=False))
+    want = _sorted_pd(pa.Table.from_pandas(
+        exchange_join(left, right, "k", "rk", how=how).to_pandas(),
+        preserve_index=False))
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want), how
+
+
+def test_skew_join_detects_hot_key(ray_session):
+    import ray.data as rd
+
+    from lk_data_test_ray.relational import detect_hot_keys
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.6, 42, rng.integers(100, 5000, n))
+    ds = rd.from_arrow(pa.table(
+        {"k": pa.array(keys.astype(np.int64))})).repartition(8)
+    sketch, total = detect_hot_keys(ds.to_arrow_refs(), "k")
+    assert total == n
+    top = sketch.top(1)[0]
+    assert top[0] == "42"
+    # upper/lower bounds must bracket the true count
+    true = int((keys == 42).sum())
+    assert top[1] <= true <= top[2]
+
+
+def test_skew_join_no_hot_keys_falls_back(ray_session):
+    import ray.data as rd
+
+    from lk_data_test_ray.relational import skew_join
+
+    # uniform keys, huge threshold: hot set empty -> pure exchange path
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(500, dtype=np.int64) % 50),
+        "v": pa.array(np.arange(500, dtype=np.int64))})).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.arange(50, dtype=np.int64)),
+        "w": pa.array(np.arange(50, dtype=np.int64))}))
+    got = _sorted_pd(pa.Table.from_pandas(
+        skew_join(left, right, "k", "rk", hot_count=10**9).to_pandas(),
+        preserve_index=False))
+    want = _sorted_pd(pa.Table.from_pandas(
+        exchange_join(left, right, "k", "rk").to_pandas(),
+        preserve_index=False))
+    assert got.equals(want)

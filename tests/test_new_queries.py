@@ -75,6 +75,11 @@ NEW_QUERIES = [
     "q19_disjunctive_revenue",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "j_skew_user_events",
+    "a_cube_lang_source",
+    "t_badwords",
+    "td_mix_sample",
+    "o_intersect_except",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
