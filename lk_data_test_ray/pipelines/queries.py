@@ -208,8 +208,11 @@ def j_semi_error_customers(sf_dir: str) -> rd.Dataset:
     if err_users is None:
         return rd.from_arrow(pa.schema(
             [("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table())
+    # low-selectivity probe (few error users): the Bloom pre-screen drops
+    # most customers before the exchange — zero false negatives, exact
+    # verify in the per-range Acero join
     return exchange_join(cust, err_users, "c_custkey", "user_id",
-                         how="left_semi")
+                         how="left_semi", bloom_reduce=True)
 
 
 def a_dup_user_event(sf_dir: str) -> rd.Dataset:

@@ -337,18 +337,21 @@ def salted_groupby_count(ds: rd.Dataset, key: str, salt_buckets: int = 16,
     return merged
 
 
-def _bucket_of(col: pa.ChunkedArray | pa.Array, p_bits: int) -> np.ndarray:
-    """Stable hash bucket per row (top ``p_bits`` of a 64-bit hash)."""
+def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable 64-bit hash per row (strings via the shared string hasher,
+    integers via multiply-shift / Fibonacci hashing — uniform top bits)."""
     from .functions.hashing import hash_strings64  # noqa: circular-safe
 
     vals = col.to_numpy(zero_copy_only=False)
     if vals.dtype == object:
-        h = hash_strings64(vals.astype(object))
-    else:
-        # integer keys: multiply-shift (Fibonacci) hash — uniform top bits
-        h = (vals.astype(np.int64).view(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15))
-    return (h >> np.uint64(64 - p_bits)).astype(np.int64)
+        return hash_strings64(vals.astype(object))
+    return (vals.astype(np.int64).view(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15))
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, p_bits: int) -> np.ndarray:
+    """Stable hash bucket per row (top ``p_bits`` of a 64-bit hash)."""
+    return (_hash64(col) >> np.uint64(64 - p_bits)).astype(np.int64)
 
 
 def default_p_bits() -> int:
@@ -414,7 +417,9 @@ _ARROW_JOIN_TYPE = {
 def exchange_join(left: rd.Dataset, right: rd.Dataset,
                   left_on: str, right_on: str, how: str = "inner",
                   p_bits: int | None = None,
-                  coalesce_keys: bool = True) -> rd.Dataset:
+                  coalesce_keys: bool = True,
+                  bloom_reduce: bool = False,
+                  bloom_fp: float = 0.01) -> rd.Dataset:
     """Distributed equi-join as a raw two-sided hash exchange + one local
     Arrow (Acero) hash join per partition.
 
@@ -482,6 +487,61 @@ def exchange_join(left: rd.Dataset, right: rd.Dataset,
                 r_schema.empty_table(), keys=[left_on],
                 right_keys=[right_on], join_type=arrow_how,
                 coalesce_keys=coalesce_keys))
+
+    # --- Bloom semi-join reduction (optional) ----------------------------
+    # Shrink the LEFT side's shuffle volume by a broadcast Bloom filter of
+    # the right keys: a zero-false-negative pre-screen, so rows it drops
+    # could never have matched. inner/left_semi: definite misses are
+    # discarded pre-exchange. left_anti: definite misses ARE output rows
+    # and bypass the join entirely. FPs (≤ bloom_fp) just ride the exchange
+    # and resolve exactly in the Acero join — results are exact either way.
+    # Worth it when join selectivity is low (most left rows miss); the
+    # filter costs O(bits) broadcast vs O(dropped rows) shuffle saved.
+    miss_refs: list = []
+    if bloom_reduce and how in ("inner", "left_semi", "left_anti") and rrefs:
+        from .sketches.bloom import BloomFilter
+
+        @ray.remote
+        def nrows(tbl) -> int:
+            if not isinstance(tbl, pa.Table):
+                tbl = pa.Table.from_batches([tbl])
+            return tbl.num_rows
+
+        @ray.remote
+        def bloom_partial(tbl, n_bits: int, k: int) -> bytes:
+            if not isinstance(tbl, pa.Table):
+                tbl = pa.Table.from_batches([tbl])
+            bf = BloomFilter(1, n_bits=n_bits, k=k)
+            if tbl.num_rows:
+                bf.add_hashes(_hash64(tbl[right_on]))
+            return bf.to_bytes()
+
+        cap = max(64, sum(ray.get([nrows.remote(r) for r in rrefs])))
+        proto = BloomFilter(cap, fp_rate=bloom_fp)
+        parts = ray.get([bloom_partial.remote(r, proto.n_bits, proto.k)
+                         for r in rrefs])
+        merged = BloomFilter.from_bytes(parts[0])
+        for b in parts[1:]:
+            merged = merged.merge(BloomFilter.from_bytes(b))
+        bloom_ref = ray.put(merged.to_bytes())
+
+        @ray.remote
+        def prefilter(tbl, bloom_bytes):
+            """(possibly-matching rows, definite-miss rows)."""
+            if not isinstance(tbl, pa.Table):
+                tbl = pa.Table.from_batches([tbl])
+            if tbl.num_rows == 0:
+                return tbl, tbl
+            bf = BloomFilter.from_bytes(bloom_bytes)
+            hit = pa.array(bf.contains_hashes(_hash64(tbl[left_on])))
+            return tbl.filter(hit), tbl.filter(pc.invert(hit))
+
+        pre = [prefilter.options(num_returns=2).remote(r, bloom_ref)
+               for r in lrefs]
+        lrefs = [p[0] for p in pre]
+        if how == "left_anti":
+            miss_refs = [p[1] for p in pre]
+
     lsp = [split.options(num_returns=P).remote(r, left_on, p_bits)
            for r in lrefs]
     rsp = [split.options(num_returns=P).remote(r, right_on, p_bits)
@@ -492,7 +552,7 @@ def exchange_join(left: rd.Dataset, right: rd.Dataset,
     out = [pjoin.remote(len(lsp), *[refs[p] for refs in lsp],
                         *[refs[p] for refs in rsp])
            for p in range(P)]
-    return rd.from_arrow_refs(out)
+    return rd.from_arrow_refs(out + miss_refs)
 
 
 def topk_per_key(ds: rd.Dataset, key: str,

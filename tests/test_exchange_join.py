@@ -170,3 +170,26 @@ def test_skew_join_no_hot_keys_falls_back(ray_session):
         exchange_join(left, right, "k", "rk").to_pandas(),
         preserve_index=False))
     assert got.equals(want)
+
+
+@pytest.mark.parametrize("how", ["inner", "left_semi", "left_anti"])
+def test_exchange_join_bloom_reduce(ray_session, how):
+    """Bloom pre-screen must not change results (zero false negatives);
+    definite anti-misses bypass the exchange entirely."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    # low-selectivity join: right covers only 5% of the left key space
+    lk = pa.array(rng.integers(0, 2000, 3000).astype(np.int64))
+    rk = pa.array(np.arange(0, 100, dtype=np.int64))
+    left = rd.from_arrow(pa.table(
+        {"k": lk, "v": np.arange(3000, dtype=np.int64)})).repartition(5)
+    right = rd.from_arrow(pa.table(
+        {"rk": rk, "w": np.arange(100, dtype=np.int64)})).repartition(2)
+    got = _sorted_pd(pa.Table.from_pandas(
+        exchange_join(left, right, "k", "rk", how=how,
+                      bloom_reduce=True).to_pandas(), preserve_index=False))
+    want = _sorted_pd(pa.Table.from_pandas(
+        exchange_join(left, right, "k", "rk", how=how).to_pandas(),
+        preserve_index=False))
+    assert got.equals(want), how
