@@ -123,6 +123,12 @@ def _s_ann_pq(sf_dir: str):
         _sim.load_queries(sf_dir, 10), k=5)
 
 
+def _s_ann_ivfpq(sf_dir: str):
+    return _sim.ann_ivfpq(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _sim.load_queries(sf_dir, 10), k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational (SURVEY.md §2.4/§2.5/§2.6)
@@ -171,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_topk": _s_ann_topk,
         "s_ann_lsh": _s_ann_lsh,
         "s_ann_pq": _s_ann_pq,
+        "s_ann_ivfpq": _s_ann_ivfpq,
         # skew-aware join, CUBE lattice, blocklist filter, domain mixing,
         # first-class set ops
         "j_skew_user_events": q.j_skew_user_events,

@@ -222,3 +222,19 @@ def test_ann_pq_recall_and_codes():
                               books)
     assert c1.dtype == np.uint8 and c1.shape == (len(mat), 8)
     assert (c1 == c2).all()
+
+
+def test_ann_ivfpq_recall():
+    ds, mat = _emb_ds()
+    qids = np.arange(10, dtype=np.int64)
+    exact = _numpy_topk(mat, list(range(10)), 5)
+    res = similarity.ann_ivfpq(ds, (qids, mat[qids]), k=5, n_cells=8,
+                               nprobe=4, m=8, codes=16).to_pandas()
+    hits = total = 0
+    for qi in range(10):
+        got = set(res[res["query_id"] == qi]["neighbor_id"])
+        hits += len(got & set(exact[qi]))
+        total += 5
+    # nprobe=4/8 cells + 8x16 residual codebooks: lossy on both axes but
+    # must still recover a solid fraction of the exact top-5
+    assert hits / total >= 0.4, hits / total
