@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "dd_ngram_coverage",
     "td_dsir_weights",
     "j_upsert_cdc",
+    "j_skew_user_events",
+    "s_ann_ivfpq",
+    "t_badwords",
 ]
 
 
