@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_badwords": q.t_badwords,
         "td_mix_sample": q.td_mix_sample,
         "o_intersect_except": q.o_intersect_except,
+        "td_ccnet_buckets": q.td_ccnet_buckets,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -384,6 +385,37 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN substr(source, 4)::BIGINT < 5 THEN 100
                        WHEN substr(source, 4)::BIGINT < 10 THEN 50
                        ELSE 10 END
+        """,
+        "td_ccnet_buckets": f"""
+            WITH toks AS (
+                SELECT doc_id, list_extract(tk, t.i) AS w1,
+                       list_extract(tk, t.i + 1) AS w2
+                FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
+                     unnest(generate_series(1, len(tk) - 1)) AS t(i)
+            ),
+            uni AS (
+                SELECT tok, count(*) AS cu FROM (
+                    SELECT unnest(tk) AS tok
+                    FROM (SELECT {_TOKS} AS tk FROM documents))
+                GROUP BY tok
+            ),
+            v AS (SELECT count(*) AS vs FROM uni),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM toks GROUP BY 1, 2),
+            scores AS (
+                SELECT b.doc_id,
+                       round(avg(ln((bc.cb + 0.5) / (u.cu + 0.5 * v.vs))), 6)
+                           AS avg_lp
+                FROM toks b
+                JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                JOIN uni u ON b.w1 = u.tok
+                CROSS JOIN v
+                GROUP BY b.doc_id
+            )
+            SELECT doc_id, avg_lp,
+                   CASE ntile(3) OVER (ORDER BY avg_lp, doc_id)
+                        WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM scores
         """,
         "o_intersect_except": """
             SELECT user_id, 'intersect' AS setop FROM (

@@ -4045,3 +4045,66 @@ def o_intersect_except(sf_dir: str) -> rd.Dataset:
                          "setop": pa.array(ops, pa.string())})
 
     return hash_repartition_map(tagged, "user_id", decide)
+
+
+def td_ccnet_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style quality bucketing (Wenzek et al., LREC 2020): split the
+    corpus into head/middle/tail TERCILES of the corpus-trained bigram-LM
+    score — the standard perplexity gate a pretraining pipeline applies
+    before sampling. Composes two existing distributed operators: the
+    ``t_bigram_lm_score`` model (count tables joined by hash exchange,
+    never a broadcast vocabulary) and the ``o_ntile_price`` exact global
+    window rank (value bands → prefix-sum offsets → one exchange + one
+    sort per band partition; no node sees the whole sort)."""
+    from ..relational import (collect_tables, hash_repartition_map,
+                              partial_groupby_agg)
+
+    K = 3
+    W = 0.25
+    scores = t_bigram_lm_score(sf_dir)  # (doc_id, avg_lp) — oracle-shared
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        b = np.floor(batch["avg_lp"].to_numpy(zero_copy_only=False) / W)
+        return batch.append_column("band", pa.array(b.astype(np.int64)))
+
+    banded = scores.map_batches(bucketed, batch_format="pyarrow")
+    counts = collect_tables(
+        partial_groupby_agg(banded, ["band"], [("doc_id", "count", "n")]),
+        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
+    bands = counts["band"].to_numpy(zero_copy_only=False)
+    ns = counts["n"].to_numpy(zero_copy_only=False)
+    lo_band = int(bands.min()) if len(bands) else 0
+    hi_band = int(bands.max()) if len(bands) else 0
+    offsets = np.zeros(hi_band - lo_band + 2, dtype=np.int64)
+    np.add.at(offsets, bands - lo_band + 1, ns)
+    offsets = np.cumsum(offsets)
+    N = int(offsets[-1])
+    base, rem = divmod(N, K)
+    labels = np.array(["tail", "middle", "head"], dtype=object)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("avg_lp", pa.float64()),
+                            ("bucket", pa.string())])
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("band", "ascending"), ("avg_lp", "ascending"),
+            ("doc_id", "ascending")])
+        tbl = tbl.take(idx)
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        n = len(band)
+        starts = np.flatnonzero(
+            np.concatenate([[True], band[1:] != band[:-1]]))
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        r = offsets[band - lo_band] + (np.arange(n) - seg_start)
+        cut = rem * (base + 1)
+        tile = np.where(r < cut, r // max(base + 1, 1),
+                        rem + (r - cut) // max(base, 1))  # 0-based tercile
+        return pa.table({"doc_id": tbl["doc_id"],
+                         "avg_lp": tbl["avg_lp"],
+                         "bucket": pa.array(labels[tile], pa.string())},
+                        schema=out_schema)
+
+    return hash_repartition_map(banded, "band", rank)

@@ -80,6 +80,7 @@ NEW_QUERIES = [
     "t_badwords",
     "td_mix_sample",
     "o_intersect_except",
+    "td_ccnet_buckets",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
