@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_mix_sample": q.td_mix_sample,
         "o_intersect_except": q.o_intersect_except,
         "td_ccnet_buckets": q.td_ccnet_buckets,
+        "a_winsorize_price": q.a_winsorize_price,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -385,6 +386,15 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN substr(source, 4)::BIGINT < 5 THEN 100
                        WHEN substr(source, 4)::BIGINT < 10 THEN 50
                        ELSE 10 END
+        """,
+        "a_winsorize_price": """
+            WITH q AS (SELECT quantile_cont(o_totalprice, 0.05) AS q_lo,
+                              quantile_cont(o_totalprice, 0.95) AS q_hi
+                       FROM orders)
+            SELECT o_orderkey,
+                   round(least(greatest(o_totalprice, q.q_lo), q.q_hi), 2)
+                       AS price_w
+            FROM orders, q
         """,
         "td_ccnet_buckets": f"""
             WITH toks AS (

@@ -4108,3 +4108,88 @@ def td_ccnet_buckets(sf_dir: str) -> rd.Dataset:
                         schema=out_schema)
 
     return hash_repartition_map(banded, "band", rank)
+
+
+def a_winsorize_price(sf_dir: str) -> rd.Dataset:
+    """Winsorization at EXACT global percentiles (p05/p95, DuckDB
+    ``quantile_cont`` interpolation): the outlier-clipping normalization a
+    feature pipeline applies before training. Order statistics come from
+    the value-band prefix-sum machinery (``a_median_price_exact``): only
+    the band partitions owning the 4 needed ranks sort and extract one
+    value each — the driver sees 4 numbers, then one stateless clip pass
+    rewrites the column. No node ever holds the full sorted column."""
+    from ..relational import (collect_tables, hash_repartition_map,
+                              partial_groupby_agg)
+
+    W = 50_000.0
+    PS = (0.05, 0.95)
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        b = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) / W)
+        return batch.append_column("band", pa.array(b.astype(np.int64)))
+
+    banded = orders.map_batches(bucketed, batch_format="pyarrow")
+    counts = collect_tables(
+        partial_groupby_agg(banded, ["band"],
+                            [("o_totalprice", "count", "n")]),
+        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
+    bands = counts["band"].to_numpy(zero_copy_only=False)
+    ns = counts["n"].to_numpy(zero_copy_only=False)
+    max_band = int(bands.max()) if len(bands) else 0
+    offsets = np.zeros(max_band + 2, dtype=np.int64)
+    np.add.at(offsets, bands + 1, ns)
+    offsets = np.cumsum(offsets)
+    N = int(offsets[-1])
+    hs = [(N - 1) * p for p in PS]
+    targets = sorted({r for h in hs
+                      for r in (int(np.floor(h)),
+                                min(int(np.floor(h)) + 1, N - 1))})
+
+    out_schema = pa.schema([("r", pa.int64()), ("v", pa.float64())])
+
+    def extract(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        mine = [t for t in targets
+                if (band == np.searchsorted(offsets, t, "right") - 1).any()]
+        if not mine:
+            return out_schema.empty_table()
+        order = np.lexsort((tbl["o_totalprice"].to_numpy(
+            zero_copy_only=False), band))
+        v = tbl["o_totalprice"].to_numpy(zero_copy_only=False)[order]
+        b_sorted = band[order]
+        rows = []
+        for t in mine:
+            tb = int(np.searchsorted(offsets, t, "right") - 1)
+            local = t - int(offsets[tb])
+            seg = np.flatnonzero(b_sorted == tb)
+            rows.append((t, float(v[seg[local]])))
+        return pa.table({"r": pa.array([r for r, _ in rows], pa.int64()),
+                         "v": pa.array([x for _, x in rows], pa.float64())},
+                        schema=out_schema)
+
+    got = collect_tables(hash_repartition_map(banded, "band", extract),
+                         out_schema)
+    vals = dict(zip(got["r"].to_pylist(), got["v"].to_pylist()))
+    qs = []
+    for h in hs:
+        lo = int(np.floor(h))
+        d = h - lo
+        v_lo = vals[lo]
+        v_hi = vals[min(lo + 1, N - 1)]
+        # DuckDB quantile_cont interpolation, float-for-float
+        qs.append(v_lo * (1.0 - d) + v_hi * d)
+    q_lo, q_hi = qs[0], qs[1]
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(v, q_lo), q_hi)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "price_w": pa.array(round_half_away(w, 2), pa.float64()),
+        })
+
+    return orders.map_batches(clip, batch_format="pyarrow")

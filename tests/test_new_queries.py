@@ -81,6 +81,7 @@ NEW_QUERIES = [
     "td_mix_sample",
     "o_intersect_except",
     "td_ccnet_buckets",
+    "a_winsorize_price",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
