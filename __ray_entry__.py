@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_intersect_except": q.o_intersect_except,
         "td_ccnet_buckets": q.td_ccnet_buckets,
         "a_winsorize_price": q.a_winsorize_price,
+        # round-2 continuation: ExactSubstr span dedup, shuffle→shards,
+        # schema-evolution union
+        "dd_dup_spans": q.dd_dup_spans,
+        "td_shuffle_shards": q.td_shuffle_shards,
+        "o_union_evolved": q.o_union_evolved,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -386,6 +391,42 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN substr(source, 4)::BIGINT < 5 THEN 100
                        WHEN substr(source, 4)::BIGINT < 10 THEN 50
                        ELSE 10 END
+        """,
+        "dd_dup_spans": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_split_to_array(text, '\s+') AS arr
+                         FROM documents),
+            grams AS (
+                SELECT doc_id, i AS pos,
+                       arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' '
+                       || arr[i+3] || ' ' || arr[i+4] || ' ' || arr[i+5]
+                       || ' ' || arr[i+6] || ' ' || arr[i+7] AS g
+                FROM tok,
+                     unnest(generate_series(1, greatest(len(arr) - 7, 0)))
+                         AS t(i)),
+            r AS (SELECT doc_id, pos,
+                         row_number() OVER (
+                             PARTITION BY g ORDER BY doc_id, pos) AS rn
+                  FROM grams)
+            SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "td_shuffle_shards": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    - 1) // 250 AS shard,
+                   (row_number() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    - 1) % 250 AS "offset"
+            FROM documents
+        """,
+        "o_union_evolved": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderdate < DATE '1996-01-01'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderdate >= DATE '1996-01-01'
         """,
         "a_winsorize_price": """
             WITH q AS (SELECT quantile_cont(o_totalprice, 0.05) AS q_lo,

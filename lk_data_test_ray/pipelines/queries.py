@@ -4193,3 +4193,158 @@ def a_winsorize_price(sf_dir: str) -> rd.Dataset:
         })
 
     return orders.map_batches(clip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# round-2 continuation: span-level dedup, shuffle→shards, schema evolution
+# ---------------------------------------------------------------------------
+
+
+def dd_dup_spans(sf_dir: str) -> rd.Dataset:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): flag every
+    occurrence of a K-token window that appears more than once in the
+    corpus EXCEPT the globally first one (by (doc_id, pos)) — exactly the
+    spans a substring-cut pass removes. The suffix-array of the paper is
+    replaced by the fixed-width-window hash exchange, which shuffles
+    constant-size keys and needs no global sort.
+
+    Shape: per-batch K-gram rows (shared ``word_ngrams_batch`` Arrow
+    kernel, zero per-token Python) with 1-based positions → ONE hash
+    exchange on the gram → per-partition sort + vectorized
+    shifted-equality: any row whose gram equals its predecessor's is a
+    non-first occurrence. Grams travel as strings here for
+    oracle-exactness; at 100 TB the exchange key is a 128-bit gram hash
+    (identical plan, constant-width keys — same note as
+    ``dd_ngram_coverage``)."""
+    K = 8
+    from ..functions.text import word_ngrams_batch
+    from ..relational import hash_repartition_map
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        grams, gcnt, grow = word_ngrams_batch(batch["text"], K)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        goffs = np.concatenate([[0], np.cumsum(gcnt)])
+        G = int(goffs[-1])
+        pos = np.arange(G, dtype=np.int64) - np.repeat(goffs[:-1], gcnt) + 1
+        return pa.table({
+            "g": grams,
+            "doc_id": pa.array(ids[grow], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    pairs = docs.map_batches(gram_rows, batch_format="pyarrow")
+    out_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def non_first(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("g", "ascending"), ("doc_id", "ascending"),
+            ("pos", "ascending")])
+        tbl = tbl.take(idx)
+        g = tbl["g"].combine_chunks()
+        n = len(g)
+        same = pc.equal(g.slice(1), g.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        mask = np.concatenate([[False], same])
+        return tbl.filter(pa.array(mask)).select(["doc_id", "pos"])
+
+    return hash_repartition_map(pairs, "g", non_first)
+
+
+def td_shuffle_shards(sf_dir: str) -> rd.Dataset:
+    """Deterministic global corpus shuffle → fixed-size training shards
+    (the pre-training data-loader layout step): every document gets a
+    global rank under an engine-neutral md5 sort key (reproducible across
+    engines / runs / workers, unlike seeded RNG) and lands in shard
+    ``rank // SHARD`` at offset ``rank % SHARD``.
+
+    Distributed exact rank without a global sort — the
+    ``o_ntile_price`` band-prefix-sum machinery keyed on the md5 hex
+    prefix: 256 prefix bands → per-band counts (tiny) → exclusive driver
+    offsets → ONE exchange on the band + one per-band sort; no node ever
+    holds the whole ordering. At production scale the shard assignment
+    feeds a partitioned write (one directory per shard)."""
+    SHARD = 250
+    from ..relational import (collect_tables, hash_repartition_map,
+                              partial_groupby_agg)
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = md5_hex([str(i) for i in ids])
+        band = np.array([int(x[:2], 16) for x in h], dtype=np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "h": pa.array(h, pa.string()),
+            "band": pa.array(band, pa.int64()),
+        })
+
+    kd = docs.map_batches(keyed, batch_format="pyarrow")
+    counts = collect_tables(
+        partial_groupby_agg(kd, ["band"], [("doc_id", "count", "n")]),
+        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
+    bands = counts["band"].to_numpy(zero_copy_only=False)
+    ns = counts["n"].to_numpy(zero_copy_only=False)
+    offsets = np.zeros(258, dtype=np.int64)
+    np.add.at(offsets, bands + 1, ns)
+    offsets = np.cumsum(offsets)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("shard", pa.int64()),
+                            ("offset", pa.int64())])
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("band", "ascending"), ("h", "ascending"),
+            ("doc_id", "ascending")])
+        tbl = tbl.take(idx)
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        n = len(band)
+        starts = np.flatnonzero(
+            np.concatenate([[True], band[1:] != band[:-1]]))
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        r = offsets[band] + (np.arange(n) - seg_start)
+        return pa.table({
+            "doc_id": tbl["doc_id"],
+            "shard": pa.array(r // SHARD, pa.int64()),
+            "offset": pa.array(r % SHARD, pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(kd, "band", rank)
+
+
+def o_union_evolved(sf_dir: str) -> rd.Dataset:
+    """Schema-evolution union (UNION ALL BY NAME): an old snapshot written
+    before a column existed unions with a new snapshot that carries it —
+    missing columns become typed nulls, no shuffle, streaming
+    concatenation (the data-lake ingestion shape; ``relational.
+    union_by_name`` is the general utility). Old = pre-1996 orders without
+    ``o_orderpriority``; new = 1996+ orders with it."""
+    from ..relational import union_by_name
+
+    cutoff = np.datetime64("1996-01-01", "us")
+
+    def split(keep_new: bool, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = (pc.greater_equal(batch["o_orderdate"],
+                                     pa.scalar(cutoff)) if keep_new
+                    else pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
+            return batch.filter(mask).select(cols)
+        return fn
+
+    base_cols = ["o_orderkey", "o_totalprice", "o_orderpriority",
+                 "o_orderdate"]
+    old = read(sf_dir, "orders", base_cols[:2] + ["o_orderdate"]) \
+        .map_batches(split(False, ["o_orderkey", "o_totalprice"]),
+                     batch_format="pyarrow")
+    new = read(sf_dir, "orders", base_cols) \
+        .map_batches(split(True, ["o_orderkey", "o_totalprice",
+                                  "o_orderpriority"]),
+                     batch_format="pyarrow")
+    return union_by_name([old, new])

@@ -882,3 +882,50 @@ def skew_join(left: rd.Dataset, right: rd.Dataset,
     rhot_ref = concat_parts.remote(*[refs[P] for refs in rsp])
     out += [hot_join.remote(refs[P], rhot_ref) for refs in lsp]
     return rd.from_arrow_refs(out)
+
+
+def union_by_name(parts: "list[rd.Dataset]") -> rd.Dataset:
+    """Schema-evolution union (UNION ALL BY NAME semantics).
+
+    Aligns every input Dataset to the union of all schemas — column order is
+    first-seen, a column missing from an input becomes typed nulls, and a
+    column present with a different (castable) type is cast to the
+    first-seen type — then streams a zero-shuffle ``Dataset.union``. This is
+    the data-lake ingestion shape: snapshot files written before a column
+    existed union with newer files that carry it, without rewriting either.
+
+    Schema discovery reads only parquet/Dataset metadata (``ds.schema()``
+    on a lazy read is a footer fetch, not an execution of the pipeline
+    body); per-batch alignment is O(missing columns) null-array allocation.
+    """
+    schemas = []
+    for p in parts:
+        s = p.schema()
+        schemas.append(getattr(s, "base_schema", None) or pa.schema(
+            [pa.field(n, t) for n, t in zip(s.names, s.types)]))
+
+    fields: list[pa.Field] = []
+    seen: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for f in s:
+            if f.name not in seen:
+                seen[f.name] = f.type
+                fields.append(pa.field(f.name, f.type))
+    target = pa.schema(fields)
+
+    def aligner(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in batch.column_names:
+                col = batch[f.name]
+                cols.append(col if col.type == f.type else col.cast(f.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, f.type))
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols], schema=target)
+
+    aligned = [p.map_batches(aligner, batch_format="pyarrow")
+               for p in parts]
+    out = aligned[0]
+    return out.union(*aligned[1:]) if len(aligned) > 1 else out

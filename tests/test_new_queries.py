@@ -82,6 +82,9 @@ NEW_QUERIES = [
     "o_intersect_except",
     "td_ccnet_buckets",
     "a_winsorize_price",
+    "dd_dup_spans",
+    "td_shuffle_shards",
+    "o_union_evolved",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
