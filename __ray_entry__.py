@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_dup_spans": q.dd_dup_spans,
         "td_shuffle_shards": q.td_shuffle_shards,
         "o_union_evolved": q.o_union_evolved,
+        "td_quality_classifier": q.td_quality_classifier,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,

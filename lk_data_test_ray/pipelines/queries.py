@@ -4348,3 +4348,43 @@ def o_union_evolved(sf_dir: str) -> rd.Dataset:
                                   "o_orderpriority"]),
                      batch_format="pyarrow")
     return union_by_name([old, new])
+
+
+def td_quality_classifier(sf_dir: str) -> rd.Dataset:
+    """Model-based quality filtering (fasttext-style hashed linear
+    classifier, ``pipelines/classifier.py``): train a logistic regression
+    over hashed token counts by distributed synchronous gradient descent
+    on a deterministic 20% hash-sample, then score the FULL corpus with a
+    stateless broadcast pass — the CCNet/GPT-3 "wikipedia-like" filter
+    shape. Weak labels here are stopword presence (deterministic on this
+    corpus); iterative training ⇒ no SQL oracle (rows-only driver check;
+    AUC + determinism are pytest-asserted on a separable synthetic
+    corpus in tests/test_classifier.py)."""
+    from ..functions.text import STOPWORDS
+    from .classifier import (featurize, score_logreg_hashed,
+                             train_logreg_hashed)
+
+    D = 1024
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch["text"].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        stop = pc.is_in(flat, value_set=pa.array(
+            sorted(STOPWORDS), pa.string())).to_numpy(zero_copy_only=False)
+        hits = np.zeros(batch.num_rows, dtype=np.float64)
+        np.add.at(hits, parent, stop)
+        return batch.append_column("y", pa.array(
+            (hits > 0).astype(np.float64), pa.float64()))
+
+    labeled = docs.map_batches(label, batch_format="pyarrow")
+    train = labeled.map_batches(
+        lambda b: b.filter(pa.array(
+            (b["doc_id"].to_numpy(zero_copy_only=False)
+             * 2654435761) % 100 < 20)),
+        batch_format="pyarrow")
+    w = train_logreg_hashed(featurize(train, "text", "y", D), D=D,
+                            epochs=20, lr=1.0)
+    return score_logreg_hashed(docs, "text", "doc_id", w, D=D)
