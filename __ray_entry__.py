@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_shuffle_shards": q.td_shuffle_shards,
         "o_union_evolved": q.o_union_evolved,
         "td_quality_classifier": q.td_quality_classifier,
+        "td_rebalance": q.td_rebalance,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -420,6 +421,18 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                     - 1) % 250 AS "offset"
             FROM documents
+        """,
+        "td_rebalance": """
+            WITH m AS (SELECT min(cnt) AS mc FROM (
+                           SELECT count(*) AS cnt FROM documents
+                           GROUP BY lang)),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                      doc_id ASC) AS rn
+                  FROM documents)
+            SELECT doc_id, lang FROM r, m WHERE rn <= m.mc
         """,
         "o_union_evolved": """
             SELECT o_orderkey, o_totalprice,

@@ -4388,3 +4388,32 @@ def td_quality_classifier(sf_dir: str) -> rd.Dataset:
     w = train_logreg_hashed(featurize(train, "text", "y", D), D=D,
                             epochs=20, lr=1.0)
     return score_logreg_hashed(docs, "text", "doc_id", w, D=D)
+
+
+def td_rebalance(sf_dir: str) -> rd.Dataset:
+    """Class-rebalancing downsample (training-mix equalization): every lang
+    is downsampled to the MINORITY class's document count, picking each
+    class's keepers by an engine-neutral md5 rank — deterministic across
+    engines / runs / workers, unlike seeded RNG (the same key discipline
+    as ``o_stratified_sample``, which keeps a FIXED n per class; here k is
+    data-dependent). Plan: tiny distributed class-count aggregate → driver
+    min (one number) → one hash exchange + segmented rank
+    (``topk_per_key``). The md5 travels instead of text; at 100 TB the
+    rank key would be the 128-bit hash, same plan."""
+    from ..relational import (collect_tables, partial_groupby_agg,
+                              topk_per_key)
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = collect_tables(
+        partial_groupby_agg(docs, ["lang"], [("doc_id", "count", "n")]),
+        pa.schema([("lang", pa.string()), ("n", pa.int64())]))
+    m = int(pc.min(counts["n"]).as_py())
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = md5_hex([str(i) for i in batch["doc_id"].to_pylist()])
+        return batch.append_column("h", pa.array(h, pa.string()))
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow")
+    kept = topk_per_key(keyed, "lang", [("h", False), ("doc_id", False)], m)
+    return kept.map_batches(lambda b: b.select(["doc_id", "lang"]),
+                            batch_format="pyarrow")

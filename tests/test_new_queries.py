@@ -85,6 +85,7 @@ NEW_QUERIES = [
     "dd_dup_spans",
     "td_shuffle_shards",
     "o_union_evolved",
+    "td_rebalance",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
