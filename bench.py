@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "j_skew_user_events",
     "s_ann_ivfpq",
     "t_badwords",
+    "dd_dup_spans",
+    "td_shuffle_shards",
+    "td_rebalance",
 ]
 
 

@@ -276,3 +276,42 @@ def rolling_fingerprints_batch(strings, window: int = 16) -> np.ndarray:
         out[i] = stable_hash64(data[offs[i]:offs[i + 1]].tobytes())
     # null/empty rows stay 0 (scalar: ``text or ""`` → 0)
     return out
+
+
+def gram_hash_pairs(tok_hashes: np.ndarray, counts: np.ndarray,
+                    k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """128-bit k-gram hashes from PRE-HASHED tokens, fully vectorized.
+
+    For each row (``counts[i]`` consecutive token hashes in ``tok_hashes``)
+    emits one (h1, h2) uint64 pair per k-token window — two independent
+    FNV-style folds over the window, O(k) vectorized passes total, zero
+    per-gram Python/string work. Two grams collide only if BOTH 64-bit
+    folds collide (~2^-128 per pair): the constant-width exchange key that
+    replaces gram strings in span-level dedup at scale.
+
+    Returns ``(h1, h2, row_of_gram)``; rows with fewer than k tokens emit
+    no grams (``max(counts - k + 1, 0)`` per row, same as
+    ``word_ngrams_batch``).
+    """
+    counts = counts.astype(np.int64, copy=False)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    gcnt = np.maximum(counts - k + 1, 0)
+    G = int(gcnt.sum())
+    grow = np.repeat(np.arange(len(counts), dtype=np.int64), gcnt)
+    if G == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64), grow)
+    goffs = np.concatenate([[0], np.cumsum(gcnt)])
+    gstart = (np.arange(G, dtype=np.int64)
+              - np.repeat(goffs[:-1], gcnt) + offs[grow])
+    th = tok_hashes.astype(np.uint64, copy=False)
+    FNV1 = np.uint64(0xCBF29CE484222325)
+    P1 = np.uint64(0x100000001B3)
+    FNV2 = np.uint64(0x9E3779B97F4A7C15)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    h1 = np.full(G, FNV1, dtype=np.uint64)
+    h2 = np.full(G, FNV2, dtype=np.uint64)
+    for j in range(k):
+        t = th[gstart + j]
+        h1 = (h1 ^ t) * P1
+        h2 = (h2 + t) * P2 + np.uint64(j)
+    return h1, h2, grow

@@ -4205,32 +4205,41 @@ def dd_dup_spans(sf_dir: str) -> rd.Dataset:
     "Deduplicating Training Data Makes Language Models Better"): flag every
     occurrence of a K-token window that appears more than once in the
     corpus EXCEPT the globally first one (by (doc_id, pos)) — exactly the
-    spans a substring-cut pass removes. The suffix-array of the paper is
-    replaced by the fixed-width-window hash exchange, which shuffles
-    constant-size keys and needs no global sort.
+    spans a substring-cut pass removes. The suffix array of the paper is
+    replaced by a fixed-width-window hash exchange: no global sort, no
+    per-token Python.
 
-    Shape: per-batch K-gram rows (shared ``word_ngrams_batch`` Arrow
-    kernel, zero per-token Python) with 1-based positions → ONE hash
-    exchange on the gram → per-partition sort + vectorized
-    shifted-equality: any row whose gram equals its predecessor's is a
-    non-first occurrence. Grams travel as strings here for
-    oracle-exactness; at 100 TB the exchange key is a 128-bit gram hash
-    (identical plan, constant-width keys — same note as
-    ``dd_ngram_coverage``)."""
+    Scale shape: tokens are hashed once per UNIQUE token (dictionary
+    encode), each window's key is a 128-bit vectorized fold of its k token
+    hashes (``gram_hash_pairs`` — zero gram strings materialized), the
+    exchange ships (h1, h2, doc_id, pos) = 32 fixed bytes per window, and
+    each partition sorts integers + takes one shifted-equality pass. Two
+    different windows collide only at ~2^-128 — the oracle compares
+    output rows, and a collision would need ~2^64 windows to matter."""
     K = 8
-    from ..functions.text import word_ngrams_batch
+    from ..functions.hashing import gram_hash_pairs, hash_strings64
+    from ..functions.text import TOKEN_SPLIT
     from ..relational import hash_repartition_map
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        grams, gcnt, grow = word_ngrams_batch(batch["text"], K)
+        toks = pc.split_pattern_regex(
+            batch["text"].combine_chunks(), TOKEN_SPLIT)
+        counts = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).dictionary_encode()
+        uh = hash_strings64(flat.dictionary.to_numpy(zero_copy_only=False))
+        th = uh[flat.indices.to_numpy(zero_copy_only=False)]
+        h1, h2, grow = gram_hash_pairs(th, counts, K)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        gcnt = np.maximum(counts - K + 1, 0)
         goffs = np.concatenate([[0], np.cumsum(gcnt)])
         G = int(goffs[-1])
         pos = np.arange(G, dtype=np.int64) - np.repeat(goffs[:-1], gcnt) + 1
         return pa.table({
-            "g": grams,
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
             "doc_id": pa.array(ids[grow], pa.int64()),
             "pos": pa.array(pos, pa.int64()),
         })
@@ -4242,17 +4251,16 @@ def dd_dup_spans(sf_dir: str) -> rd.Dataset:
         if tbl.num_rows == 0:
             return out_schema.empty_table()
         idx = pc.sort_indices(tbl, sort_keys=[
-            ("g", "ascending"), ("doc_id", "ascending"),
-            ("pos", "ascending")])
+            ("h1", "ascending"), ("h2", "ascending"),
+            ("doc_id", "ascending"), ("pos", "ascending")])
         tbl = tbl.take(idx)
-        g = tbl["g"].combine_chunks()
-        n = len(g)
-        same = pc.equal(g.slice(1), g.slice(0, n - 1)) \
-            .to_numpy(zero_copy_only=False)
+        a = tbl["h1"].to_numpy(zero_copy_only=False)
+        b = tbl["h2"].to_numpy(zero_copy_only=False)
+        same = (a[1:] == a[:-1]) & (b[1:] == b[:-1])
         mask = np.concatenate([[False], same])
         return tbl.filter(pa.array(mask)).select(["doc_id", "pos"])
 
-    return hash_repartition_map(pairs, "g", non_first)
+    return hash_repartition_map(pairs, "h1", non_first)
 
 
 def td_shuffle_shards(sf_dir: str) -> rd.Dataset:

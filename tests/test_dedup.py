@@ -294,3 +294,50 @@ def test_semantic_dedup_matches_numpy_reference():
     assert (got["keeper"].to_numpy() == ref_keeper).all()
     # the jittered corpus must actually deduplicate something
     assert (got["keeper"] != got["id"]).sum() > 50
+
+
+def test_gram_hash_pairs_equality_structure():
+    """The 128-bit gram-hash fold must induce EXACTLY the string grams'
+    equality classes (fuzzed): equal windows hash equal, different windows
+    hash different (collisions impossible at this scale)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lk_data_test_ray.functions.hashing import (gram_hash_pairs,
+                                                    hash_strings64)
+    from lk_data_test_ray.functions.text import word_ngrams_batch
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(12)], dtype=object)
+    K = 4
+    for trial in range(20):
+        n_docs = int(rng.integers(1, 9))
+        texts, all_counts, all_toks = [], [], []
+        for _ in range(n_docs):
+            ln = int(rng.integers(0, 14))  # includes docs shorter than K
+            toks = list(vocab[rng.integers(0, len(vocab), ln)])
+            texts.append(" ".join(toks) if toks else None)
+        arr = pa.array(texts, pa.string())
+        grams, gcnt, grow = word_ngrams_batch(arr, K)
+        gs = np.array(grams.to_pylist(), dtype=object)
+
+        import pyarrow.compute as pc
+        toks = pc.split_pattern_regex(arr, r"\s+")
+        counts = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).dictionary_encode()
+        if len(flat):
+            uh = hash_strings64(
+                flat.dictionary.to_numpy(zero_copy_only=False))
+            th = uh[flat.indices.to_numpy(zero_copy_only=False)]
+        else:
+            th = np.empty(0, np.uint64)
+        h1, h2, grow2 = gram_hash_pairs(th, counts, K)
+        assert len(h1) == len(gs)
+        assert (grow2 == grow).all()
+        key = [(int(a), int(b)) for a, b in zip(h1, h2)]
+        # same string gram <=> same hash pair
+        for i in range(len(gs)):
+            for j in range(i + 1, len(gs)):
+                assert (gs[i] == gs[j]) == (key[i] == key[j]), \
+                    (trial, gs[i], gs[j])
