@@ -194,6 +194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_union_evolved": q.o_union_evolved,
         "td_quality_classifier": q.td_quality_classifier,
         "td_rebalance": q.td_rebalance,
+        "a_percent_rank": q.a_percent_rank,
+        "e_transitions": q.e_transitions,
+        "v_skew_report": q.v_skew_report,
+        "t_pmi_top": q.t_pmi_top,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -421,6 +425,63 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                     - 1) % 250 AS "offset"
             FROM documents
+        """,
+        "a_percent_rank": """
+            SELECT doc_id, lang,
+                   round(percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars), 6) AS pr
+            FROM documents
+        """,
+        "e_transitions": """
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT lag(event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                      AS prev_type,
+                      event_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "v_skew_report": """
+            WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1)
+            SELECT CASE WHEN n <= 1 THEN '1'
+                        WHEN n <= 10 THEN '2-10'
+                        WHEN n <= 100 THEN '11-100'
+                        WHEN n <= 1000 THEN '101-1000'
+                        WHEN n <= 10000 THEN '1001-10000'
+                        WHEN n <= 100000 THEN '10001-100000'
+                        WHEN n <= 1000000 THEN '100001-1000000'
+                        ELSE '1000001-10000000' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows
+            FROM pk GROUP BY 1
+        """,
+        "t_pmi_top": r"""
+            WITH tok AS (SELECT regexp_split_to_array(text, '\s+') AS arr
+                         FROM documents),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                    FROM (SELECT unnest(arr) AS w FROM tok)
+                    WHERE len(w) > 0 GROUP BY 1),
+            bi AS (SELECT arr[i] AS w1, arr[i+1] AS w2,
+                          CAST(count(*) AS BIGINT) AS cb
+                   FROM tok,
+                        unnest(generate_series(
+                            1, greatest(len(arr) - 1, 0))) AS t(i)
+                   GROUP BY 1, 2),
+            nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS nu FROM uni),
+            nb AS (SELECT CAST(sum(cb) AS DOUBLE) AS nb FROM bi)
+            SELECT b.w1, b.w2, b.cb,
+                   round(ln((b.cb / nb.nb)
+                            / ((u1.cu / nu.nu) * (u2.cu / nu.nu))), 6)
+                       AS pmi
+            FROM bi b
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w
+            CROSS JOIN nu CROSS JOIN nb
+            WHERE b.cb >= 5
+            ORDER BY pmi DESC, b.w1, b.w2
+            LIMIT 20
         """,
         "td_rebalance": """
             WITH m AS (SELECT min(cnt) AS mc FROM (

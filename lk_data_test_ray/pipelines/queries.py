@@ -4425,3 +4425,192 @@ def td_rebalance(sf_dir: str) -> rd.Dataset:
     kept = topk_per_key(keyed, "lang", [("h", False), ("doc_id", False)], m)
     return kept.map_batches(lambda b: b.select(["doc_id", "lang"]),
                             batch_format="pyarrow")
+
+
+def a_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Per-group percentile-rank normalization (``PERCENT_RANK() OVER
+    (PARTITION BY lang ORDER BY n_chars)``): the rank-based feature
+    scaling a training pipeline applies per stratum. One hash exchange on
+    the group key, then per partition ONE sort + two segmented index
+    passes (group starts, tie-value starts) — rank ties share the rank of
+    their first row, pr = (rank-1)/(n-1), all numpy, no per-group
+    Python."""
+    from ..relational import hash_repartition_map
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                            ("pr", pa.float64())])
+
+    def pranks(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("lang", "ascending"), ("n_chars", "ascending")])
+        tbl = tbl.take(idx)
+        lang = tbl["lang"].to_numpy(zero_copy_only=False)
+        v = tbl["n_chars"].to_numpy(zero_copy_only=False)
+        n = len(v)
+        gnew = np.concatenate([[True], lang[1:] != lang[:-1]])
+        gstarts = np.flatnonzero(gnew)
+        glen = np.diff(np.append(gstarts, n))
+        gstart_of = np.repeat(gstarts, glen)
+        gsize_of = np.repeat(glen, glen)
+        vnew = gnew | np.concatenate([[True], v[1:] != v[:-1]])
+        vstart_of = np.repeat(np.flatnonzero(vnew),
+                              np.diff(np.append(np.flatnonzero(vnew), n)))
+        rank = vstart_of - gstart_of + 1
+        pr = np.where(gsize_of > 1,
+                      (rank - 1) / np.maximum(gsize_of - 1, 1), 0.0)
+        return pa.table({
+            "doc_id": tbl["doc_id"],
+            "lang": tbl["lang"],
+            "pr": pa.array(round_half_away(pr, 6), pa.float64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(docs, "lang", pranks)
+
+
+def e_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition counts over each user's event stream
+    (the clickstream path-mining aggregate): LAG(event_type) per user by
+    (ts, event_id), then count (prev_type, event_type) pairs. One hash
+    exchange on user_id + per-partition sort + a shifted-compare (the
+    ``e_lag_diff`` treatment), then a tiny pair-keyed count."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"])
+    out_schema = pa.schema([("prev_type", pa.string()),
+                            ("event_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].combine_chunks()
+        n = len(uid)
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        prev = pa.concat_arrays([pa.array([None], pa.string()),
+                                 et.slice(0, n - 1)])
+        t = pa.table({"prev_type": prev, "event_type": et}) \
+            .filter(pa.array(same_user))
+        agg = t.group_by(["prev_type", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({
+            "prev_type": agg["prev_type"],
+            "event_type": agg["event_type"],
+            "n": agg["event_type_count"].cast(pa.int64()),
+        }, schema=out_schema)
+
+    per_part = hash_repartition_map(ev, "user_id", pairs)
+    return partial_groupby_agg(per_part, ["prev_type", "event_type"],
+                               [("n", "sum", "n")])
+
+
+def v_skew_report(sf_dir: str) -> rd.Dataset:
+    """Join-key skew diagnostics (the pre-flight a shuffle planner needs):
+    the distribution of rows-per-key for events.user_id, bucketed by
+    decade (1, 2-10, 11-100, ...), with key and row counts per bucket.
+    Per-key counts come from the usual map-side partial aggregate; the
+    bucket rollup then touches one row per distinct key."""
+    per_key = partial_groupby_agg(
+        read(sf_dir, "events", ["user_id"]),
+        ["user_id"], [("user_id", "count", "n")])
+
+    # fixed integer ladder (no float log10 — its edge rounding at exact
+    # powers of ten is libm-dependent and would break oracle parity)
+    EDGES = np.array([1, 10, 100, 1_000, 10_000, 100_000, 1_000_000,
+                      10_000_000], dtype=np.int64)
+    LABELS = np.array(
+        ["1"] + [f"{lo + 1}-{hi}" for lo, hi in zip(EDGES[:-1], EDGES[1:])],
+        dtype=object)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(EDGES, n, side="left")
+        return pa.table({
+            "bucket": pa.array(LABELS[b], pa.string()),
+            "n_keys": pa.array(np.ones(len(n), np.int64)),
+            "n_rows": pa.array(n),
+        })
+
+    return partial_groupby_agg(per_key.map_batches(
+        bucketed, batch_format="pyarrow"), ["bucket"],
+        [("n_keys", "sum", "n_keys"), ("n_rows", "sum", "n_rows")])
+
+
+def t_pmi_top(sf_dir: str) -> rd.Dataset:
+    """Top-20 collocations by pointwise mutual information (the
+    phrase-mining signal: PMI = ln(p(ab) / (p(a)p(b)))) with a min-count
+    floor. Unigram and bigram count tables are built with the shared
+    n-gram kernel; attaching each bigram's unigram counts is TWO
+    distributed hash joins (w1 then w2) — the vocabulary is never
+    broadcast or driver-collected (at web scale it doesn't fit); totals
+    are two scalar aggregates."""
+    from ..functions.text import TOKEN_SPLIT, word_ngrams_batch
+    from ..relational import exchange_join, topk
+
+    MIN_N = 5
+    docs = read(sf_dir, "documents", ["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch["text"].combine_chunks(), ""), TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        t = pa.table({"w": flat}).filter(
+            pc.greater(pc.utf8_length(flat), 0))
+        agg = t.group_by(["w"]).aggregate([("w", "count")])
+        return pa.table({"w": agg["w"],
+                         "cu": agg["w_count"].cast(pa.int64())})
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        grams, _, _ = word_ngrams_batch(batch["text"], 2)
+        t = pa.table({"g": grams})
+        agg = t.group_by(["g"]).aggregate([("g", "count")])
+        g = agg["g"].combine_chunks()
+        sp = pc.split_pattern(g, " ")
+        return pa.table({
+            "w1": pc.list_element(sp, 0),
+            "w2": pc.list_element(sp, 1),
+            "cb": agg["g_count"].cast(pa.int64()),
+        })
+
+    uni = partial_groupby_agg(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        ["w"], [("cu", "sum", "cu")])
+    bi = partial_groupby_agg(
+        docs.map_batches(bi_partial, batch_format="pyarrow"),
+        ["w1", "w2"], [("cb", "sum", "cb")])
+    from ray.data.aggregate import Sum
+
+    nu = int(uni.aggregate(Sum("cu", alias_name="s"))["s"])
+    nb = int(bi.aggregate(Sum("cb", alias_name="s"))["s"])
+
+    bi = bi.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cb"], MIN_N)),
+        batch_format="pyarrow")
+    u1 = uni.map_batches(lambda b: pa.table(
+        {"w1": b["w"], "cu1": b["cu"]}), batch_format="pyarrow")
+    u2 = uni.map_batches(lambda b: pa.table(
+        {"w2": b["w"], "cu2": b["cu"]}), batch_format="pyarrow")
+    j = exchange_join(bi, u1, "w1", "w1")
+    j = exchange_join(j, u2, "w2", "w2")
+
+    def score(batch: pa.Table) -> pa.Table:
+        cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cu1 = batch["cu1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cu2 = batch["cu2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((cb / nb) / ((cu1 / nu) * (cu2 / nu)))
+        return pa.table({
+            "w1": batch["w1"], "w2": batch["w2"],
+            "cb": batch["cb"],
+            "pmi": pa.array(round_half_away(pmi, 6), pa.float64()),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    return topk(scored, [("pmi", True), ("w1", False), ("w2", False)], 20)

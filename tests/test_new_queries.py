@@ -86,6 +86,10 @@ NEW_QUERIES = [
     "td_shuffle_shards",
     "o_union_evolved",
     "td_rebalance",
+    "a_percent_rank",
+    "e_transitions",
+    "v_skew_report",
+    "t_pmi_top",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
