@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_transitions": q.e_transitions,
         "v_skew_report": q.v_skew_report,
         "t_pmi_top": q.t_pmi_top,
+        "g_components": q.g_components,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -456,6 +457,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_keys,
                    CAST(sum(n) AS BIGINT) AS n_rows
             FROM pk GROUP BY 1
+        """,
+        "g_components": """
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT a, b FROM (
+                    SELECT regexp_extract(src_url,
+                               '^https://([^/]+)/', 1) AS a,
+                           regexp_extract(dst_url,
+                               '^https://([^/]+)/', 1) AS b
+                    FROM read_parquet(
+                        '/tmp/lk_pages/n60000_s42_x3/links.parquet')
+                  UNION ALL
+                    SELECT regexp_extract(dst_url,
+                               '^https://([^/]+)/', 1),
+                           regexp_extract(src_url,
+                               '^https://([^/]+)/', 1)
+                    FROM read_parquet(
+                        '/tmp/lk_pages/n60000_s42_x3/links.parquet'))
+                  WHERE a <> '' AND b <> ''),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach AS (
+                SELECT n AS node, n AS r FROM nodes
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT node, min(r) AS cluster FROM reach GROUP BY node
         """,
         "t_pmi_top": r"""
             WITH tok AS (SELECT regexp_split_to_array(text, '\s+') AS arr

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..relational import (drop_empty_blocks,
@@ -197,3 +198,66 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
             out_tbl["r"].to_numpy(zero_copy_only=False), round_digits),
             pa.float64()),
     })
+
+
+def components_min_label(edges: rd.Dataset, src_col: str, dst_col: str,
+                         max_rounds: int = 25) -> rd.Dataset:
+    """Connected components of an UNDIRECTED graph by fully-distributed
+    min-label propagation: every node's component id converges to the
+    lexicographic minimum node key reachable from it.
+
+    This is the full-graph CC operator (``dedup.connected_components``
+    handles candidate-pair graphs whose edge set is small by LSH
+    construction; here both nodes and edges stream as Datasets and no
+    driver table is ever built). Per round: ONE distributed hash join
+    ships each node's current label to its neighbors (edges are
+    pre-oriented both ways so one join covers both directions), then one
+    grouped string-min adopts the smallest proposal; convergence = the
+    count of changed labels reaching zero, checked with a join on the
+    previous round's labels (a driver scalar per round). Rounds needed =
+    graph diameter — web host graphs are shallow (≤ ~6); a 10^10-node
+    long-path graph would want the large-star/small-star doubling variant
+    (Kiveris et al. 2014), noted here as the scale escape hatch.
+
+    Returns (node, cluster) with cluster = min reachable node key.
+    """
+    from ..relational import exchange_join, partial_groupby_agg
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].cast(pa.string())
+        b = batch[dst_col].cast(pa.string())
+        t = pa.table({"a": pa.concat_arrays(
+            [a.combine_chunks(), b.combine_chunks()]),
+            "b": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+        return t.group_by(["a", "b"]).aggregate([])  # per-batch distinct
+
+    both = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    labels = partial_groupby_agg(
+        both.map_batches(lambda b: pa.table({"node": b["a"],
+                                             "lbl": b["a"]}),
+                         batch_format="pyarrow"),
+        ["node"], [("lbl", "min", "lbl")]).materialize()
+
+    for _ in range(max_rounds):
+        msgs = exchange_join(both, labels, "a", "node").map_batches(
+            lambda b: pa.table({"node": b["b"], "lbl": b["lbl"]}),
+            batch_format="pyarrow")
+        new = partial_groupby_agg(msgs.union(labels), ["node"],
+                                  [("lbl", "min", "lbl")]).materialize()
+        prev = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl_old": b["lbl"]}),
+            batch_format="pyarrow")
+        changed = exchange_join(new, prev, "node", "node").map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [pc.sum(pc.cast(pc.not_equal(b["lbl"], b["lbl_old"]),
+                                pa.int64())).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow")
+        n_changed = sum(r["c"] for r in changed.take_all())
+        labels = new
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "cluster": b["lbl"]}),
+        batch_format="pyarrow")

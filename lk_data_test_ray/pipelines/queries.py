@@ -4614,3 +4614,34 @@ def t_pmi_top(sf_dir: str) -> rd.Dataset:
 
     scored = j.map_batches(score, batch_format="pyarrow")
     return topk(scored, [("pmi", True), ("w1", False), ("w2", False)], 20)
+
+
+def g_components(sf_dir: str) -> rd.Dataset:
+    """Connected components of the pages HOST graph — the fully
+    DISTRIBUTED min-label propagation operator
+    (``graph.components_min_label``: per round one hash join ships labels
+    to neighbors + one grouped string-min adopts the smallest; nodes,
+    edges and labels all stream as Datasets, nothing graph-sized touches
+    the driver — unlike ``dd_clusters``, whose candidate-pair graphs are
+    small by LSH construction). Component id = lexicographic min host
+    reachable. Oracle: recursive reachability closure + min."""
+    import os
+
+    from .graph import components_min_label
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": h1, "dst_host": h2})
+        return t.filter(pc.and_(pc.is_valid(h1), pc.is_valid(h2)))
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    return components_min_label(e, "src_host", "dst_host")

@@ -50,3 +50,45 @@ def test_pagerank_modes_agree(ray_session):
     want = _dense_pagerank(edges, 5)
     for u in b:
         assert abs(b[u] - want[u]) < 1e-8, (u, b[u], want[u])
+
+
+def test_components_min_label_matches_union_find(ray_session):
+    """Distributed min-label CC equals a driver union-find on random
+    graphs (string node keys, undirected input given one-directional)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.graph import components_min_label
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(5, 40))
+        m = int(rng.integers(1, 60))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        names = np.array([f"h{i:03d}" for i in range(n)], dtype=object)
+        edges = pa.table({"s": pa.array(names[a], pa.string()),
+                          "t": pa.array(names[b], pa.string())})
+        got = components_min_label(
+            rd.from_arrow(edges), "s", "t").to_pandas() \
+            .set_index("node")["cluster"].to_dict()
+
+        # union-find reference over the touched nodes
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j in zip(a, b):
+            parent[find(i)] = find(j)
+        touched = sorted(set(a) | set(b))
+        comp_min = {}
+        for i in touched:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, names[i]), names[i])
+        want = {names[i]: comp_min[find(i)] for i in touched}
+        assert got == want, trial
