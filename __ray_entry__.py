@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_skew_report": q.v_skew_report,
         "t_pmi_top": q.t_pmi_top,
         "g_components": q.g_components,
+        "dd_substr_cut": q.dd_substr_cut,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -416,6 +417,38 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "dd_substr_cut": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_split_to_array(coalesce(text, ''),
+                                                      '\s+') AS arr
+                         FROM documents),
+            grams AS (
+                SELECT doc_id, i AS pos,
+                       arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' '
+                       || arr[i+3] || ' ' || arr[i+4] || ' ' || arr[i+5]
+                       || ' ' || arr[i+6] || ' ' || arr[i+7] AS g
+                FROM tok,
+                     unnest(generate_series(1, greatest(len(arr) - 7, 0)))
+                         AS t(i)),
+            r AS (SELECT doc_id, pos,
+                         row_number() OVER (
+                             PARTITION BY g ORDER BY doc_id, pos) AS rn
+                  FROM grams),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS p
+                    FROM r, unnest(generate_series(0, 7)) AS u(j)
+                    WHERE rn > 1),
+            toks AS (SELECT doc_id, i, arr[i] AS w
+                     FROM tok,
+                          unnest(generate_series(1, len(arr))) AS t(i)),
+            kept AS (SELECT t.doc_id, t.i, t.w
+                     FROM toks t LEFT JOIN cov c
+                         ON t.doc_id = c.doc_id AND t.i = c.p
+                     WHERE c.p IS NULL)
+            SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+            FROM documents d LEFT JOIN
+                 (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS ct
+                  FROM kept GROUP BY doc_id) k USING (doc_id)
         """,
         "td_shuffle_shards": """
             SELECT doc_id,

@@ -4200,28 +4200,14 @@ def a_winsorize_price(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def dd_dup_spans(sf_dir: str) -> rd.Dataset:
-    """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
-    "Deduplicating Training Data Makes Language Models Better"): flag every
-    occurrence of a K-token window that appears more than once in the
-    corpus EXCEPT the globally first one (by (doc_id, pos)) — exactly the
-    spans a substring-cut pass removes. The suffix array of the paper is
-    replaced by a fixed-width-window hash exchange: no global sort, no
-    per-token Python.
-
-    Scale shape: tokens are hashed once per UNIQUE token (dictionary
-    encode), each window's key is a 128-bit vectorized fold of its k token
-    hashes (``gram_hash_pairs`` — zero gram strings materialized), the
-    exchange ships (h1, h2, doc_id, pos) = 32 fixed bytes per window, and
-    each partition sorts integers + takes one shifted-equality pass. Two
-    different windows collide only at ~2^-128 — the oracle compares
-    output rows, and a collision would need ~2^64 windows to matter."""
-    K = 8
+def _dup_span_rows(docs: rd.Dataset, k: int) -> rd.Dataset:
+    """(doc_id, pos) of every K-token window occurrence that duplicates an
+    earlier (doc_id, pos)-ordered occurrence anywhere in the corpus — the
+    shared core of ``dd_dup_spans`` (detection) and ``dd_substr_cut``
+    (removal). See ``dd_dup_spans`` for the plan."""
     from ..functions.hashing import gram_hash_pairs, hash_strings64
     from ..functions.text import TOKEN_SPLIT
     from ..relational import hash_repartition_map
-
-    docs = read(sf_dir, "documents", ["doc_id", "text"])
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -4231,9 +4217,9 @@ def dd_dup_spans(sf_dir: str) -> rd.Dataset:
         flat = pc.list_flatten(toks).dictionary_encode()
         uh = hash_strings64(flat.dictionary.to_numpy(zero_copy_only=False))
         th = uh[flat.indices.to_numpy(zero_copy_only=False)]
-        h1, h2, grow = gram_hash_pairs(th, counts, K)
+        h1, h2, grow = gram_hash_pairs(th, counts, k)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        gcnt = np.maximum(counts - K + 1, 0)
+        gcnt = np.maximum(counts - k + 1, 0)
         goffs = np.concatenate([[0], np.cumsum(gcnt)])
         G = int(goffs[-1])
         pos = np.arange(G, dtype=np.int64) - np.repeat(goffs[:-1], gcnt) + 1
@@ -4261,6 +4247,103 @@ def dd_dup_spans(sf_dir: str) -> rd.Dataset:
         return tbl.filter(pa.array(mask)).select(["doc_id", "pos"])
 
     return hash_repartition_map(pairs, "h1", non_first)
+
+
+def dd_dup_spans(sf_dir: str) -> rd.Dataset:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): flag every
+    occurrence of a K-token window that appears more than once in the
+    corpus EXCEPT the globally first one (by (doc_id, pos)) — exactly the
+    spans a substring-cut pass removes. The suffix array of the paper is
+    replaced by a fixed-width-window hash exchange: no global sort, no
+    per-token Python.
+
+    Scale shape: tokens are hashed once per UNIQUE token (dictionary
+    encode), each window's key is a 128-bit vectorized fold of its k token
+    hashes (``gram_hash_pairs`` — zero gram strings materialized), the
+    exchange ships (h1, h2, doc_id, pos) = 32 fixed bytes per window, and
+    each partition sorts integers + takes one shifted-equality pass. Two
+    different windows collide only at ~2^-128 — the oracle compares
+    output rows, and a collision would need ~2^64 windows to matter."""
+    return _dup_span_rows(read(sf_dir, "documents", ["doc_id", "text"]), 8)
+
+
+def dd_substr_cut(sf_dir: str) -> rd.Dataset:
+    """The ExactSubstr CUT transform: rewrite every document with all
+    tokens covered by a non-first duplicated K-token window REMOVED (the
+    global first occurrence of each span survives) — the actual dedup the
+    Lee et al. pipeline applies after detection. Every document comes back
+    (possibly unchanged, possibly empty).
+
+    Plan: duplicate-span rows from the shared ``_dup_span_rows`` exchange,
+    then doc rows and span rows are tagged into ONE stream and co-located
+    by a single hash exchange on doc_id; each partition builds a
+    flat-token coverage mask (numpy scatter over K offsets per span) and
+    reassembles texts with Arrow list-filter + binary_join — no per-doc
+    Python. Text crosses the wire exactly once (unavoidable: the output IS
+    rewritten text)."""
+    K = 8
+    from ..functions.text import TOKEN_SPLIT
+    from ..relational import hash_repartition_map
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    spans = _dup_span_rows(docs, K)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "text": batch["text"].cast(pa.string()),
+            "pos": pa.nulls(batch.num_rows, pa.int64()),
+            "is_doc": pa.array(np.ones(batch.num_rows, bool)),
+        })
+
+    def tag_spans(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "text": pa.nulls(batch.num_rows, pa.string()),
+            "pos": batch["pos"].cast(pa.int64()),
+            "is_doc": pa.array(np.zeros(batch.num_rows, bool)),
+        })
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        spans.map_batches(tag_spans, batch_format="pyarrow"))
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("clean_text", pa.string())])
+
+    def cut(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        is_doc = tbl["is_doc"].to_numpy(zero_copy_only=False)
+        d = tbl.filter(pa.array(is_doc))
+        idx = pc.sort_indices(d, sort_keys=[("doc_id", "ascending")])
+        d = d.take(idx)
+        ids = d["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(d["text"].combine_chunks(), ""), TOKEN_SPLIT)
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(nw)])
+        flat = pc.list_flatten(toks)
+        mask = np.zeros(int(offs[-1]), dtype=bool)
+        s = tbl.filter(pa.array(~is_doc))
+        if s.num_rows:
+            srow = np.searchsorted(
+                ids, s["doc_id"].to_numpy(zero_copy_only=False))
+            start = offs[srow] + s["pos"].to_numpy(
+                zero_copy_only=False) - 1
+            for j in range(K):  # K scatters, not per-span loops
+                mask[start + j] = True
+        keep = ~mask
+        row_of = np.repeat(np.arange(len(nw)), nw)
+        kept_n = np.bincount(row_of[keep], minlength=len(nw))
+        new_offs = np.concatenate([[0], np.cumsum(kept_n)])
+        clean = pc.binary_join(pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            flat.filter(pa.array(keep))), " ")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "clean_text": clean}, schema=out_schema)
+
+    return hash_repartition_map(tagged, "doc_id", cut)
 
 
 def td_shuffle_shards(sf_dir: str) -> rd.Dataset:

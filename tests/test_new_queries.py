@@ -90,6 +90,7 @@ NEW_QUERIES = [
     "e_transitions",
     "v_skew_report",
     "t_pmi_top",
+    "dd_substr_cut",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
