@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pmi_top": q.t_pmi_top,
         "g_components": q.g_components,
         "dd_substr_cut": q.dd_substr_cut,
+        "td_pretrain_corpus": q.td_pretrain_corpus,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,

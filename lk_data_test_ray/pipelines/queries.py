@@ -4268,26 +4268,13 @@ def dd_dup_spans(sf_dir: str) -> rd.Dataset:
     return _dup_span_rows(read(sf_dir, "documents", ["doc_id", "text"]), 8)
 
 
-def dd_substr_cut(sf_dir: str) -> rd.Dataset:
-    """The ExactSubstr CUT transform: rewrite every document with all
-    tokens covered by a non-first duplicated K-token window REMOVED (the
-    global first occurrence of each span survives) — the actual dedup the
-    Lee et al. pipeline applies after detection. Every document comes back
-    (possibly unchanged, possibly empty).
-
-    Plan: duplicate-span rows from the shared ``_dup_span_rows`` exchange,
-    then doc rows and span rows are tagged into ONE stream and co-located
-    by a single hash exchange on doc_id; each partition builds a
-    flat-token coverage mask (numpy scatter over K offsets per span) and
-    reassembles texts with Arrow list-filter + binary_join — no per-doc
-    Python. Text crosses the wire exactly once (unavoidable: the output IS
-    rewritten text)."""
-    K = 8
+def _substr_cut(docs: rd.Dataset, k: int = 8) -> rd.Dataset:
+    """Apply the ExactSubstr cut to a (doc_id, text) Dataset → (doc_id,
+    clean_text). See ``dd_substr_cut`` for the plan."""
     from ..functions.text import TOKEN_SPLIT
     from ..relational import hash_repartition_map
 
-    docs = read(sf_dir, "documents", ["doc_id", "text"])
-    spans = _dup_span_rows(docs, K)
+    spans = _dup_span_rows(docs, k)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -4305,8 +4292,9 @@ def dd_substr_cut(sf_dir: str) -> rd.Dataset:
             "is_doc": pa.array(np.zeros(batch.num_rows, bool)),
         })
 
-    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
-        spans.map_batches(tag_spans, batch_format="pyarrow"))
+    tagged = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(tag_docs, batch_format="pyarrow").union(
+            spans.map_batches(tag_spans, batch_format="pyarrow"))
     out_schema = pa.schema([("doc_id", pa.int64()),
                             ("clean_text", pa.string())])
 
@@ -4331,7 +4319,7 @@ def dd_substr_cut(sf_dir: str) -> rd.Dataset:
                 ids, s["doc_id"].to_numpy(zero_copy_only=False))
             start = offs[srow] + s["pos"].to_numpy(
                 zero_copy_only=False) - 1
-            for j in range(K):  # K scatters, not per-span loops
+            for j in range(k):  # k scatters, not per-span loops
                 mask[start + j] = True
         keep = ~mask
         row_of = np.repeat(np.arange(len(nw)), nw)
@@ -4344,6 +4332,23 @@ def dd_substr_cut(sf_dir: str) -> rd.Dataset:
                          "clean_text": clean}, schema=out_schema)
 
     return hash_repartition_map(tagged, "doc_id", cut)
+
+
+def dd_substr_cut(sf_dir: str) -> rd.Dataset:
+    """The ExactSubstr CUT transform: rewrite every document with all
+    tokens covered by a non-first duplicated K-token window REMOVED (the
+    global first occurrence of each span survives) — the actual dedup the
+    Lee et al. pipeline applies after detection. Every document comes back
+    (possibly unchanged, possibly empty).
+
+    Plan: duplicate-span rows from the shared ``_dup_span_rows`` exchange,
+    then doc rows and span rows are tagged into ONE stream and co-located
+    by a single hash exchange on doc_id; each partition builds a
+    flat-token coverage mask (numpy scatter over K offsets per span) and
+    reassembles texts with Arrow list-filter + binary_join — no per-doc
+    Python. Text crosses the wire exactly once (unavoidable: the output IS
+    rewritten text)."""
+    return _substr_cut(read(sf_dir, "documents", ["doc_id", "text"]), 8)
 
 
 def td_shuffle_shards(sf_dir: str) -> rd.Dataset:
@@ -4728,3 +4733,146 @@ def g_components(sf_dir: str) -> rd.Dataset:
 
     e = links.map_batches(hosts, batch_format="pyarrow")
     return components_min_label(e, "src_host", "dst_host")
+
+
+def td_pretrain_corpus(sf_dir: str) -> rd.Dataset:
+    """End-to-end pretraining-corpus build over the documents table — the
+    composition a corpus engineer actually runs, every stage an operator
+    this engine already proves in isolation:
+
+      1. exact dedup (md5 fingerprint groups, keeper = min doc_id),
+      2. ExactSubstr span cut on the survivors (``_substr_cut``),
+      3. Gopher-style rule gate on the CLEANED text,
+      4. trained hashed-linear quality-classifier gate (prob ≥ 0.5;
+         8 GD epochs on a deterministic 20% hash-sample),
+      5. class rebalance: every lang down to the minority-class count,
+      6. deterministic md5-rank shuffle into fixed 100-doc shards.
+
+    Output: (doc_id, lang, shard, offset). Iterative training inside ⇒
+    rows-only driver check; stage invariants are pytest-asserted."""
+    from ..functions.text import STOPWORDS, TOKEN_SPLIT
+    from ..relational import (collect_tables, exchange_join,
+                              hash_repartition_map, partial_groupby_agg,
+                              topk_per_key)
+    from .classifier import (featurize, score_logreg_hashed,
+                             train_logreg_hashed)
+    from .dedup import exact_dedup_groups
+
+    D = 512
+    docs = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    # 1 — exact dedup
+    keepers = exact_dedup_groups(docs, "doc_id", "text").map_batches(
+        lambda b: pa.table({"k": b["keeper_id"]}), batch_format="pyarrow")
+    docs1 = exchange_join(docs, keepers, "doc_id", "k", "left_semi")
+
+    # 2 — span cut (clean_text), lang re-attached by one hash join
+    clean = _substr_cut(docs1, 8).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "text": b["clean_text"]}),
+        batch_format="pyarrow")
+    clean = exchange_join(
+        clean, docs1.select_columns(["doc_id", "lang"]).map_batches(
+            lambda b: pa.table({"jid": b["doc_id"], "lang": b["lang"]}),
+            batch_format="pyarrow"),
+        "doc_id", "jid")
+
+    # 3 — Gopher rule gate + stopword weak label in one vectorized pass
+    def gates(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch["text"].combine_chunks(), ""), TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        par = parent[keep]
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)[keep]
+        alpha = pc.match_substring_regex(
+            flat, "[a-zA-Z]").to_numpy(zero_copy_only=False)[keep]
+        stop = pc.is_in(flat, value_set=pa.array(
+            sorted(STOPWORDS), pa.string())).to_numpy(
+            zero_copy_only=False)[keep]
+        n_words = np.bincount(par, minlength=n)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        mean_len = np.bincount(par, weights=lens, minlength=n) / denom
+        frac_alpha = np.bincount(par, weights=alpha, minlength=n) / denom
+        n_stop = np.bincount(par, weights=stop, minlength=n)
+        ok = ((n_words >= 5) & (mean_len >= 2.0) & (mean_len <= 12.0)
+              & (frac_alpha >= 0.6) & (n_stop >= 1))
+        out = batch.append_column("y", pa.array(
+            (n_stop > 0).astype(np.float64), pa.float64()))
+        return out.filter(pa.array(ok))
+
+    gated = clean.map_batches(gates, batch_format="pyarrow").materialize()
+
+    # 4 — classifier gate (train on 20% hash-sample of the gated corpus)
+    train = gated.map_batches(
+        lambda b: b.filter(pa.array(
+            (b["doc_id"].to_numpy(zero_copy_only=False)
+             * 2654435761) % 100 < 20)),
+        batch_format="pyarrow")
+    w = train_logreg_hashed(featurize(train, "text", "y", D), D=D,
+                            epochs=8, lr=1.0)
+    scored = score_logreg_hashed(gated, "text", "doc_id", w, D=D)
+    passing = scored.map_batches(
+        lambda b: pa.table({"pk": b.filter(
+            pc.greater_equal(b["prob"], 0.5))["doc_id"]}),
+        batch_format="pyarrow")
+    kept = exchange_join(gated.select_columns(["doc_id", "lang"]),
+                         passing, "doc_id", "pk")
+
+    # 5 — rebalance langs to the minority count
+    counts = collect_tables(
+        partial_groupby_agg(kept, ["lang"], [("doc_id", "count", "n")]),
+        pa.schema([("lang", pa.string()), ("n", pa.int64())]))
+    m = int(pc.min(counts["n"]).as_py()) if counts.num_rows else 0
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = md5_hex([str(i) for i in batch["doc_id"].to_pylist()])
+        return batch.append_column("h", pa.array(h, pa.string()))
+
+    keyed = kept.map_batches(add_key, batch_format="pyarrow")
+    bal = topk_per_key(keyed, "lang", [("h", False), ("doc_id", False)], m)
+
+    # 6 — shuffle into fixed shards by md5 rank (band prefix sums)
+    SHARD = 100
+
+    def banded(batch: pa.Table) -> pa.Table:
+        band = np.array([int(x[:2], 16) for x in
+                         batch["h"].to_pylist()], dtype=np.int64)
+        return batch.append_column("band", pa.array(band, pa.int64()))
+
+    kb = bal.map_batches(banded, batch_format="pyarrow").materialize()
+    bcounts = collect_tables(
+        partial_groupby_agg(kb, ["band"], [("doc_id", "count", "n")]),
+        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
+    offsets = np.zeros(258, dtype=np.int64)
+    if bcounts.num_rows:
+        np.add.at(offsets,
+                  bcounts["band"].to_numpy(zero_copy_only=False) + 1,
+                  bcounts["n"].to_numpy(zero_copy_only=False))
+    offsets = np.cumsum(offsets)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                            ("shard", pa.int64()), ("offset", pa.int64())])
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("band", "ascending"), ("h", "ascending"),
+            ("doc_id", "ascending")])
+        tbl = tbl.take(idx)
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        n = len(band)
+        starts = np.flatnonzero(
+            np.concatenate([[True], band[1:] != band[:-1]]))
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        r = offsets[band] + (np.arange(n) - seg_start)
+        return pa.table({
+            "doc_id": tbl["doc_id"], "lang": tbl["lang"],
+            "shard": pa.array(r // SHARD, pa.int64()),
+            "offset": pa.array(r % SHARD, pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(kb, "band", rank)

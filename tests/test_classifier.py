@@ -99,3 +99,26 @@ def test_driver_query_shape(ray_session):
         lambda t: float(any(tok in STOPWORDS for tok in t.split())))
     merged = out.set_index("doc_id").join(truth.rename("y"))
     assert _auc(merged["y"].to_numpy(), merged["prob"].to_numpy()) > 0.9
+
+
+def test_pretrain_corpus_invariants(ray_session):
+    """The end-to-end corpus build: balanced classes, dense shard layout,
+    and only surviving doc_ids."""
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import td_pretrain_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = td_pretrain_corpus(sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    assert 0 < len(out) <= len(docs)
+    assert set(out.columns) == {"doc_id", "lang", "shard", "offset"}
+    assert set(out.doc_id).issubset(set(docs.doc_id))
+    # balanced: every lang kept the same number of documents
+    assert out.groupby("lang").size().nunique() == 1
+    # dense global rank: shards full at 100 except the last, offsets dense
+    sizes = out.groupby("shard").size().sort_index()
+    assert (sizes.iloc[:-1] == 100).all()
+    for sh, grp in out.groupby("shard"):
+        assert sorted(grp["offset"]) == list(range(len(grp)))
