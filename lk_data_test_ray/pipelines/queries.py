@@ -4668,12 +4668,14 @@ def t_pmi_top(sf_dir: str) -> rd.Dataset:
             "cb": agg["g_count"].cast(pa.int64()),
         })
 
+    # materialized once: these are VOCABULARY-sized count tables (not
+    # corpus-sized), and each is consumed 2-3 times below (total + joins)
     uni = partial_groupby_agg(
         docs.map_batches(uni_partial, batch_format="pyarrow"),
-        ["w"], [("cu", "sum", "cu")])
+        ["w"], [("cu", "sum", "cu")]).materialize()
     bi = partial_groupby_agg(
         docs.map_batches(bi_partial, batch_format="pyarrow"),
-        ["w1", "w2"], [("cb", "sum", "cb")])
+        ["w1", "w2"], [("cb", "sum", "cb")]).materialize()
     from ray.data.aggregate import Sum
 
     nu = int(uni.aggregate(Sum("cu", alias_name="s"))["s"])

@@ -166,3 +166,24 @@ def test_partitioned_parquet_sink(ray_session, tmp_path):
     # full read restores every row (lang reconstructed from the path)
     back = rd.read_parquet(out).to_pandas()
     assert len(back) == 100 and set(back["lang"]) == {"de", "en", "fr"}
+
+
+def test_union_by_name_casts_and_nulls(ray_session):
+    """UNION BY NAME semantics: first-seen column order, typed nulls for
+    missing columns, widening cast for type mismatches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.relational import union_by_name
+
+    a = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "x": pa.array(["p", "q"], pa.string())}))
+    b = rd.from_arrow(pa.table({
+        "k": pa.array([3], pa.int32()),          # narrower type → cast
+        "y": pa.array([7.5], pa.float64())}))    # new column
+    out = union_by_name([a, b]).to_pandas().sort_values("k")
+    assert list(out.columns) == ["k", "x", "y"]
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["x"].tolist()[:2] == ["p", "q"] and out["x"].isna().iloc[2]
+    assert out["y"].isna().iloc[:2].all() and out["y"].iloc[2] == 7.5
