@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_components": q.g_components,
         "dd_substr_cut": q.dd_substr_cut,
         "td_pretrain_corpus": q.td_pretrain_corpus,
+        "o_weighted_sample": q.o_weighted_sample,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -418,6 +419,16 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "o_weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       -ln(greatest(
+                           ((doc_id * 2654435761) % 1000003)
+                               / 1000003.0, 1e-12))
+                       / greatest(n_chars, 1) AS key
+                FROM documents
+                ORDER BY key, doc_id LIMIT 50)
         """,
         "dd_substr_cut": r"""
             WITH tok AS (SELECT doc_id,

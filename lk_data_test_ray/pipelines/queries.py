@@ -4878,3 +4878,31 @@ def td_pretrain_corpus(sf_dir: str) -> rd.Dataset:
         }, schema=out_schema)
 
     return hash_repartition_map(kb, "band", rank)
+
+
+def o_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    the 50 documents drawn with probability ∝ n_chars, via per-row key
+    -ln(u)/w with u an engine-neutral multiplicative-hash uniform — fully
+    deterministic and oracle-checkable, unlike seeded RNG. Distributive:
+    per-batch local top-k prunes before one tiny global sort (the ``topk``
+    operator); only keys travel. Key values are dropped from the output —
+    ordering (not float equality) is the contract, with doc_id as the
+    total tiebreak on both sides."""
+    from ..relational import topk
+
+    docs = read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            batch["n_chars"].to_numpy(zero_copy_only=False), 1)
+        u = ((ids * 2654435761) % 1000003) / 1000003.0
+        key = -np.log(np.maximum(u, 1e-12)) / w
+        return batch.append_column("key", pa.array(key, pa.float64()))
+
+    sampled = topk(docs.map_batches(keyed, batch_format="pyarrow"),
+                   [("key", False), ("doc_id", False)], 50)
+    return sampled.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]),
+        batch_format="pyarrow")
