@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "s_ann_ivfpq",
     "t_badwords",
     "dd_dup_spans",
+    "dd_substr_cut",
     "td_shuffle_shards",
     "td_rebalance",
 ]
