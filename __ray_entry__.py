@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_substr_cut": q.dd_substr_cut,
         "td_pretrain_corpus": q.td_pretrain_corpus,
         "o_weighted_sample": q.o_weighted_sample,
+        "j_follow_within": q.j_follow_within,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -419,6 +420,16 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "j_follow_within": """
+            SELECT e.event_id, CAST(count(f.event_id) AS BIGINT)
+                       AS n_follow
+            FROM events e LEFT JOIN events f
+              ON f.user_id = e.user_id
+             AND f.ts > e.ts
+             AND f.ts <= e.ts + INTERVAL 5 MINUTE
+            WHERE e.event_type = 'error'
+            GROUP BY 1
         """,
         "o_weighted_sample": """
             SELECT doc_id, n_chars FROM (

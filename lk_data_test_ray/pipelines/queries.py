@@ -4906,3 +4906,60 @@ def o_weighted_sample(sf_dir: str) -> rd.Dataset:
     return sampled.map_batches(
         lambda b: b.select(["doc_id", "n_chars"]),
         batch_format="pyarrow")
+
+
+def j_follow_within(sf_dir: str) -> rd.Dataset:
+    """Big-to-big TIME-WINDOW self-join: for every 'error' event, the
+    number of events by the same user STRICTLY after it and within 5
+    minutes — the trigger→response correlation shape (as-of joins match
+    one row; this matches a bounded window of rows on both big sides).
+
+    Plan: ONE hash exchange on user_id co-locates each user's stream;
+    per partition one sort by (user, ts, id), then every window is
+    resolved with two global ``np.searchsorted`` calls on a
+    SEGMENT-OFFSET key: B = (ts − segment_min) + cumulative(previous
+    segment spans + W + 1), which is globally monotone AND guarantees
+    B + W never crosses a segment boundary — so no per-user loop, no
+    per-error loop, wall time O(n log n) per partition regardless of user
+    count. Ties (equal ts) are excluded by searching right of B[err],
+    matching the SQL's strict f.ts > e.ts."""
+    from ..relational import hash_repartition_map
+
+    W_US = 5 * 60 * 1_000_000
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("n_follow", pa.int64())])
+
+    def followers(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        n = len(uid)
+        new_seg = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        seg_starts = np.flatnonzero(new_seg)
+        seg_lens = np.diff(np.append(seg_starts, n))
+        seg_min = ts[seg_starts]
+        seg_max = ts[np.append(seg_starts[1:], n) - 1]
+        span = seg_max - seg_min
+        base = np.concatenate(
+            [[0], np.cumsum(span + W_US + 1)[:-1]])
+        B = ts - seg_min[seg_id] + base[seg_id]
+        err = pc.equal(tbl["event_type"], "error") \
+            .to_numpy(zero_copy_only=False)
+        be = B[err]
+        lo = np.searchsorted(B, be, side="right")
+        ub = np.searchsorted(B, be + W_US, side="right")
+        ids = tbl["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pa.array(ids[err], pa.int64()),
+            "n_follow": pa.array(ub - lo, pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", followers)
