@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_pretrain_corpus": q.td_pretrain_corpus,
         "o_weighted_sample": q.o_weighted_sample,
         "j_follow_within": q.j_follow_within,
+        "mm_decode_ppm": q.mm_decode_ppm,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -420,6 +421,14 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "mm_decode_ppm": """
+            SELECT CAST(vec_id AS VARCHAR) AS url,
+                   'image/ppm' AS kind,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS n_channels
+            FROM embeddings
         """,
         "j_follow_within": """
             SELECT e.event_id, CAST(count(f.event_id) AS BIGINT)

@@ -24,6 +24,7 @@ import ray.data as rd
 
 # magic-byte prefixes → media kind (deterministic sniff table)
 MAGIC = [
+    (b"P6", "image/ppm"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
@@ -115,10 +116,12 @@ class DecodeStage:
 
     def __init__(self, id_col: str = "url", payload_col: str = "html",
                  fake: bool = False, target_size: tuple[int, int] = (64, 64)):
-        if not fake:
-            raise NotImplementedError(
-                "image/audio codecs are not available in this environment; "
-                "construct with fake=True for the deterministic stub decoder")
+        # fake=False decodes RAW formats (PPM P6) for REAL — pure bytes +
+        # numpy, no codec library; payloads in codec formats (jpeg/png/...)
+        # are skipped with their kind intact (a deployment registers their
+        # decoders here, once per actor). fake=True keeps the deterministic
+        # stub that treats any payload's bytes as pixels.
+        self.fake = fake
         self.id_col, self.payload_col = id_col, payload_col
         self.target_size = target_size
 
@@ -139,16 +142,27 @@ class DecodeStage:
                 batch[self.payload_col].to_pylist(), kind_list):
             if payload is None:
                 continue
-            img = self._decode_fake(bytes(payload))
-            # 'resize': mean-pool to target (deterministic)
+            if self.fake:
+                img = self._decode_fake(bytes(payload))
+                nch = 1
+                pooled = mean_pool(img[:, :, None], self.target_size)
+            elif kind in RAW_DECODABLE:
+                img = ppm_decode(bytes(payload))  # REAL decode
+                nch = img.shape[2]
+                pooled = mean_pool(img, self.target_size)
+                img = img.mean(axis=2)  # gray for the histogram feature
+            else:
+                continue  # codec format: no decoder in this container
             urls.append(str(rid))
             kinds.append(kind)
             ws.append(img.shape[1])
             hs.append(img.shape[0])
-            chans.append(1)
-            # feature extract: fixed-dim histogram (stands in for an encoder)
-            hist, _ = np.histogram(img, bins=self.FEAT_DIM, range=(0, 256))
-            feats.append((hist / max(img.size, 1)).astype(np.float32))
+            chans.append(nch)
+            # feature extract: fixed-dim histogram over the POOLED pixels
+            hist, _ = np.histogram(pooled.mean(axis=2), bins=self.FEAT_DIM,
+                                   range=(0, 256))
+            feats.append((hist / max(pooled[:, :, 0].size, 1))
+                         .astype(np.float32))
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "kind": pa.array(kinds, pa.string()),
@@ -203,3 +217,58 @@ class FrameSampleStage:
             "frame_idx": pa.array(idxs, pa.int32()),
             "byte_offset": pa.array(offs, pa.int64()),
         })
+
+
+# ---------------------------------------------------------------------------
+# REAL raw-format image codec (pure bytes + numpy — no codec library):
+# PPM P6. Codec formats (jpeg/png/webm) stay out of scope in this
+# container; a deployment adds their decoders in DecodeStage.__init__.
+# ---------------------------------------------------------------------------
+
+RAW_DECODABLE = {"image/ppm"}
+
+
+def ppm_encode(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 array → binary PPM (P6)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("ppm_encode expects uint8 HxWx3")
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 HxWx3 array. Handles comments and arbitrary
+    header whitespace per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 ints (w, h, maxval), '#' comments to end-of-line
+    fields, i, n = [], 2, len(payload)
+    while len(fields) < 3:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3).copy()
+
+
+def mean_pool(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """Deterministic 'resize': block-mean pooling down to ≤ target (crops
+    to a factor multiple; a no-op when already at or below target)."""
+    th, tw = target
+    fh, fw = max(img.shape[0] // th, 1), max(img.shape[1] // tw, 1)
+    hh, ww = img.shape[0] // fh * fh, img.shape[1] // fw * fw
+    v = img[:hh, :ww].astype(np.float64)
+    v = v.reshape(hh // fh, fh, ww // fw, fw, -1).mean(axis=(1, 3))
+    return v

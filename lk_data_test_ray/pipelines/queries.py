@@ -4963,3 +4963,39 @@ def j_follow_within(sf_dir: str) -> rd.Dataset:
         }, schema=out_schema)
 
     return hash_repartition_map(ev, "user_id", followers)
+
+
+def mm_decode_ppm(sf_dir: str) -> rd.Dataset:
+    """REAL image decode end-to-end (no codec library): each embedding row
+    renders a deterministic 16x16 RGB P6 PPM payload (first 48 dims →
+    4x4x3 blocks, upsampled), then the actor-pool ``DecodeStage``
+    (``fake=False``) sniffs, parses the PPM header, block-mean-pools to
+    8x8 and emits histogram features — the decode path is real byte-level
+    work, not a stub (codec formats like jpeg/png remain skipped: no
+    libraries in this container; roundtrip + pooling math are
+    pytest-asserted in test_similarity_text.py). Binary payloads are not
+    SQL-expressible ⇒ rows-only driver check."""
+    from .multimodal import decode_features, ppm_encode
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        arr = batch["embedding"].combine_chunks()
+        ndim = len(arr[0]) if len(arr) else 0
+        m = np.asarray(arr.values, dtype=np.float64).reshape(-1, ndim)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in range(len(ids)):
+            v = m[i, :48]
+            px = ((v - v.min()) / (np.ptp(v) or 1.0) * 255).astype(np.uint8)
+            img = px.reshape(4, 4, 3).repeat(4, axis=0).repeat(4, axis=1)
+            payloads.append(ppm_encode(img))
+        return pa.table({
+            "url": pa.array([str(i) for i in ids], pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    pages = emb.map_batches(render, batch_format="pyarrow")
+    feats = decode_features(pages, fake=False, batch_size=256)
+    return feats.select_columns(["url", "kind", "width", "height",
+                                 "n_channels"])

@@ -93,6 +93,7 @@ NEW_QUERIES = [
     "dd_substr_cut",
     "o_weighted_sample",
     "j_follow_within",
+    "mm_decode_ppm",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01

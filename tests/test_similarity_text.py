@@ -96,8 +96,14 @@ def test_sniff_and_payload_meta():
 
 
 def test_decode_stage_stub_and_fake():
-    with pytest.raises(NotImplementedError):
-        multimodal.DecodeStage(fake=False)
+    # real mode constructs fine but SKIPS codec formats it has no decoder
+    # for (only raw PPM decodes for real in this container)
+    real = multimodal.DecodeStage(fake=False)
+    html_batch = pa.table({
+        "url": ["u1"],
+        "html": pa.array([b"<html>x</html>" * 40], pa.binary()),
+    })
+    assert real(html_batch).num_rows == 0
     stage = multimodal.DecodeStage(fake=True)
     batch = pa.table({
         "url": ["u1", "u2"],
@@ -238,3 +244,42 @@ def test_ann_ivfpq_recall():
     # nprobe=4/8 cells + 8x16 residual codebooks: lossy on both axes but
     # must still recover a solid fraction of the exact top-5
     assert hits / total >= 0.4, hits / total
+
+
+def test_ppm_codec_roundtrip_and_real_decode():
+    """ppm_decode(ppm_encode(x)) == x (fuzzed, with header comments), and
+    DecodeStage(fake=False) REALLY decodes PPM payloads: exact dims,
+    3 channels, deterministic output."""
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (multimodal.ppm_decode(multimodal.ppm_encode(img))
+                == img).all()
+    # header with a comment line still parses
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    raw = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert (multimodal.ppm_decode(raw) == img).all()
+
+    stage = multimodal.DecodeStage(fake=False, target_size=(4, 4))
+    batch = pa.table({
+        "url": ["a", "b"],
+        "html": pa.array([multimodal.ppm_encode(img),
+                          b"\xff\xd8\xffjpegdata"], pa.binary()),
+    })
+    out = stage(batch)
+    assert out.num_rows == 1  # jpeg skipped (no codec), ppm decoded
+    assert out["kind"][0].as_py() == "image/ppm"
+    assert out["width"][0].as_py() == 7
+    assert out["height"][0].as_py() == 5
+    assert out["n_channels"][0].as_py() == 3
+    assert out.equals(stage(batch))
+
+
+def test_mean_pool_block_means():
+    x = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    p = multimodal.mean_pool(x, (4, 4))
+    assert p.shape == (4, 4, 3)
+    assert p[0, 0, 0] == x[:2, :2, 0].mean()
+    # already at target → no-op
+    assert (multimodal.mean_pool(x, (8, 8)) == x).all()
