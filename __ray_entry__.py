@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_weighted_sample": q.o_weighted_sample,
         "j_follow_within": q.j_follow_within,
         "mm_decode_ppm": q.mm_decode_ppm,
+        "mm_frame_ppm": q.mm_frame_ppm,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -421,6 +422,13 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "mm_frame_ppm": """
+            SELECT CAST(vec_id AS VARCHAR) AS url,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST(i * 203 AS BIGINT) AS byte_offset
+            FROM embeddings,
+                 unnest(generate_series(0, 11, 5)) AS t(i)
         """,
         "mm_decode_ppm": """
             SELECT CAST(vec_id AS VARCHAR) AS url,

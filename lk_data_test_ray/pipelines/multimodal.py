@@ -196,9 +196,11 @@ class FrameSampleStage:
 
     def __init__(self, id_col: str = "url", payload_col: str = "html",
                  every_n: int = 10, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "video demuxing unavailable; construct with fake=True")
+        # fake=False REALLY demuxes streams of concatenated P6 frames
+        # (header-walk only — pixel bytes untouched); payloads that are
+        # not P6 streams are skipped (compressed-video demuxers are not
+        # in this container). fake=True keeps the length-derived stub.
+        self.fake = fake
         self.id_col, self.payload_col, self.every_n = id_col, payload_col, every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -207,11 +209,20 @@ class FrameSampleStage:
                                 batch[self.payload_col].to_pylist()):
             if payload is None:
                 continue
-            n_frames = max(1, len(payload) // 1024)
-            for fi in range(0, n_frames, self.every_n):
-                urls.append(str(rid))
-                idxs.append(fi)
-                offs.append(fi * 1024)
+            if self.fake:
+                n_frames = max(1, len(payload) // 1024)
+                for fi in range(0, n_frames, self.every_n):
+                    urls.append(str(rid))
+                    idxs.append(fi)
+                    offs.append(fi * 1024)
+                continue
+            if bytes(payload[:2]) != b"P6":
+                continue  # not an uncompressed P6 stream: no demuxer here
+            for fi, off, _w, _h in ppm_stream_frames(bytes(payload)):
+                if fi % self.every_n == 0:
+                    urls.append(str(rid))
+                    idxs.append(fi)
+                    offs.append(off)
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "frame_idx": pa.array(idxs, pa.int32()),
@@ -236,13 +247,13 @@ def ppm_encode(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
-def ppm_decode(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) → uint8 HxWx3 array. Handles comments and arbitrary
-    header whitespace per the netpbm spec."""
-    if payload[:2] != b"P6":
+def _ppm_header(payload: bytes, start: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header at ``start`` → (width, height, data_offset).
+    Handles comments and arbitrary header whitespace per the netpbm spec."""
+    if payload[start:start + 2] != b"P6":
         raise ValueError("not a P6 PPM")
     # header = magic + 3 ints (w, h, maxval), '#' comments to end-of-line
-    fields, i, n = [], 2, len(payload)
+    fields, i, n = [], start + 2, len(payload)
     while len(fields) < 3:
         while i < n and payload[i:i + 1].isspace():
             i += 1
@@ -259,8 +270,27 @@ def ppm_decode(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError("only maxval=255 PPM supported")
+    return w, h, i
+
+
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 HxWx3 array."""
+    w, h, i = _ppm_header(payload)
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return data.reshape(h, w, 3).copy()
+
+
+def ppm_stream_frames(payload: bytes):
+    """REAL demux of a stream of concatenated P6 frames (the
+    uncompressed-video shape): yields (frame_idx, byte_offset, width,
+    height) by walking headers — one header parse per frame, never
+    touching pixel bytes."""
+    off, idx, n = 0, 0, len(payload)
+    while off < n:
+        w, h, data_start = _ppm_header(payload, off)
+        yield idx, off, w, h
+        off = data_start + w * h * 3
+        idx += 1
 
 
 def mean_pool(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:

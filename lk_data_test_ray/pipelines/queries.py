@@ -4999,3 +4999,41 @@ def mm_decode_ppm(sf_dir: str) -> rd.Dataset:
     feats = decode_features(pages, fake=False, batch_size=256)
     return feats.select_columns(["url", "kind", "width", "height",
                                  "n_channels"])
+
+
+def mm_frame_ppm(sf_dir: str) -> rd.Dataset:
+    """REAL video-shape frame sampling: each embedding row renders an
+    uncompressed 12-frame stream of concatenated 8x8 P6 PPMs; the
+    actor-pool ``FrameSampleStage(fake=False)`` demuxes by HEADER WALK
+    (pixel bytes untouched) and emits every 5th frame's exact byte
+    offset. The fixed frame size makes the real demux oracle-checkable:
+    each frame is 11 header + 192 pixel bytes = 203."""
+    from .multimodal import FrameSampleStage, ppm_encode
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        arr = batch["embedding"].combine_chunks()
+        ndim = len(arr[0]) if len(arr) else 0
+        m = np.asarray(arr.values, dtype=np.float64).reshape(-1, ndim)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in range(len(ids)):
+            lo, hi = float(m[i].min()), float(m[i].max()) or 1.0
+            frames = []
+            for f in range(12):
+                px = (np.full((8, 8, 3), (f * 21) % 256, dtype=np.float64)
+                      + (m[i, f % ndim] - lo) / ((hi - lo) or 1.0) * 30)
+                frames.append(ppm_encode(
+                    np.clip(px, 0, 255).astype(np.uint8)))
+            payloads.append(b"".join(frames))
+        return pa.table({
+            "url": pa.array([str(i) for i in ids], pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    streams = emb.map_batches(render, batch_format="pyarrow")
+    return streams.map_batches(
+        FrameSampleStage, fn_constructor_kwargs=dict(fake=False, every_n=5),
+        batch_format="pyarrow", batch_size=256, concurrency=2,
+        max_restarts=0)

@@ -94,6 +94,7 @@ NEW_QUERIES = [
     "o_weighted_sample",
     "j_follow_within",
     "mm_decode_ppm",
+    "mm_frame_ppm",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01

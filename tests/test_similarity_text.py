@@ -118,8 +118,6 @@ def test_decode_stage_stub_and_fake():
 
 
 def test_frame_sample_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal.FrameSampleStage(fake=False)
     stage = multimodal.FrameSampleStage(fake=True, every_n=2)
     batch = pa.table({"url": ["v"], "html": pa.array([b"x" * 5200], pa.binary())})
     out = stage(batch)  # 5200 // 1024 = 5 frames, every 2nd sampled
@@ -283,3 +281,30 @@ def test_mean_pool_block_means():
     assert p[0, 0, 0] == x[:2, :2, 0].mean()
     # already at target → no-op
     assert (multimodal.mean_pool(x, (8, 8)) == x).all()
+
+
+def test_frame_sample_real_p6_stream():
+    """fake=False REALLY demuxes concatenated P6 frames: exact offsets by
+    header walk, mixed frame sizes handled, non-P6 payloads skipped."""
+    rng = np.random.default_rng(9)
+    frames, sizes = [], [(3, 5), (2, 2), (4, 1), (3, 5), (1, 1)]
+    for (h, w) in sizes:
+        frames.append(multimodal.ppm_encode(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+    stream = b"".join(frames)
+    offsets = [0]
+    for f in frames[:-1]:
+        offsets.append(offsets[-1] + len(f))
+    got = list(multimodal.ppm_stream_frames(stream))
+    assert [g[1] for g in got] == offsets
+    assert [(g[3], g[2]) for g in got] == sizes
+
+    stage = multimodal.FrameSampleStage(fake=False, every_n=2)
+    batch = pa.table({
+        "url": ["v", "x"],
+        "html": pa.array([stream, b"\x1aE\xdf\xa3webm"], pa.binary())})
+    out = stage(batch)
+    assert out["url"].to_pylist() == ["v", "v", "v"]  # webm skipped
+    assert out["frame_idx"].to_pylist() == [0, 2, 4]
+    assert out["byte_offset"].to_pylist() == [offsets[0], offsets[2],
+                                              offsets[4]]
