@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_follow_within": q.j_follow_within,
         "mm_decode_ppm": q.mm_decode_ppm,
         "mm_frame_ppm": q.mm_frame_ppm,
+        "j_scd2_history": q.j_scd2_history,
+        "td_decontaminate_embed": q.td_decontaminate_embed,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -422,6 +424,26 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "td_decontaminate_embed": """
+            WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+                        FROM embeddings WHERE label = 0)
+            SELECT v.vec_id,
+                   round(max(list_cosine_similarity(
+                       CAST(v.embedding AS DOUBLE[]), ev.e)), 6)
+                       AS max_sim,
+                   CAST(max(list_cosine_similarity(
+                       CAST(v.embedding AS DOUBLE[]), ev.e))
+                        >= 0.8 AS BIGINT) AS contaminated
+            FROM embeddings v CROSS JOIN ev
+            GROUP BY v.vec_id
+        """,
+        "j_scd2_history": """
+            SELECT user_id, value AS balance, ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS valid_to
+            FROM events WHERE event_type = 'purchase'
         """,
         "mm_frame_ppm": """
             SELECT CAST(vec_id AS VARCHAR) AS url,

@@ -5037,3 +5037,84 @@ def mm_frame_ppm(sf_dir: str) -> rd.Dataset:
         FrameSampleStage, fn_constructor_kwargs=dict(fake=False, every_n=5),
         batch_format="pyarrow", batch_size=256, concurrency=2,
         max_restarts=0)
+
+
+def j_scd2_history(sf_dir: str) -> rd.Dataset:
+    """SCD Type-2 dimension-history build (the versioning sibling of the
+    SCD1 ``j_upsert_cdc``, which overwrites): each user's purchase stream
+    becomes versioned rows with [valid_from, valid_to) intervals —
+    valid_to = the NEXT change's timestamp, null for the open current
+    version. One hash exchange on the key + one sort per partition + a
+    shifted lead (vectorized; the ``e_lag_diff`` treatment pointed
+    forward) — no per-key Python."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type",
+                                 "value"])
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("balance", pa.float64()),
+        ("valid_from", pa.timestamp("us")), ("valid_to", pa.timestamp("us"))])
+
+    def versions(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.equal(tbl["event_type"], "purchase"))
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        n = tbl.num_rows
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        nxt = np.empty(n, dtype="datetime64[us]")
+        nxt[:-1] = ts[1:]
+        nxt[-1] = np.datetime64("NaT")
+        same = np.concatenate([uid[1:] == uid[:-1], [False]])
+        valid_to = np.where(same, nxt, np.datetime64("NaT"))
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "balance": tbl["value"].cast(pa.float64()),
+            "valid_from": pa.array(ts, pa.timestamp("us")),
+            "valid_to": pa.array(valid_to, pa.timestamp("us")),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", versions)
+
+
+def td_decontaminate_embed(sf_dir: str) -> rd.Dataset:
+    """Embedding-space decontamination (the semantic sibling of the
+    13-gram ``td_decontaminate``): flag every corpus vector whose cosine
+    to ANY held-out eval vector (label 0) reaches 0.8. The eval side is
+    SMALL by construction (eval sets are); it is L2-normalized once and
+    broadcast via ``ray.put``, then each batch takes ONE matmul against
+    it — no pair loop, no shuffle; the corpus streams. Oracle: DuckDB
+    ``list_cosine_similarity`` cross join."""
+    import ray as _ray
+
+    from ..relational import read_table
+
+    THRESH = 0.8
+    evals = read_table(sf_dir, "embeddings", ["embedding", "label"])
+    ev = evals.filter(pc.equal(evals["label"], 0))
+    arr = ev["embedding"].combine_chunks()
+    ndim = len(arr[0])
+    E = np.asarray(arr.values, dtype=np.float64).reshape(-1, ndim)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    e_ref = _ray.put(E)
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        En = _ray.get(e_ref)
+        a = batch["embedding"].combine_chunks()
+        m = np.asarray(a.values, dtype=np.float64).reshape(-1, ndim)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        mx = (m @ En.T).max(axis=1)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "max_sim": pa.array(round_half_away(mx, 6), pa.float64()),
+            "contaminated": pa.array((mx >= THRESH).astype(np.int64)),
+        })
+
+    return emb.map_batches(flag, batch_format="pyarrow")

@@ -95,6 +95,8 @@ NEW_QUERIES = [
     "j_follow_within",
     "mm_decode_ppm",
     "mm_frame_ppm",
+    "j_scd2_history",
+    "td_decontaminate_embed",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
