@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_ppm": q.mm_frame_ppm,
         "j_scd2_history": q.j_scd2_history,
         "td_decontaminate_embed": q.td_decontaminate_embed,
+        "mm_audio_wav": q.mm_audio_wav,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -424,6 +425,26 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "mm_audio_wav": """
+            WITH s AS (
+                SELECT vec_id, i,
+                       CAST(((vec_id * 31 + i * 7919) % 65536) - 32768
+                            AS DOUBLE) AS v
+                FROM embeddings,
+                     unnest(generate_series(0, 799)) AS t(i)),
+            w AS (SELECT vec_id, v,
+                         lead(v) OVER (PARTITION BY vec_id ORDER BY i)
+                             AS nv
+                  FROM s)
+            SELECT CAST(vec_id AS VARCHAR) AS url,
+                   CAST(8000 AS INTEGER) AS sr,
+                   CAST(800 AS BIGINT) AS n_samples,
+                   CAST(100 AS BIGINT) AS duration_ms,
+                   round(sqrt(avg(v * v)), 6) AS rms,
+                   CAST(sum(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS zcr
+            FROM w GROUP BY vec_id
         """,
         "td_decontaminate_embed": """
             WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e

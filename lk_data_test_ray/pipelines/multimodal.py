@@ -302,3 +302,79 @@ def mean_pool(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
     v = img[:hh, :ww].astype(np.float64)
     v = v.reshape(hh // fh, fh, ww // fw, fw, -1).mean(axis=(1, 3))
     return v
+
+
+# ---------------------------------------------------------------------------
+# REAL raw audio codec: RIFF/WAVE PCM 16-bit mono — header walk + numpy
+# frombuffer, no audio library.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: np.ndarray, sr: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("wav_encode expects 1-D int16")
+    import struct
+
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → (int16 mono samples, sample_rate). Walks the
+    chunk list (fmt may be followed by LIST/fact chunks) per the RIFF
+    spec; only PCM 16-bit mono is supported."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n, sr = 12, len(payload), None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        sz = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt ":
+            afmt, nch, sr, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8:i + 24])
+            if (afmt, nch, bits) != (1, 1, 16):
+                raise ValueError("only PCM 16-bit mono supported")
+        elif cid == b"data":
+            if sr is None:
+                raise ValueError("data chunk before fmt")
+            smp = np.frombuffer(payload, dtype="<i2", count=sz // 2,
+                                offset=i + 8)
+            return smp.astype(np.int16, copy=True), sr
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def audio_feature_table(batch: pa.Table, id_col: str = "url",
+                        payload_col: str = "html") -> pa.Table:
+    """REAL audio feature extraction per payload: parse the WAV header +
+    PCM samples, emit (sr, n_samples, duration_ms, rms, zcr). Non-RIFF
+    payloads are skipped (compressed-audio codecs are not in this
+    container)."""
+    urls, srs, ns, durs, rmss, zcrs = [], [], [], [], [], []
+    for rid, payload in zip(batch[id_col].to_pylist(),
+                            batch[payload_col].to_pylist()):
+        if payload is None or bytes(payload[:4]) != b"RIFF":
+            continue
+        s, sr = wav_decode(bytes(payload))
+        sf = s.astype(np.float64)
+        urls.append(str(rid))
+        srs.append(sr)
+        ns.append(len(s))
+        durs.append(len(s) * 1000 // sr)
+        rmss.append(float(np.sqrt(np.mean(sf * sf))) if len(s) else 0.0)
+        zcrs.append(int(np.sum(sf[:-1] * sf[1:] < 0)))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "sr": pa.array(srs, pa.int32()),
+        "n_samples": pa.array(ns, pa.int64()),
+        "duration_ms": pa.array(durs, pa.int64()),
+        "rms": pa.array(np.round(np.array(rmss, np.float64), 6)),
+        "zcr": pa.array(zcrs, pa.int64()),
+    })

@@ -5118,3 +5118,34 @@ def td_decontaminate_embed(sf_dir: str) -> rd.Dataset:
         })
 
     return emb.map_batches(flag, batch_format="pyarrow")
+
+
+def mm_audio_wav(sf_dir: str) -> rd.Dataset:
+    """REAL audio decode end-to-end (no audio library): each embedding row
+    renders a deterministic 800-sample 8 kHz PCM wave (sample_i =
+    ((vec_id·31 + i·7919) mod 65536) − 32768), serialized as RIFF/WAVE
+    bytes, then parsed BACK from the bytes (header chunk walk + PCM
+    frombuffer) into sr / duration / RMS / zero-crossing features. The
+    sample formula is SQL-expressible, so the decode path gets a
+    FULL-VALUE DuckDB oracle — the features only match if the bytes
+    round-trip exactly."""
+    from .multimodal import audio_feature_table, wav_encode
+
+    SR, N = 8000, 800
+    emb = read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        i = np.arange(N, dtype=np.int64)
+        payloads = []
+        for v in ids:
+            s = ((v * 31 + i * 7919) % 65536 - 32768).astype(np.int16)
+            payloads.append(wav_encode(s, SR))
+        return pa.table({
+            "url": pa.array([str(v) for v in ids], pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    waves = emb.map_batches(render, batch_format="pyarrow")
+    return waves.map_batches(audio_feature_table, batch_format="pyarrow",
+                             batch_size=256)

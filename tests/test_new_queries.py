@@ -97,6 +97,7 @@ NEW_QUERIES = [
     "mm_frame_ppm",
     "j_scd2_history",
     "td_decontaminate_embed",
+    "mm_audio_wav",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01

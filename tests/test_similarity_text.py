@@ -308,3 +308,24 @@ def test_frame_sample_real_p6_stream():
     assert out["frame_idx"].to_pylist() == [0, 2, 4]
     assert out["byte_offset"].to_pylist() == [offsets[0], offsets[2],
                                               offsets[4]]
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """wav_decode(wav_encode(x)) == x, and the RIFF chunk walk skips
+    non-data chunks (LIST) with word alignment."""
+    import struct
+
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        n = int(rng.integers(1, 500))
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+        got, sr = multimodal.wav_decode(multimodal.wav_encode(s, 16000))
+        assert sr == 16000 and (got == s).all()
+    # inject an odd-sized LIST chunk between fmt and data
+    s = rng.integers(-32768, 32768, 64).astype(np.int16)
+    raw = multimodal.wav_encode(s, 8000)
+    di = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = raw[:di] + extra + raw[di:]
+    got, sr = multimodal.wav_decode(patched)
+    assert sr == 8000 and (got == s).all()
