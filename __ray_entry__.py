@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_scd2_history": q.j_scd2_history,
         "td_decontaminate_embed": q.td_decontaminate_embed,
         "mm_audio_wav": q.mm_audio_wav,
+        "e_cum_new_users": q.e_cum_new_users,
+        "v_ship_before_order": q.v_ship_before_order,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -425,6 +427,23 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM grams)
             SELECT doc_id, pos FROM r WHERE rn > 1
+        """,
+        "e_cum_new_users": """
+            WITH f AS (SELECT user_id,
+                              min(date_trunc('day', ts)) AS first_day
+                       FROM events GROUP BY 1),
+            d AS (SELECT first_day AS day,
+                         CAST(count(*) AS BIGINT) AS n_new
+                  FROM f GROUP BY 1)
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d
+        """,
+        "v_ship_before_order": """
+            SELECT l_orderkey, l_linenumber
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate < o_orderdate
         """,
         "mm_audio_wav": """
             WITH s AS (

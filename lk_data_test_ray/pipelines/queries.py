@@ -5149,3 +5149,60 @@ def mm_audio_wav(sf_dir: str) -> rd.Dataset:
     waves = emb.map_batches(render, batch_format="pyarrow")
     return waves.map_batches(audio_feature_table, batch_format="pyarrow",
                              batch_size=256)
+
+
+def e_cum_new_users(sf_dir: str) -> rd.Dataset:
+    """Cumulative-distinct growth curve (new users per day + running
+    total): COUNT(DISTINCT) OVER a cumulative window is not directly
+    distributive, but first-seen-day per user IS (a keyed min) — so the
+    plan is one user-keyed min aggregate → tiny daily counts → one
+    O(days) prefix pass (the ``e_cum_daily`` treatment)."""
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "day": pc.floor_temporal(batch["ts"], unit="day")})
+
+    first = partial_groupby_agg(
+        ev.map_batches(day_of, batch_format="pyarrow"),
+        ["user_id"], [("day", "min", "first_day")])
+    daily = partial_groupby_agg(
+        first.map_batches(lambda b: pa.table(
+            {"day": b["first_day"],
+             "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["day"], [("one", "count", "n_new")])
+
+    def cum(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[("day", "ascending")])
+        tbl = tbl.take(idx)
+        c = np.cumsum(tbl["n_new"].to_numpy(zero_copy_only=False))
+        return tbl.append_column("cum_users", pa.array(c, pa.int64()))
+
+    return daily.repartition(1).map_batches(cum, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def v_ship_before_order(sf_dir: str) -> rd.Dataset:
+    """Cross-table temporal consistency check (the referential-integrity
+    family of the flagship validator extended to a TEMPORAL invariant):
+    line items whose ship date precedes their order's date. One
+    distributed hash join on the order key + a vectorized comparison —
+    violation rows mirror the per-check failure records of the
+    validation pipeline."""
+    from ..relational import exchange_join
+
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = exchange_join(line, orders, "l_orderkey", "o_orderkey")
+
+    def violations(batch: pa.Table) -> pa.Table:
+        bad = pc.less(batch["l_shipdate"], batch["o_orderdate"])
+        v = batch.filter(bad)
+        return pa.table({
+            "l_orderkey": v["l_orderkey"],
+            "l_linenumber": v["l_linenumber"],
+        })
+
+    return j.map_batches(violations, batch_format="pyarrow")

@@ -98,6 +98,8 @@ NEW_QUERIES = [
     "j_scd2_history",
     "td_decontaminate_embed",
     "mm_audio_wav",
+    "e_cum_new_users",
+    "v_ship_before_order",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01
