@@ -210,6 +210,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_wav": q.mm_audio_wav,
         "e_cum_new_users": q.e_cum_new_users,
         "v_ship_before_order": q.v_ship_before_order,
+        "e_dedup_consecutive": q.e_dedup_consecutive,
+        "j_nearest_event": q.j_nearest_event,
+        "j_interval_overlap": q.j_interval_overlap,
+        "t_char_ngrams": q.t_char_ngrams,
+        "t_word_len_hist": q.t_word_len_hist,
+        "a_mad_outliers": q.a_mad_outliers,
+        "v_fk_orphans": q.v_fk_orphans,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -444,6 +451,137 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate < o_orderdate
+        """,
+        "e_dedup_consecutive": """
+            SELECT event_id, user_id, ts, event_type FROM (
+                SELECT event_id, user_id, ts, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events)
+            WHERE prev IS NULL OR prev <> event_type
+        """,
+        "j_nearest_event": """
+            SELECT o_orderkey, user_id, o_orderdate, event_id, ts FROM (
+                SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate,
+                       e.event_id, e.ts,
+                       row_number() OVER (
+                           PARTITION BY o.o_orderkey
+                           ORDER BY abs(datediff('microsecond',
+                                                 o.o_orderdate, e.ts)),
+                                    e.ts, e.event_id) AS rn
+                FROM orders o JOIN events e ON e.user_id = o.o_custkey)
+            WHERE rn = 1
+        """,
+        "j_interval_overlap": f"""
+            WITH s0 AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w
+                                 > INTERVAL '{q.SESSION_GAP_MIN} minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s1 AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s0),
+            sess AS (
+                SELECT user_id, min(ts) AS session_start,
+                       max(ts) AS session_end
+                FROM s1 GROUP BY user_id, sid),
+            err AS (
+                SELECT ts - INTERVAL '{q.ERR_WINDOW_MIN} minutes' AS lo,
+                       ts + INTERVAL '{q.ERR_WINDOW_MIN} minutes' AS hi
+                FROM events WHERE event_type = 'error'),
+            o AS (
+                SELECT lo, hi,
+                       max(hi) OVER (ORDER BY lo, hi ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING) AS prev_hi
+                FROM err),
+            grp AS (
+                SELECT lo, hi,
+                       sum(CASE WHEN prev_hi IS NULL OR lo > prev_hi
+                                THEN 1 ELSE 0 END)
+                           OVER (ORDER BY lo, hi) AS g
+                FROM o),
+            win AS (SELECT min(lo) AS lo, max(hi) AS hi FROM grp GROUP BY g)
+            SELECT s.user_id, s.session_start, s.session_end,
+                   CAST(count(w.lo) AS BIGINT) AS n_err_windows
+            FROM sess s LEFT JOIN win w
+                 ON s.session_start <= w.hi AND s.session_end >= w.lo
+            GROUP BY 1, 2, 3
+        """,
+        "t_char_ngrams": """
+            WITH d AS (SELECT lower(text) AS t FROM documents),
+            g AS (SELECT substr(t, CAST(i AS INT), 3) AS gram
+                  FROM d, LATERAL (SELECT unnest(generate_series(
+                      1, length(t) - 2)) AS i) s)
+            SELECT gram, count(*) AS n FROM g
+            GROUP BY 1 ORDER BY n DESC, gram LIMIT 20
+        """,
+        "t_word_len_hist": """
+            SELECT CAST(length(token) AS BIGINT) AS word_len,
+                   count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+                  FROM documents)
+            WHERE length(token) > 0 GROUP BY 1
+        """,
+        "a_mad_outliers": """
+            WITH med AS (SELECT lang, median(n_chars) AS m
+                         FROM documents GROUP BY 1),
+            mad AS (SELECT d.lang, median(abs(d.n_chars - med.m)) AS mad,
+                           any_value(med.m) AS m
+                    FROM documents d JOIN med USING (lang) GROUP BY 1)
+            SELECT d.lang, round(mad.m, 2) AS median_nchars,
+                   round(mad.mad, 2) AS mad_nchars,
+                   CAST(sum(CASE WHEN abs(d.n_chars - mad.m) > 3 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM documents d JOIN mad USING (lang)
+            GROUP BY 1, 2, 3
+        """,
+        "v_fk_orphans": """
+            WITH rel AS (
+                SELECT 'orders.o_custkey->customer' AS relation,
+                       count(*) AS n_rows,
+                       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_orphans
+                FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                UNION ALL
+                SELECT 'lineitem.l_orderkey->orders', count(*),
+                       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT)
+                FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part', count(*),
+                       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT)
+                FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier', count(*),
+                       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT)
+                FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                UNION ALL
+                SELECT 'customer.c_nationkey->nation', count(*),
+                       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT)
+                FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+                UNION ALL
+                SELECT 'supplier.s_nationkey->nation', count(*),
+                       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT)
+                FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+                UNION ALL
+                SELECT 'nation.n_regionkey->region', count(*),
+                       CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT)
+                FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+                UNION ALL
+                SELECT 'events.user_id->customer', count(*),
+                       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT)
+                FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+            SELECT * FROM rel
         """,
         "mm_audio_wav": """
             WITH s AS (

@@ -5206,3 +5206,355 @@ def v_ship_before_order(sf_dir: str) -> rd.Dataset:
         })
 
     return j.map_batches(violations, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# round-2 continuation batch: run-length dedup, nearest join, interval
+# overlap, char n-grams, word-length histogram, robust outliers, FK audit
+# ---------------------------------------------------------------------------
+
+
+def e_dedup_consecutive(sf_dir: str) -> rd.Dataset:
+    """Run-length (consecutive-duplicate) event dedup per user — the classic
+    log-cleaning transform: drop an event whose type equals the previous
+    event's type in the user's (ts, event_id) order. Hash exchange on
+    user_id + one sort per partition + a shifted vectorized compare — the
+    e_lag_diff shape, never per-group Python."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("ts", pa.timestamp("us")),
+                            ("event_type", pa.string())])
+
+    def keep_first_of_run(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(uid), dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        return tbl.filter(pa.array(keep)).select(out_schema.names)
+
+    return hash_repartition_map(ev, "user_id", keep_first_of_run)
+
+
+def j_nearest_event(sf_dir: str) -> rd.Dataset:
+    """Nearest-match temporal join (bidirectional as-of): for each order,
+    the customer's event closest in time to the order date — ties broken by
+    earlier ts then smaller event_id, matching the oracle's
+    ``row_number() OVER (ORDER BY abs(Δµs), ts, event_id)`` exactly. Two
+    merge_asof passes per partition (relational.nearest_join), O(n log n)
+    instead of the rank-all-pairs quadratic plan."""
+    from ..relational import nearest_join
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = nearest_join(orders, ev, key="o_custkey", left_ts="o_orderdate",
+                       right_ts="ts", left_cols=["o_orderkey"],
+                       right_cols=["event_id", "ts"], right_id="event_id",
+                       right_key="user_id")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["user_id" if c == "o_custkey" else c for c in batch.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+# shared with the oracle SQL verbatim
+SESSION_GAP_MIN = 30
+ERR_WINDOW_MIN = 5
+
+
+def j_interval_overlap(sf_dir: str) -> rd.Dataset:
+    """Interval-overlap join (intervals × intervals — the missing sibling of
+    the point-in-interval ``interval_join``): per-user activity sessions
+    (30-min gap) vs global merged error windows (error-event ts ± 5 min);
+    each session counts the merged windows it overlaps.
+
+    Scale shape: the error side is filtered at the read, pre-merged
+    per batch (vectorized running-max), final-merged once over the already
+    collapsed per-batch intervals, and broadcast SORTED — every session
+    batch counts overlaps with two ``np.searchsorted`` calls, O(log W)/row,
+    no shuffle. Partitioning assumption: the MERGED alert-window set is
+    broadcast-small (guarded), which holds whenever alerts are a sparse
+    event class; sessions stream at any scale via the user_id exchange."""
+    import ray
+
+    from ..relational import collect_tables, hash_repartition_map
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    half_w = ERR_WINDOW_MIN * 60 * 1_000_000
+
+    err = read(sf_dir, "events", ["ts", "event_type"]).filter(
+        expr="event_type == 'error'")
+
+    def premerge(batch: pa.Table) -> pa.Table:
+        ts = np.sort(batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False))
+        if not len(ts):
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        lo, hi = ts - half_w, ts + half_w
+        # vectorized interval merge over the sorted batch: a window starts a
+        # new merged run iff its lo exceeds the running max hi so far
+        run_hi = np.maximum.accumulate(hi)
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = lo[1:] > run_hi[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        return pa.table({"lo": pa.array(lo[starts], pa.int64()),
+                         "hi": pa.array(run_hi[ends], pa.int64())})
+
+    win_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    wins = collect_tables(err.map_batches(premerge, batch_format="pyarrow"),
+                          win_schema)
+    if wins.num_rows > 2_000_000:
+        raise ValueError(
+            "merged alert-window set exceeds the broadcast guard "
+            f"({wins.num_rows} rows): overlap side is not broadcast-small; "
+            "use an exchange plan bucketed by time range instead")
+    lo = wins["lo"].to_numpy(zero_copy_only=False)
+    hi = wins["hi"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    run_hi = np.maximum.accumulate(hi)
+    new = np.ones(len(lo), dtype=bool)
+    new[1:] = lo[1:] > run_hi[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.concatenate((starts[1:], [len(lo)])) - 1
+    w_ref = ray.put((lo[starts], run_hi[ends]))
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("session_start", pa.timestamp("us")),
+                            ("session_end", pa.timestamp("us")),
+                            ("n_err_windows", pa.int64())])
+
+    def sessions_overlap(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        import ray as _ray
+
+        w_lo, w_hi = _ray.get(w_ref)
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_s = np.ones(len(uid), dtype=bool)
+        new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        s_idx = np.flatnonzero(new_s)
+        e_idx = np.concatenate((s_idx[1:], [len(uid)])) - 1
+        s_start, s_end = ts[s_idx], ts[e_idx]
+        # overlap count: windows with lo ≤ session_end minus windows with
+        # hi < session_start (inclusive bounds, int64 µs — exact)
+        n = (np.searchsorted(w_lo, s_end, side="right")
+             - np.searchsorted(w_hi, s_start, side="left"))
+        return pa.table({
+            "user_id": pa.array(uid[s_idx], pa.int64()),
+            "session_start": pa.array(s_start).cast(pa.timestamp("us")),
+            "session_end": pa.array(s_end).cast(pa.timestamp("us")),
+            "n_err_windows": pa.array(n, pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", sessions_overlap)
+
+
+def _string_buf_offsets(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(value-buffer bytes, int64 offsets rebased to 0) of a string array —
+    the zero-copy access path of ``functions.extract.binary_views``, exposed
+    as arrays for fully vectorized kernels."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null("")
+    n = len(arr)
+    bufs = arr.buffers()
+    off_t = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_t, count=n + 1,
+                         offset=arr.offset * off_t().itemsize).astype(np.int64)
+    start, stop = int(offs[0]), int(offs[-1])
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)[start:stop]
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    return data, offs - start
+
+
+def _char_trigram_counts(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized byte-trigram histogram over a lowercased ASCII string
+    array: one sliding window over the concatenated value buffer, boundary
+    windows masked, counted via np.unique on a 3-byte void view — zero
+    per-row Python."""
+    buf, offs = _string_buf_offsets(arr)
+    if len(buf) < 3:
+        return (np.empty(0, dtype="S3"), np.empty(0, dtype=np.int64))
+    w = np.lib.stride_tricks.sliding_window_view(buf, 3)
+    valid = np.ones(len(w), dtype=bool)
+    inner = offs[1:-1]  # byte index where each next string begins
+    for d in (1, 2):  # a window starting at b-d straddles the boundary at b
+        pos = inner - d
+        valid[pos[(pos >= 0) & (pos < len(w))]] = False
+    grams = np.ascontiguousarray(w[valid]).view("S3").ravel()
+    return np.unique(grams, return_counts=True)
+
+
+def t_char_ngrams(sf_dir: str) -> rd.Dataset:
+    """Top-20 character trigrams over lowercased document text (char-level
+    n-gram profiling — the language-model-adjacent sibling of
+    ``t_top_tokens``): per-batch vectorized byte-trigram histograms →
+    map-side partials → tiny groupby + global top-k. The shuffle moves
+    (distinct-trigrams × batches) count rows, never text."""
+    docs = read(sf_dir, "documents", ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        grams, counts = _char_trigram_counts(
+            pc.utf8_lower(batch["text"]).combine_chunks())
+        return pa.table({
+            "gram": pa.array([g.decode("ascii") for g in grams],
+                             pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    per = docs.map_batches(partials, batch_format="pyarrow")
+    summed = partial_groupby_agg(per, ["gram"], [("n", "sum", "n")])
+    return topk(summed, [("n", True), ("gram", False)], 20)
+
+
+def t_word_len_hist(sf_dir: str) -> rd.Dataset:
+    """Global token-length histogram (corpus profiling): word_len → count,
+    computed from the raw utf-8 buffer with vectorized run detection (token
+    start = non-space after space/boundary; token end = non-space before
+    space/boundary) — no tokenizer materialization, no per-row Python. The
+    exchange moves ≤ max_word_len rows per batch."""
+    docs = read(sf_dir, "documents", ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        buf, offs = _string_buf_offsets(batch["text"])
+        if not len(buf):
+            return pa.table({"word_len": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sp = (buf == 0x20) | (buf == 0x09) | (buf == 0x0A) | (buf == 0x0D)
+        nonsp = ~sp
+        prev_delim = np.empty(len(buf), dtype=bool)
+        prev_delim[0] = True
+        prev_delim[1:] = sp[:-1]
+        next_delim = np.empty(len(buf), dtype=bool)
+        next_delim[-1] = True
+        next_delim[:-1] = sp[1:]
+        inner = offs[1:-1]
+        prev_delim[inner[(inner >= 0) & (inner < len(buf))]] = True
+        last = inner - 1
+        next_delim[last[(last >= 0) & (last < len(buf))]] = True
+        starts = np.flatnonzero(nonsp & prev_delim)
+        ends = np.flatnonzero(nonsp & next_delim)
+        lens = ends - starts + 1
+        hist = np.bincount(lens)
+        nz = np.flatnonzero(hist)
+        return pa.table({"word_len": pa.array(nz, pa.int64()),
+                         "n": pa.array(hist[nz], pa.int64())})
+
+    per = docs.map_batches(partials, batch_format="pyarrow")
+    return partial_groupby_agg(per, ["word_len"], [("n", "sum", "n")])
+
+
+def a_mad_outliers(sf_dir: str) -> rd.Dataset:
+    """Robust per-group outlier detection: per lang, the exact median of
+    n_chars, the median absolute deviation, and the count of docs beyond
+    3×MAD — the robust-statistics complement of the z-score anomaly query.
+    Groups are few and the aggregate genuinely needs the group's values
+    (two nested order statistics), so map_groups is the right tool (the
+    a_median_nchars rationale); medians interpolate exactly like DuckDB's
+    ``median`` and |x−m| / 3·MAD land on exact .0/.5 floats, so the strict
+    ``>`` comparison is engine-independent."""
+    from ..relational import round_half_away
+
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def mad_group(group: pa.Table) -> pa.Table:
+        vals = group["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        med = float(np.median(vals))
+        dev = np.abs(vals - med)
+        mad = float(np.median(dev))
+        n_out = int(np.count_nonzero(dev > 3.0 * mad))
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "median_nchars": pa.array(
+                [float(round_half_away(np.array([med]), 2)[0])],
+                pa.float64()),
+            "mad_nchars": pa.array(
+                [float(round_half_away(np.array([mad]), 2)[0])],
+                pa.float64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
+        })
+
+    return docs.groupby("lang").map_groups(mad_group, batch_format="pyarrow")
+
+
+# (child table, child key, parent table, parent key, parent is broadcast-small)
+_FK_RELATIONS = [
+    ("orders", "o_custkey", "customer", "c_custkey", True),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation", "n_regionkey", "region", "r_regionkey", True),
+    ("events", "user_id", "customer", "c_custkey", True),
+]
+
+
+def v_fk_orphans(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit across every foreign-key relation of the
+    star schema (the flagship's C7 dangling-link check generalized to a
+    whole-schema summary): per relation, total child rows and orphan rows
+    whose key has no parent. Broadcast-small parents probe via one sorted
+    key array per batch (np.searchsorted membership); the big-big relation
+    (lineitem → orders) goes through the distributed left-anti hash
+    exchange — no driver-side key materialization of a big side."""
+    import ray
+
+    from ..relational import exchange_join, read_table
+
+    rows = []
+    for child, ckey, parent, pkey, small in _FK_RELATIONS:
+        ch = read(sf_dir, child, [ckey])
+        if small:
+            pk = np.unique(read_table(sf_dir, parent, [pkey])[pkey]
+                           .to_numpy(zero_copy_only=False))
+            pk_ref = ray.put(pk)
+
+            def count_batch(batch: pa.Table, _ref=pk_ref) -> pa.Table:
+                keys = batch.column(0).to_numpy(zero_copy_only=False)
+                parr = ray.get(_ref)
+                pos = np.searchsorted(parr, keys)
+                pos = np.minimum(pos, len(parr) - 1)
+                orphan = parr[pos] != keys
+                return pa.table({
+                    "n_rows": pa.array([len(keys)], pa.int64()),
+                    "n_orphans": pa.array([int(orphan.sum())], pa.int64()),
+                })
+
+            part = ch.map_batches(count_batch, batch_format="pyarrow")
+            tot = part.sum(["n_rows", "n_orphans"])
+            n_rows, n_orph = tot["sum(n_rows)"], tot["sum(n_orphans)"]
+        else:
+            par = read(sf_dir, parent, [pkey])
+            n_rows = ch.count()
+            n_orph = exchange_join(ch, par, ckey, pkey,
+                                   how="left_anti").count()
+        rows.append((f"{child}.{ckey}->{parent}", int(n_rows), int(n_orph)))
+
+    rows.sort()
+    return pa.table({
+        "relation": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+    })

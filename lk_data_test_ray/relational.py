@@ -676,6 +676,101 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
     return hash_repartition_map(lt.union(rt), key, merge_partition)
 
 
+def nearest_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                 left_ts: str, right_ts: str, left_cols: list[str],
+                 right_cols: list[str], right_id: str,
+                 right_key: str | None = None) -> rd.Dataset:
+    """Nearest-match temporal join: for each left row, the right row of the
+    same key minimizing ``(|right_ts - left_ts|, right_ts, right_id)``
+    lexicographically (ties → the EARLIER right row, then the smaller id) —
+    the bidirectional sibling of :func:`asof_join`. Inner semantics: left
+    rows whose key has no right rows are dropped.
+
+    Plan: same union-tag + single hash exchange as ``asof_join``; each
+    partition runs TWO vectorized ``pd.merge_asof`` passes (backward with
+    the right side sorted ``(ts asc, id desc)`` so the backward candidate is
+    the min-id row of the max qualifying ts; forward with ``(ts asc, id
+    asc)``) and a vectorized per-row choose — never a per-key Python call,
+    and never the quadratic key-cross-product a rank-over-all-pairs plan
+    pays. The nearest row is always the backward or forward ts-neighbor, so
+    two candidates suffice; on equal distance the backward one wins (earlier
+    ts ⇒ lexicographic order above).
+
+    Output: ``[key, left_ts] + left_cols + right_cols`` in source dtypes.
+    Partitioning assumption: one key-hash range fits a worker (asof_join's).
+    """
+    import pandas as pd
+
+    right_key = right_key or key  # the right side's key column name
+    r_keep = list(dict.fromkeys(right_cols + [right_id]))
+    l_types = {f.name: f.type for f in left.schema().base_schema}
+    r_types = {f.name: f.type for f in right.schema().base_schema}
+    all_cols = ([(c, l_types[c], 0) for c in left_cols]
+                + [(c, r_types[c], 1) for c in r_keep])
+    out_schema = pa.schema(
+        [(key, l_types[key]), (left_ts, l_types[left_ts])]
+        + [(c, l_types[c]) for c in left_cols]
+        + [(c, r_types[c]) for c in right_cols])
+
+    def tag(side: int, ts_col: str, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {key: batch[key_col], "__ts": batch[ts_col]}
+            for c, typ, owner in all_cols:
+                cols[c] = batch[c] if owner == side else pa.nulls(n, typ)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_ts, key), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_ts, right_key), batch_format="pyarrow")
+
+    def merge_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        lg = (df[df["__side"] == 0][[key, "__ts"] + left_cols]
+              .sort_values("__ts", kind="mergesort"))
+        rg = df[df["__side"] == 1][[key, "__ts"] + r_keep]
+        if not len(lg):
+            return out_schema.empty_table()
+        if not len(rg):
+            return out_schema.empty_table()
+        back = pd.merge_asof(
+            lg, rg.sort_values(["__ts", right_id], ascending=[True, False],
+                               kind="mergesort").rename(
+                columns={"__ts": "__rts"}),
+            left_on="__ts", right_on="__rts", by=key, direction="backward",
+            suffixes=("", "__r"))
+        fwd = pd.merge_asof(
+            lg, rg.sort_values(["__ts", right_id], kind="mergesort").rename(
+                columns={"__ts": "__rts"}),
+            left_on="__ts", right_on="__rts", by=key, direction="forward",
+            suffixes=("", "__r"))
+        # vectorized choose: backward wins on smaller-or-EQUAL distance
+        # (equal ⇒ earlier ts ⇒ lexicographic (|Δ|, ts, id) order)
+        ts = lg["__ts"].to_numpy()
+        bd = ts - back["__rts"].to_numpy()  # ≥ 0 or NaT
+        fd = fwd["__rts"].to_numpy() - ts
+        has_b, has_f = ~pd.isna(bd), ~pd.isna(fd)
+        use_b = has_b & (~has_f | (bd <= fd))
+        matched = has_b | has_f
+        out_cols = {key: lg[key].to_numpy()[matched],
+                    left_ts: ts[matched]}
+        for c in left_cols:
+            out_cols[c] = lg[c].to_numpy()[matched]
+        for c in right_cols:
+            cname = c if c in back.columns else f"{c}__r"
+            out_cols[c] = np.where(use_b, back[cname].to_numpy(),
+                                   fwd[cname].to_numpy())[matched]
+        return pa.Table.from_arrays(
+            [pa.Array.from_pandas(pd.Series(out_cols[f.name]), type=f.type)
+             for f in out_schema], schema=out_schema)
+
+    return hash_repartition_map(lt.union(rt), key, merge_partition)
+
+
 def interval_join(points: rd.Dataset, intervals: pa.Table, value_col: str,
                   lo_col: str = "lo", hi_col: str = "hi") -> rd.Dataset:
     """Range join: attach the interval [lo, hi) containing each point value

@@ -100,6 +100,13 @@ NEW_QUERIES = [
     "mm_audio_wav",
     "e_cum_new_users",
     "v_ship_before_order",
+    "e_dedup_consecutive",
+    "j_nearest_event",
+    "j_interval_overlap",
+    "t_char_ngrams",
+    "t_word_len_hist",
+    "a_mad_outliers",
+    "v_fk_orphans",
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01

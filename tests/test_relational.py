@@ -187,3 +187,80 @@ def test_union_by_name_casts_and_nulls(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["x"].tolist()[:2] == ["p", "q"] and out["x"].isna().iloc[2]
     assert out["y"].isna().iloc[:2].all() and out["y"].iloc[2] == 7.5
+
+
+def test_nearest_join_tiebreaks(ray_session):
+    """Nearest-match join: equidistant ⇒ earlier right row wins; equal ts ⇒
+    smaller right id wins; keys with no right rows are dropped (inner)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.relational import nearest_join
+
+    def t(v):
+        return np.datetime64(v, "us")
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "lts": pa.array([t(100), t(205), t(50), t(9)],
+                        pa.timestamp("us")),
+        "lid": pa.array([10, 11, 12, 13], pa.int64()),
+    }))
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "rts": pa.array([t(90), t(110), t(210), t(50), t(50)],
+                        pa.timestamp("us")),
+        "rid": pa.array([7, 8, 9, 21, 20], pa.int64()),
+    })
+    out = nearest_join(
+        left, rd.from_arrow(right), key="k", left_ts="lts", right_ts="rts",
+        left_cols=["lid"], right_cols=["rid"], right_id="rid",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # lts=100: back (90, d=10) vs fwd (110, d=10) tie → earlier (rid 7)
+    # lts=205: back 210? no — back is 110 (d=95) vs fwd 210 (d=5) → rid 9
+    # k=2 lts=50: two right rows at SAME ts (d=0) → min rid (20)
+    # k=3: no right rows → dropped
+    assert out["lid"].tolist() == [10, 11, 12]
+    assert out["rid"].tolist() == [7, 9, 20]
+
+
+def test_char_trigram_boundary_mask():
+    """Trigram kernel: windows crossing document boundaries are excluded,
+    counts match a naive per-string reference."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lk_data_test_ray.pipelines.queries import _char_trigram_counts
+
+    vals = ["abcd", "xy", "", "hello abc", "ab"]
+    grams, counts = _char_trigram_counts(pa.array(vals, pa.string()))
+    got = {g.decode(): int(n) for g, n in zip(grams, counts)}
+    ref = Counter()
+    for v in vals:
+        for i in range(len(v) - 2):
+            ref[v[i:i + 3]] += 1
+    assert got == dict(ref)
+
+
+def test_word_len_hist_runs(ray_session, tmp_path):
+    """Word-length kernel: token runs end at spaces AND document
+    boundaries; multi-space gaps produce no zero-length tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import t_word_len_hist
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["ab  cde f", "ghij", " k "], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["src1"] * 3, pa.string()),
+        "n_chars": pa.array([9, 4, 3], pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (t_word_len_hist(str(tmp_path)).to_pandas()
+           .set_index("word_len")["n"].to_dict())
+    # tokens: ab(2) cde(3) f(1) | ghij(4) | k(1)
+    assert out == {1: 2, 2: 1, 3: 1, 4: 1}
