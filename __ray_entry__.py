@@ -217,6 +217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_word_len_hist": q.t_word_len_hist,
         "a_mad_outliers": q.a_mad_outliers,
         "v_fk_orphans": q.v_fk_orphans,
+        "pages_latest_per_host": q.pages_latest_per_host,
+        "e_rolling_revenue_7d": q.e_rolling_revenue_7d,
+        "o_dense_rank_price": q.o_dense_rank_price,
+        "g_triangles": q.g_triangles,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -538,6 +542,50 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM documents d JOIN mad USING (lang)
             GROUP BY 1, 2, 3
+        """,
+        "pages_latest_per_host": f"""
+            SELECT host, url, warc_ts FROM (
+                SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                       url, warc_ts,
+                       row_number() OVER (
+                           PARTITION BY regexp_extract(url,
+                                                       '^https://([^/]+)/', 1)
+                           ORDER BY warc_ts DESC, url DESC) AS rn
+                FROM read_parquet('{_pages_fixture_glob()}'))
+            WHERE rn = 1
+        """,
+        "e_rolling_revenue_7d": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders GROUP BY 1)
+            SELECT day, round(cents / 100.0, 2) AS revenue,
+                   round(sum(cents) OVER (ORDER BY day
+                             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                             AND CURRENT ROW) / 100.0, 2) AS revenue_7d
+            FROM d
+        """,
+        "o_dense_rank_price": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC)
+                        AS BIGINT) AS drank
+            FROM orders
+        """,
+        "g_triangles": f"""
+            WITH h AS (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS h1,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1) AS h2
+                FROM read_parquet('{_pages_links_path()}')),
+            e AS (
+                SELECT DISTINCT least(h1, h2) AS a, greatest(h1, h2) AS b
+                FROM h WHERE h1 <> h2 AND h1 <> '' AND h2 <> ''),
+            tri AS (
+                SELECT 1 FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
         """,
         "v_fk_orphans": """
             WITH rel AS (

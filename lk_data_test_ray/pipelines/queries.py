@@ -5558,3 +5558,173 @@ def v_fk_orphans(sf_dir: str) -> pa.Table:
         "n_rows": pa.array([r[1] for r in rows], pa.int64()),
         "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def pages_latest_per_host(sf_dir: str) -> rd.Dataset:
+    """Recrawl snapshot dedup (the web-archive 'latest capture wins'
+    operator): per host, the single page with the newest warc_ts (ties →
+    max url) — argmax_per_key's winner-halving, so only one candidate row
+    per host per batch ever moves, never the page set. Zipf-skewed hosts
+    are exactly the keys where a groupby+rank plan melts down."""
+    import os
+
+    from ..relational import argmax_per_key
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "warc_ts"])
+
+    def host_of(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"].combine_chunks(),
+                             r"^https://(?P<h>[^/]+)/"), "h")
+        return pa.table({"host": host, "url": batch["url"],
+                         "warc_ts": batch["warc_ts"]})
+
+    hosts = pages.map_batches(host_of, batch_format="pyarrow")
+    return argmax_per_key(hosts, "host",
+                          [("warc_ts", True), ("url", True)])
+
+
+def e_rolling_revenue_7d(sf_dir: str) -> rd.Dataset:
+    """Calendar RANGE-frame window (trailing 7-day revenue per order day) —
+    the value-range sibling of the ROWS-frame ``e_rolling_avg``: daily
+    partials shrink the fact table map-side to ≤ #days rows, then ONE
+    single-block pass computes the windowed sums via prefix sums +
+    ``np.searchsorted`` on the day axis (a RANGE frame is a rank-range per
+    row, not a fixed row offset). Money moves as integer cents end-to-end,
+    so engine and oracle sum bit-identically in any order."""
+    orders = read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def day_cents(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["o_orderdate"], unit="day")
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"day": d, "cents": cents})
+
+    daily = partial_groupby_agg(
+        orders.map_batches(day_cents, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")])
+
+    def window(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[("day", "ascending")])
+        tbl = tbl.take(idx)
+        # normalize to µs explicitly: the aggregate can hand back a ns-unit
+        # timestamp, and a raw int64 cast would then put the 6-day offset on
+        # the wrong scale (window silently becomes ~everything)
+        day = (tbl["day"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(cents)
+        # frame = [day - 6 days, day]: first index inside each row's frame
+        lo = np.searchsorted(day, day - 6 * day_us, side="left")
+        w = cum - np.where(lo > 0, cum[lo - 1], 0)
+        return pa.table({
+            "day": tbl["day"],
+            "revenue": pa.array(np.round(cents / 100.0, 2), pa.float64()),
+            "revenue_7d": pa.array(np.round(w / 100.0, 2), pa.float64()),
+        })
+
+    return daily.repartition(1).map_batches(window, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def o_dense_rank_price(sf_dir: str) -> rd.Dataset:
+    """Per-key dense rank (every row ranked, ties share a rank and leave no
+    gaps — the window-rank shape ``topk_per_key`` does not cover): each
+    order's dense price rank within its customer. Hash exchange + one sort
+    per partition + a segmented vectorized cumsum-of-value-changes — no
+    per-group Python. Deterministic under ties by construction: equal
+    prices share one rank, so row order within a tie never shows."""
+    from ..relational import hash_repartition_map
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"])
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("drank", pa.int64())])
+
+    def dense(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("o_custkey", "ascending"), ("o_totalprice", "descending")])
+        tbl = tbl.take(idx)
+        cust = tbl["o_custkey"].to_numpy(zero_copy_only=False)
+        price = tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+        n = len(cust)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = cust[1:] != cust[:-1]
+        new_val = new_key.copy()
+        new_val[1:] |= price[1:] != price[:-1]
+        r = np.cumsum(new_val)
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.concatenate((starts, [n])))
+        offset = np.repeat(r[starts] - 1, sizes)
+        return pa.table({
+            "o_orderkey": tbl["o_orderkey"],
+            "o_custkey": tbl["o_custkey"],
+            "drank": pa.array(r - offset, pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(orders, "o_custkey", dense)
+
+
+def g_triangles(sf_dir: str) -> pa.Table:
+    """Distributed triangle counting over the pages host graph (the graph-
+    analytics operator family beyond degree/PageRank/components): orient
+    every undirected edge a<b, join edges-to-edges on the shared middle
+    vertex to enumerate wedges (a<b<c), then semi-join wedges against the
+    edge set on the closing (a,c) pair — two hash exchanges, no per-vertex
+    Python. Skew note: wedge count grows with Σ deg² — at web scale, cap or
+    sample super-hub vertices before the wedge join (degree-threshold
+    split, the salted-count treatment)."""
+    import os
+
+    from ..relational import exchange_join
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def oriented(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        ok = pc.and_(pc.and_(pc.is_valid(h1), pc.is_valid(h2)),
+                     pc.not_equal(h1, h2))
+        t = pa.table({"a": pc.if_else(pc.less(h1, h2), h1, h2),
+                      "b": pc.if_else(pc.less(h1, h2), h2, h1)}).filter(ok)
+        return t
+
+    e = links.map_batches(oriented, batch_format="pyarrow")
+    # distinct via map-side combine (duplicate links collapse in-batch first)
+    edges = partial_groupby_agg(
+        e.map_batches(lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["a", "b"], [("one", "count", "_c")]).drop_columns(["_c"])
+
+    def keyed(name_a: str, name_b: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                batch[name_a].combine_chunks().cast(pa.string()),
+                batch[name_b].combine_chunks().cast(pa.string()), "|")
+            return batch.append_column("pair_key", k)
+
+        return fn
+
+    e2 = edges.map_batches(
+        lambda t: t.rename_columns(["b2", "c"]), batch_format="pyarrow")
+    wedges = exchange_join(edges, e2, "b", "b2")  # a-b, b-c ⇒ wedge a<b<c
+    wkey = wedges.map_batches(keyed("a", "c"), batch_format="pyarrow")
+    ekey = edges.map_batches(keyed("a", "b"), batch_format="pyarrow")
+    closed = exchange_join(wkey.select_columns(["pair_key"]),
+                           ekey.select_columns(["pair_key"]),
+                           "pair_key", "pair_key", how="left_semi")
+    return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})

@@ -107,6 +107,10 @@ NEW_QUERIES = [
     "t_word_len_hist",
     "a_mad_outliers",
     "v_fk_orphans",
+    "e_rolling_revenue_7d",
+    "o_dense_rank_price",
+    # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
+    # fixture (like g_pagerank) — parity checked by the driver/oracle_check
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
     # v_daily_lang_drift's oracle reads the sf0.01 pages fixture (like
     # g_pagerank below) — parity checked by the driver/oracle_check at sf0.01

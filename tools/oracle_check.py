@@ -24,7 +24,8 @@ sys.path.insert(0, "/root/repo")
 PINNED_TO_SF001 = {"mm_payload_meta", "mm_decode_feats", "mm_frame_sample",
                    "pages_host_counts", "g_pagerank", "pages_redact",
                    "pages_links", "pages_dangling_links", "pages_url_canon",
-                   "v_daily_lang_drift", "g_degree_stats", "g_components"}
+                   "v_daily_lang_drift", "g_degree_stats", "g_components",
+                   "pages_latest_per_host", "g_triangles"}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
