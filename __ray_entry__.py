@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_rolling_revenue_7d": q.e_rolling_revenue_7d,
         "o_dense_rank_price": q.o_dense_rank_price,
         "g_triangles": q.g_triangles,
+        "t_hapax_ratio": q.t_hapax_ratio,
+        "j_asof_next_event": q.j_asof_next_event,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -565,6 +567,33 @@ def oracle_sql() -> dict[str, str]:
                              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
                              AND CURRENT ROW) / 100.0, 2) AS revenue_7d
             FROM d
+        """,
+        "t_hapax_ratio": """
+            WITH t AS (
+                SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                FROM documents),
+            c AS (SELECT lang, tok, count(*) AS n FROM t
+                  WHERE tok <> '' GROUP BY 1, 2)
+            SELECT lang, count(*) AS n_types,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS hapax_ratio
+            FROM c GROUP BY 1
+        """,
+        "j_asof_next_event": """
+            WITH m AS (
+                SELECT o_orderkey, event_id FROM (
+                    SELECT o.o_orderkey, e.event_id,
+                           row_number() OVER (PARTITION BY o.o_orderkey
+                                              ORDER BY e.ts, e.event_id) AS rn
+                    FROM orders o JOIN events e
+                         ON e.user_id = o.o_custkey
+                        AND e.ts >= o.o_orderdate)
+                WHERE rn = 1)
+            SELECT o.o_custkey AS user_id, o.o_orderdate, o.o_orderkey,
+                   m.event_id
+            FROM orders o LEFT JOIN m ON o.o_orderkey = m.o_orderkey
         """,
         "o_dense_rank_price": """
             SELECT o_orderkey, o_custkey,

@@ -5728,3 +5728,72 @@ def g_triangles(sf_dir: str) -> pa.Table:
                            ekey.select_columns(["pair_key"]),
                            "pair_key", "pair_key", how="left_semi")
     return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})
+
+
+def t_hapax_ratio(sf_dir: str) -> rd.Dataset:
+    """Lexical-richness profile per language: distinct token types, hapax
+    legomena (types occurring exactly once) and their ratio — the
+    type-frequency-spectrum corpus statistic. One (lang, token) groupby
+    with map-side combine (the vocabulary is unbounded at corpus scale —
+    never a driver set), then per-lang reduction of the tiny type table."""
+    docs = read(sf_dir, "documents", ["lang", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+")
+        n = pc.list_value_length(toks)
+        t = pa.table({
+            "lang": batch["lang"].take(
+                pa.array(np.repeat(np.arange(batch.num_rows),
+                                   n.to_numpy(zero_copy_only=False)))),
+            "token": pc.list_flatten(toks),
+        })
+        return t.filter(pc.not_equal(t["token"], pa.scalar("")))
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    types = partial_groupby_agg(pairs, ["lang", "token"],
+                                [("token", "count", "n")])
+
+    def per_lang(batch: pa.Table) -> pa.Table:
+        one = pc.cast(pc.equal(batch["n"], pa.scalar(1, pa.int64())),
+                      pa.int64())
+        return pa.table({"lang": batch["lang"],
+                         "n_types": pa.array(
+                             np.ones(batch.num_rows, np.int64)),
+                         "n_hapax": one})
+
+    agg = partial_groupby_agg(
+        types.map_batches(per_lang, batch_format="pyarrow"),
+        ["lang"], [("n_types", "sum", "n_types"),
+                   ("n_hapax", "sum", "n_hapax")])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        r = (batch["n_hapax"].to_numpy(zero_copy_only=False)
+             / batch["n_types"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "hapax_ratio", pa.array(np.round(r, 6), pa.float64()))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def j_asof_next_event(sf_dir: str) -> rd.Dataset:
+    """FORWARD as-of join (the other direction of ``e_asof_last_order``):
+    for each order, the customer's first event AT/AFTER the order date —
+    left join semantics, orders with no later event keep null event
+    columns. Same union-tag + single hash exchange + one merge_asof per
+    partition; tie on equal ts ⇒ min event_id (forward keeps the first
+    sorted row; the oracle mirrors with ORDER BY ts, event_id)."""
+    from ..relational import asof_join
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = asof_join(orders, ev, key="o_custkey", left_ts="o_orderdate",
+                    left_cols=["o_orderkey"], right_cols=["event_id"],
+                    right_ts="ts", right_tiebreak="event_id",
+                    direction="forward", right_key="user_id")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["user_id" if c == "o_custkey" else c for c in batch.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -606,11 +606,18 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset | None:
 def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
               left_ts: str, right_ts: str, left_cols: list[str],
               right_cols: list[str],
-              right_tiebreak: str | None = None) -> rd.Dataset:
-    """Backward as-of join: for each left row, the latest right row of the
-    same key with right_ts ≤ left_ts (a custom operator Ray Data lacks;
-    SURVEY.md §2 'custom operators' — no reference analog, J4's containment
-    fallback is the closest shape).
+              right_tiebreak: str | None = None,
+              direction: str = "backward",
+              right_key: str | None = None) -> rd.Dataset:
+    """As-of join: for each left row, the latest right row of the same key
+    with right_ts ≤ left_ts (``direction="backward"``), or the EARLIEST
+    right row with right_ts ≥ left_ts (``direction="forward"``) — a custom
+    operator Ray Data lacks; SURVEY.md §2 'custom operators' (no reference
+    analog, J4's containment fallback is the closest shape).
+    ``right_key`` names the right side's key column when it differs from
+    the left's. Tiebreak among equal right timestamps: backward keeps the
+    MAX ``right_tiebreak`` (last row in sort order), forward keeps the MIN
+    (first row) — mirror the same in any SQL oracle.
 
     Plan: tag and union both sides (null-filled opposite columns), ONE hash
     exchange on the key co-locates each key's rows, then each partition runs
@@ -640,10 +647,10 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
         + [(c, l_types[c]) for c in left_cols]
         + [(c, r_types[c]) for c in right_cols])
 
-    def tag(side: int, ts_col: str):
+    def tag(side: int, ts_col: str, key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            cols = {key: batch[key], "__ts": batch[ts_col]}
+            cols = {key: batch[key_col], "__ts": batch[ts_col]}
             for c, typ, owner in all_cols:
                 cols[c] = batch[c] if owner == side else pa.nulls(n, typ)
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
@@ -651,22 +658,23 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
         return fn
 
-    lt = left.map_batches(tag(0, left_ts), batch_format="pyarrow")
-    rt = right.map_batches(tag(1, right_ts), batch_format="pyarrow")
+    lt = left.map_batches(tag(0, left_ts, key), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_ts, right_key or key),
+                           batch_format="pyarrow")
 
     def merge_partition(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return out_schema.empty_table()
         df = tbl.to_pandas()
         lg = df[df["__side"] == 0].sort_values("__ts", kind="mergesort")
-        # deterministic among equal right timestamps: last row (the one
-        # merge_asof picks) = max tiebreak
+        # deterministic among equal right timestamps: backward ⇒ merge_asof
+        # picks the LAST row ⇒ max tiebreak; forward ⇒ the FIRST ⇒ min
         r_sort = ["__ts"] + ([right_tiebreak] if right_tiebreak else [])
         rg = df[df["__side"] == 1].sort_values(r_sort, kind="mergesort")
         out = pd.merge_asof(
             lg[[key, "__ts"] + left_cols],
             rg[[key, "__ts"] + right_cols],
-            on="__ts", by=key, direction="backward")
+            on="__ts", by=key, direction=direction)
         out = out.rename(columns={"__ts": left_ts})
         # cast back to declared types (pandas float64-upcast + NaN → null)
         return pa.Table.from_arrays(

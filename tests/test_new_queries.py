@@ -109,6 +109,8 @@ NEW_QUERIES = [
     "v_fk_orphans",
     "e_rolling_revenue_7d",
     "o_dense_rank_price",
+    "t_hapax_ratio",
+    "j_asof_next_event",
     # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
     # fixture (like g_pagerank) — parity checked by the driver/oracle_check
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)

@@ -264,3 +264,28 @@ def test_word_len_hist_runs(ray_session, tmp_path):
            .set_index("word_len")["n"].to_dict())
     # tokens: ab(2) cde(3) f(1) | ghij(4) | k(1)
     assert out == {1: 2, 2: 1, 3: 1, 4: 1}
+
+
+def test_jsonl_csv_sink_roundtrip(ray_session, tmp_path):
+    """Sink completeness (S3 beyond parquet): write_json / write_csv emit
+    per-block files that read back value-identical through the matching
+    Ray Data source."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    tbl = pa.table({
+        "k": pa.array([3, 1, 2], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string()),
+        "x": pa.array([1.5, -2.0, 0.25], pa.float64()),
+    })
+    ds = rd.from_arrow(tbl)
+    jd, cd = str(tmp_path / "j"), str(tmp_path / "c")
+    ds.write_json(jd)
+    ds.write_csv(cd)
+    back_j = rd.read_json(jd).to_pandas().sort_values("k").reset_index(drop=True)
+    back_c = rd.read_csv(cd).to_pandas().sort_values("k").reset_index(drop=True)
+    ref = tbl.to_pandas().sort_values("k").reset_index(drop=True)
+    for back in (back_j, back_c):
+        assert back["k"].tolist() == ref["k"].tolist()
+        assert back["v"].tolist() == ref["v"].tolist()
+        assert back["x"].tolist() == ref["x"].tolist()
