@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "dd_substr_cut",
     "td_shuffle_shards",
     "td_rebalance",
+    "j_nearest_event",
+    "j_interval_overlap",
+    "t_char_ngrams",
+    "e_dedup_consecutive",
 ]
 
 

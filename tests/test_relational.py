@@ -289,3 +289,36 @@ def test_jsonl_csv_sink_roundtrip(ray_session, tmp_path):
         assert back["k"].tolist() == ref["k"].tolist()
         assert back["v"].tolist() == ref["v"].tolist()
         assert back["x"].tolist() == ref["x"].tolist()
+
+
+def test_asof_join_forward_direction(ray_session):
+    """Forward as-of: first right row with ts >= left ts; equal-ts tie →
+    min tiebreak; keys with no later right row keep nulls (left join)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.relational import asof_join
+
+    def t(v):
+        return np.datetime64(v, "us")
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lts": pa.array([t(100), t(300), t(10)], pa.timestamp("us")),
+        "lid": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "rts": pa.array([t(100), t(100), t(250), t(5)], pa.timestamp("us")),
+        "rid": pa.array([8, 7, 9, 4], pa.int64()),
+    }))
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    left_cols=["lid"], right_cols=["rid"],
+                    right_tiebreak="rid", direction="forward"
+                    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # lid=1 (ts100): two right rows AT 100 → min rid (7)
+    # lid=2 (ts300): nothing at/after 300 → null
+    # lid=3 k=2 (ts10): right at 5 is BEFORE → null (forward only)
+    assert out["rid"].tolist()[0] == 7
+    assert np.isnan(out["rid"].tolist()[1]) and np.isnan(out["rid"].tolist()[2])
