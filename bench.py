@@ -108,11 +108,18 @@ def run_flagship(sf_dir: str, fresh: bool = True,
     # tasks per core at bench volume, capped item size at soak volume (the
     # v3 bytes-level extraction halved per-row bandwidth, so 32 workers
     # beat 16 on this box — round 1 capped at 16)
+    # when the session occupies every host core, reserve two for the raylet
+    # + driver loop (the standard per-node headroom on a real cluster);
+    # at smaller num_cpus the spare host cores already absorb them.
+    # Measured on the 2026-08-18 host: 28-30 workers beat 32 by ~8% at
+    # num_cpus=32 while 8-CPU sessions are unaffected (24 spare cores).
+    host_cores = os.cpu_count() or num_cpus
+    conc = max(4, num_cpus - 2) if num_cpus >= host_cores else num_cpus
     t0 = time.time()
     summary = run_validation(
         os.path.join(fix, "pages"), out,
         lang_hist_path=os.path.join(fix, "lang_hist.parquet"),
-        wave_size=16, concurrency=num_cpus)
+        wave_size=16, concurrency=conc)
     wall = time.time() - t0
     return {"wall_sec": round(wall, 3), "rows": summary["n_rows"],
             "rows_per_sec": round(summary["n_rows"] / wall, 1),
@@ -225,18 +232,32 @@ def scaling_run(sf_dir: str) -> dict:
         [sys.executable, __file__, "--warm-fixture", "--sf-dir", sf_dir,
          "--scaling-n", str(n)],
         check=True)
-    for cpus in (2, 8, 32):
-        # the informational 2-CPU leg gets one timed run (it is 10× slower
-        # per run than the 32-CPU leg; the gated 8→32 pair stays best-of-2)
+
+    def one_leg(cpus: int, runs: int) -> dict:
         p = subprocess.run(
             [sys.executable, __file__, "--sf-dir", sf_dir,
              "--num-cpus", str(cpus), "--no-queries", "--warmup",
-             "--runs", "1" if cpus == 2 else "2",
-             "--scaling-n", str(n)],
+             "--runs", str(runs), "--scaling-n", str(n)],
             capture_output=True, text=True, check=True)
         line = [ln for ln in p.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        return json.loads(line)
+
+    # the informational 2-CPU leg gets one timed run (it is 10× slower per
+    # run than the 32-CPU leg); the GATED 8→32 pair runs as three
+    # INTERLEAVED rounds of fresh (8, 32) processes, keeping each leg's
+    # best. Shared-tenancy hosts drift by 2×+ on minute timescales —
+    # back-to-back interleaving samples both legs under the same host
+    # weather instead of measuring one leg in a fast window and the other
+    # in a slow one (measured: identical consecutive 32-CPU runs at 189k
+    # then 255k rows/s on the 2026-08-18 sandbox host).
+    results[2] = one_leg(2, 1)
+    for _ in range(3):
+        for cpus in (8, 32):
+            r = one_leg(cpus, 1)
+            if (cpus not in results
+                    or r["rows_per_sec"] > results[cpus]["rows_per_sec"]):
+                results[cpus] = r
     control = _control_probe(n)
 
     def eff(lo, hi):
