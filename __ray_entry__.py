@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_triangles": q.g_triangles,
         "t_hapax_ratio": q.t_hapax_ratio,
         "j_asof_next_event": q.j_asof_next_event,
+        "m_compact_docs": q.m_compact_docs,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,

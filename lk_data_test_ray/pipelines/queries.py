@@ -5797,3 +5797,28 @@ def j_asof_next_event(sf_dir: str) -> rd.Dataset:
             ["user_id" if c == "o_custkey" else c for c in batch.column_names])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def m_compact_docs(sf_dir: str) -> pa.Table:
+    """Small-file compaction end-to-end (table maintenance at ingest scale):
+    fragment the documents table into 16 tiny files, compact back to
+    deterministic 2500-row blocks, and report the file/row accounting.
+    Content parity (same rows, any order) is pytest-asserted; the driver
+    row is rows-only (file layout has no SQL counterpart)."""
+    import os
+    import shutil
+
+    from .maintenance import compact_parquet
+
+    base = os.path.join("/tmp/lk_compact",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    frag, out = os.path.join(base, "frag"), os.path.join(base, "compact")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = read(sf_dir, "documents")
+    docs.repartition(16).write_parquet(frag)
+    s = compact_parquet(frag, out, rows_per_block=2500)
+    return pa.table({
+        "files_in": pa.array([s["files_in"]], pa.int64()),
+        "files_out": pa.array([s["files_out"]], pa.int64()),
+        "n_rows": pa.array([s["rows"]], pa.int64()),
+    })

@@ -322,3 +322,30 @@ def test_asof_join_forward_direction(ray_session):
     # lid=3 k=2 (ts10): right at 5 is BEFORE → null (forward only)
     assert out["rid"].tolist()[0] == 7
     assert np.isnan(out["rid"].tolist()[1]) and np.isnan(out["rid"].tolist()[2])
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    """Compaction: fewer files, identical content, deterministic block
+    count from rows_per_block, atomic output (no .tmp left behind)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.maintenance import compact_parquet
+
+    tbl = pa.table({"k": list(range(1000)),
+                    "v": [f"r{i}" for i in range(1000)]})
+    frag = str(tmp_path / "frag")
+    rd.from_arrow(tbl).repartition(20).write_parquet(frag)
+    out = str(tmp_path / "compact")
+    s = compact_parquet(frag, out, rows_per_block=400)
+    assert s["rows"] == 1000 and s["files_in"] == 20
+    assert s["files_out"] <= 3  # ceil(1000/400) blocks
+    assert not os.path.exists(out + ".tmp")
+    back = rd.read_parquet(out).to_pandas().sort_values("k")
+    assert back["k"].tolist() == list(range(1000))
+    assert back["v"].tolist() == [f"r{i}" for i in range(1000)]
+    # re-run overwrites cleanly (idempotent maintenance)
+    s2 = compact_parquet(frag, out, rows_per_block=400)
+    assert s2["rows"] == 1000
