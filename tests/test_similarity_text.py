@@ -199,8 +199,12 @@ def test_fused_parquet_map(pages_fixture):
                               target_rows=1024).to_pandas()
     plain = rd.read_parquet(path, columns=["url", "html"]).map_batches(
         payload_meta_table, batch_format="pyarrow").to_pandas()
-    fused = fused.sort_values("url").reset_index(drop=True)
-    plain = plain.sort_values("url").reset_index(drop=True)
+    # sort on ALL columns: the fixture injects duplicate-url pairs whose
+    # payloads differ, so a url-only sort leaves their relative order
+    # execution-dependent and the comparison flaky
+    cols = ["url", "kind", "n_bytes"]
+    fused = fused.sort_values(cols).reset_index(drop=True)
+    plain = plain.sort_values(cols).reset_index(drop=True)
     assert fused.equals(plain)
 
 
