@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_hapax_ratio": q.t_hapax_ratio,
         "j_asof_next_event": q.j_asof_next_event,
         "m_compact_docs": q.m_compact_docs,
+        "mm_image_dims": q.mm_image_dims,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -568,6 +569,15 @@ def oracle_sql() -> dict[str, str]:
                              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
                              AND CURRENT ROW) / 100.0, 2) AS revenue_7d
             FROM d
+        """,
+        "mm_image_dims": """
+            SELECT vec_id,
+                   CASE vec_id % 3 WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'image/gif'
+                        ELSE 'image/jpeg' END AS kind,
+                   CAST(vec_id * 7 % 800 + 16 AS BIGINT) AS width,
+                   CAST(vec_id * 13 % 600 + 16 AS BIGINT) AS height
+            FROM embeddings
         """,
         "t_hapax_ratio": """
             WITH t AS (

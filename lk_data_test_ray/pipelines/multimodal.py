@@ -378,3 +378,96 @@ def audio_feature_table(batch: pa.Table, id_col: str = "url",
         "rms": pa.array(np.round(np.array(rmss, np.float64), 6)),
         "zcr": pa.array(zcrs, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# image container headers: dimension extraction WITHOUT a codec library
+# (the metadata pass a 100-TB multimodal curation pipeline runs before any
+# decode: route/size/filter by dimensions while bytes stay opaque)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_header(width: int, height: int) -> bytes:
+    """Minimal valid PNG prelude: magic + IHDR chunk (parser input)."""
+    import struct
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return _PNG_MAGIC + struct.pack(">I", 13) + b"IHDR" + ihdr
+
+
+def gif_header(width: int, height: int) -> bytes:
+    import struct
+    return b"GIF89a" + struct.pack("<HH", width, height)
+
+
+def jpeg_header(width: int, height: int) -> bytes:
+    """SOI + APP0 (JFIF) + SOF0 carrying the dimensions."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 3)
+    return b"\xff\xd8" + app0 + sof0
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """Walk JPEG markers to the first SOF0–SOF15 and read (width, height).
+    Bounded per-row walk over a few header segments — dimension markers sit
+    in the first KBs; scan stages slice the prefix before calling."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(payload[i + 5:i + 7], "big")
+            w = int.from_bytes(payload[i + 7:i + 9], "big")
+            return (w, h)
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        i += 2 + seg_len
+    return None
+
+
+def image_dims_table(batch: pa.Table, id_col: str = "url",
+                     payload_col: str = "html") -> pa.Table:
+    """(id, kind, width, height) per image payload. The heavy bytes never
+    leave Arrow: ``binary_slice`` takes a 24-byte prefix (64 for the JPEG
+    marker walk) BEFORE any Python touches a row, so the per-row parse is
+    O(header), not O(payload) — PNG/GIF dims sit at fixed offsets, JPEG
+    needs a bounded SOF marker walk. Unknown containers are dropped."""
+    payload = batch[payload_col].combine_chunks()
+    prefix = pc.binary_slice(payload, 0, 24)
+    pref = prefix.to_pylist()
+    ids = batch[id_col].to_pylist()
+    out_id, out_kind, out_w, out_h = [], [], [], []
+    for rid, p in zip(ids, pref):
+        if p is None:
+            continue
+        if p[:8] == _PNG_MAGIC and len(p) >= 24:
+            out_id.append(str(rid)); out_kind.append("image/png")
+            out_w.append(int.from_bytes(p[16:20], "big"))
+            out_h.append(int.from_bytes(p[20:24], "big"))
+        elif p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            out_id.append(str(rid)); out_kind.append("image/gif")
+            out_w.append(int.from_bytes(p[6:8], "little"))
+            out_h.append(int.from_bytes(p[8:10], "little"))
+    # JPEG: marker walk over a slightly longer prefix, only for JPEG rows
+    jpeg_mask = pc.equal(pc.binary_slice(payload, 0, 2), b"\xff\xd8")
+    if pc.any(jpeg_mask).as_py():
+        jp = pc.binary_slice(payload.filter(jpeg_mask), 0, 64).to_pylist()
+        jids = pa.array(ids).filter(jpeg_mask).to_pylist()
+        for rid, p in zip(jids, jp):
+            d = jpeg_dims(p) if p is not None else None
+            if d is not None:
+                out_id.append(str(rid)); out_kind.append("image/jpeg")
+                out_w.append(d[0]); out_h.append(d[1])
+    return pa.table({
+        id_col: pa.array(out_id, pa.string()),
+        "kind": pa.array(out_kind, pa.string()),
+        "width": pa.array(out_w, pa.int64()),
+        "height": pa.array(out_h, pa.int64()),
+    })

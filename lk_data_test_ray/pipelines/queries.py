@@ -5822,3 +5822,41 @@ def m_compact_docs(sf_dir: str) -> pa.Table:
         "files_out": pa.array([s["files_out"]], pa.int64()),
         "n_rows": pa.array([s["rows"]], pa.int64()),
     })
+
+
+def mm_image_dims(sf_dir: str) -> rd.Dataset:
+    """REAL image-container metadata end-to-end (no codec library): each
+    embedding row renders a deterministic PNG / GIF / JPEG header
+    (kind = vec_id mod 3; width = vec_id·7 mod 800 + 16, height =
+    vec_id·13 mod 600 + 16), and the stage parses dimensions BACK from the
+    bytes (fixed-offset u32/u16 for PNG/GIF, SOF marker walk for JPEG).
+    The dims formula is SQL-expressible, so the parser path gets a
+    FULL-VALUE DuckDB oracle — values only match if encode→parse
+    round-trips every byte order and marker length correctly."""
+    from .multimodal import gif_header, image_dims_table, jpeg_header, png_header
+
+    emb = read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        enc = [png_header, gif_header, jpeg_header]
+        payloads = [enc[int(v) % 3](int(v * 7 % 800 + 16),
+                                    int(v * 13 % 600 + 16)) for v in ids]
+        return pa.table({
+            "url": pa.array([str(v) for v in ids], pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    imgs = emb.map_batches(render, batch_format="pyarrow")
+    out = imgs.map_batches(image_dims_table, batch_format="pyarrow",
+                           batch_size=1024)
+
+    def as_vec_id(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.cast(batch["url"], pa.int64()),
+            "kind": batch["kind"],
+            "width": batch["width"],
+            "height": batch["height"],
+        })
+
+    return out.map_batches(as_vec_id, batch_format="pyarrow")

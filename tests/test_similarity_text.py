@@ -333,3 +333,39 @@ def test_wav_codec_roundtrip_and_chunk_walk():
     patched = raw[:di] + extra + raw[di:]
     got, sr = multimodal.wav_decode(patched)
     assert sr == 8000 and (got == s).all()
+
+
+def test_image_header_dims_parsers():
+    """Encode→parse roundtrip for PNG/GIF/JPEG header dims, plus junk and
+    truncated payloads dropping out cleanly."""
+    import pyarrow as pa
+
+    from lk_data_test_ray.pipelines import multimodal as mm
+
+    cases = [(1, 1), (16, 16), (799, 601), (65535, 1), (320, 240)]
+    rows, payloads = [], []
+    for i, (w, h) in enumerate(cases):
+        for kind, enc in (("image/png", mm.png_header),
+                          ("image/gif", mm.gif_header),
+                          ("image/jpeg", mm.jpeg_header)):
+            rows.append((f"r{i}_{kind}", kind, w, h))
+            payloads.append(enc(w, h))
+    # junk / truncated / null rows must be dropped, not crash
+    rows_junk = [b"random", b"\x89PN", b"\xff\xd8\xff", None, b""]
+    batch = pa.table({
+        "url": pa.array([r[0] for r in rows]
+                        + [f"junk{i}" for i in range(len(rows_junk))],
+                        pa.string()),
+        "html": pa.array(payloads + rows_junk, pa.binary()),
+    })
+    out = mm.image_dims_table(batch)
+    got = {u: (k, w, h) for u, k, w, h in zip(
+        out["url"].to_pylist(), out["kind"].to_pylist(),
+        out["width"].to_pylist(), out["height"].to_pylist())}
+    assert len(got) == len(rows)
+    for u, kind, w, h in rows:
+        assert got[u] == (kind, w, h)
+    # jpeg walker finds SOF behind extra leading segments
+    extra = (b"\xff\xd8" + b"\xff\xfe\x00\x04ab"        # COM segment
+             + mm.jpeg_header(123, 45)[2:])
+    assert mm.jpeg_dims(extra) == (123, 45)
