@@ -349,3 +349,106 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
     # re-run overwrites cleanly (idempotent maintenance)
     s2 = compact_parquet(frag, out, rows_per_block=400)
     assert s2["rows"] == 1000
+
+
+def test_nearest_join_matches_bruteforce(ray_session):
+    """Randomized check: nearest_join equals the argmin over all pairs
+    under the lexicographic (|Δ|, ts, id) order, across many keys with
+    duplicate timestamps."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.relational import nearest_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 300, 400
+    lt = pa.table({
+        "k": pa.array(rng.integers(0, 25, nl), pa.int64()),
+        "lts": pa.array(rng.integers(0, 500, nl).astype("datetime64[us]")),
+        "lid": pa.array(np.arange(nl), pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(rng.integers(0, 30, nr), pa.int64()),
+        "rts": pa.array(rng.integers(0, 500, nr).astype("datetime64[us]")),
+        "rid": pa.array(np.arange(nr), pa.int64()),
+    })
+    out = nearest_join(rd.from_arrow(lt), rd.from_arrow(rt), key="k",
+                       left_ts="lts", right_ts="rts", left_cols=["lid"],
+                       right_cols=["rid"], right_id="rid").to_pandas()
+    got = dict(zip(out["lid"], out["rid"]))
+    # brute force
+    ld, rd_ = lt.to_pandas(), rt.to_pandas()
+    want = {}
+    for _, lrow in ld.iterrows():
+        cand = rd_[rd_["k"] == lrow["k"]]
+        if not len(cand):
+            continue
+        d = (cand["rts"] - lrow["lts"]).abs()
+        order = pd.DataFrame({"d": d, "ts": cand["rts"], "id": cand["rid"]})
+        best = order.sort_values(["d", "ts", "id"], kind="mergesort").iloc[0]
+        want[lrow["lid"]] = int(best["id"])
+    assert got == want
+
+
+def test_interval_overlap_counts_match_bruteforce(ray_session, tmp_path):
+    """Randomized check: session×window overlap counts equal a brute-force
+    double loop over the same session/window definitions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import (ERR_WINDOW_MIN,
+                                                    SESSION_GAP_MIN,
+                                                    j_interval_overlap)
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    ts = np.sort(rng.integers(0, 3 * 86_400_000_000, n))  # 3 days in µs
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(
+            np.where(rng.random(n) < 0.03, "error", "view")),
+        "value": pa.array(rng.random(n)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    out = j_interval_overlap(str(tmp_path)).to_pandas()
+
+    df = ev.to_pandas()
+    gap = SESSION_GAP_MIN * 60 * 1_000_000
+    half = ERR_WINDOW_MIN * 60 * 1_000_000
+    # brute force sessions
+    sess = []
+    for uid, g in df.groupby("user_id"):
+        t = np.sort(g["ts"].astype("int64").to_numpy())
+        start = t[0]
+        prev = t[0]
+        for x in t[1:]:
+            if x - prev > gap:
+                sess.append((uid, start, prev))
+                start = x
+            prev = x
+        sess.append((uid, start, prev))
+    # brute force merged windows
+    et = np.sort(df[df["event_type"] == "error"]["ts"]
+                 .astype("int64").to_numpy())
+    wins = []
+    for x in et:
+        lo, hi = x - half, x + half
+        if wins and lo <= wins[-1][1]:
+            wins[-1] = (wins[-1][0], max(wins[-1][1], hi))
+        else:
+            wins.append((lo, hi))
+    want = {}
+    for uid, s, e in sess:
+        cnt = sum(1 for lo, hi in wins if s <= hi and e >= lo)
+        want[(uid, s, e)] = cnt
+    got = {(r.user_id, int(pd.Timestamp(r.session_start).value // 1000),
+            int(pd.Timestamp(r.session_end).value // 1000)): r.n_err_windows
+           for r in out.itertuples()}
+    assert got == want
