@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_asof_next_event": q.j_asof_next_event,
         "m_compact_docs": q.m_compact_docs,
         "mm_image_dims": q.mm_image_dims,
+        "v_lineage_manifest": q.v_lineage_manifest,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,

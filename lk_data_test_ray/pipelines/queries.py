@@ -5860,3 +5860,39 @@ def mm_image_dims(sf_dir: str) -> rd.Dataset:
         })
 
     return out.map_batches(as_vec_id, batch_format="pyarrow")
+
+
+def v_lineage_manifest(sf_dir: str) -> pa.Table:
+    """Per-partition lineage + metrics as a QUERYABLE table (the
+    north-rule's checkpoint surface, not just an on-disk artifact): run the
+    fixture validation, then read back every committed manifest as
+    (partition_id, input_fragment, n_rows, violation_count, passed).
+    Deterministic for a given sf_dir — a resume after kill must reproduce
+    this table exactly (pytest-asserted by the resume property tests)."""
+    import os
+    import shutil
+
+    from ..sources.pages import ensure_pages, pages_nrows_for_sf
+    from ..state.manifest import ManifestStore
+    from .validate import run_validation
+
+    fix = ensure_pages(pages_nrows_for_sf(sf_dir))
+    out = os.path.join("/tmp/lk_lineage",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    run_validation(os.path.join(fix, "pages"), out,
+                   lang_hist_path=os.path.join(fix, "lang_hist.parquet"))
+    store = ManifestStore(os.path.join(out, "manifests"))
+    recs = [(int(pid), r) for pid, r in store.completed().items()
+            if pid != "global"]
+    recs.sort()
+    return pa.table({
+        "partition_id": pa.array([p for p, _ in recs], pa.int64()),
+        "input_fragment": pa.array(
+            [os.path.basename(r["input_fragment"]) for _, r in recs],
+            pa.string()),
+        "n_rows": pa.array([int(r["n_rows"]) for _, r in recs], pa.int64()),
+        "violation_count": pa.array(
+            [int(r["violation_count"]) for _, r in recs], pa.int64()),
+        "passed": pa.array([bool(r["passed"]) for _, r in recs], pa.bool_()),
+    })
