@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_compact_docs": q.m_compact_docs,
         "mm_image_dims": q.mm_image_dims,
         "v_lineage_manifest": q.v_lineage_manifest,
+        "a_churned_customers": q.a_churned_customers,
+        "e_dau_mau": q.e_dau_mau,
         "m_normalize_text": q.m_normalize_text,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
@@ -570,6 +572,24 @@ def oracle_sql() -> dict[str, str]:
                              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
                              AND CURRENT ROW) / 100.0, 2) AS revenue_7d
             FROM d
+        """,
+        "a_churned_customers": """
+            WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+            last AS (SELECT o_custkey, max(o_orderdate) AS last_order
+                     FROM orders GROUP BY 1)
+            SELECT o_custkey, last_order FROM last, mx
+            WHERE last_order < mx.m - INTERVAL 365 DAYS
+        """,
+        "e_dau_mau": """
+            WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                       FROM events),
+            dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+            m AS (SELECT DISTINCT date_trunc('month', ts) AS month, user_id
+                  FROM events),
+            mau AS (SELECT month, count(*) AS mau FROM m GROUP BY 1)
+            SELECT day, dau, mau,
+                   round(dau * 1.0 / mau, 6) AS stickiness
+            FROM dau JOIN mau ON date_trunc('month', day) = mau.month
         """,
         "mm_image_dims": """
             SELECT vec_id,

@@ -5896,3 +5896,77 @@ def v_lineage_manifest(sf_dir: str) -> pa.Table:
             [int(r["violation_count"]) for _, r in recs], pa.int64()),
         "passed": pa.array([bool(r["passed"]) for _, r in recs], pa.bool_()),
     })
+
+
+def a_churned_customers(sf_dir: str) -> rd.Dataset:
+    """Churn detection: customers whose LAST order precedes the corpus
+    high-water mark by more than a year. Two distributive aggregates —
+    per-customer max order date (map-side combinable) and one global max
+    broadcast as a scalar into the filter — no shuffle of raw rows at
+    all. (The events table has no churners by construction — every
+    event-emitting user stays active through the window — so the orders
+    table carries this operator.)"""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    last = partial_groupby_agg(orders, ["o_custkey"],
+                               [("o_orderdate", "max", "last_order")])
+    hi = orders.max("o_orderdate")  # driver scalar, closure-broadcast
+    cutoff = (np.datetime64(hi, "us") - np.timedelta64(365, "D"))
+
+    def churned(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.less(
+            batch["last_order"].cast(pa.timestamp("us")),
+            pa.scalar(cutoff)))
+        return pa.table({
+            "o_custkey": out["o_custkey"],
+            "last_order": out["last_order"].cast(pa.timestamp("us")),
+        })
+
+    return last.map_batches(churned, batch_format="pyarrow")
+
+
+def e_dau_mau(sf_dir: str) -> rd.Dataset:
+    """Engagement stickiness (DAU/MAU per day): two distinct-user
+    aggregates — (day, user) and (month, user) pairs collapse map-side
+    before any exchange, then per-day counts join the tiny per-month
+    counts via a broadcast dict. COUNT(DISTINCT) never ships raw rows."""
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+            "user_id": batch["user_id"],
+        })
+
+    def month_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(batch["ts"], unit="month"),
+            "user_id": batch["user_id"],
+        })
+
+    d_pairs = partial_groupby_agg(
+        ev.map_batches(day_pairs, batch_format="pyarrow"),
+        ["day", "user_id"], [("user_id", "count", "_c")])
+    dau = partial_groupby_agg(d_pairs, ["day"], [("user_id", "count", "dau")])
+    m_pairs = partial_groupby_agg(
+        ev.map_batches(month_pairs, batch_format="pyarrow"),
+        ["month", "user_id"], [("user_id", "count", "_c")])
+    mau_tbl = partial_groupby_agg(
+        m_pairs, ["month"], [("user_id", "count", "mau")]).to_pandas()
+    mau = {np.datetime64(m, "us"): int(v)
+           for m, v in zip(mau_tbl["month"], mau_tbl["mau"])}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        day = batch["day"].cast(pa.timestamp("us"))
+        months = pc.floor_temporal(day, unit="month").to_numpy(
+            zero_copy_only=False)
+        mv = np.array([mau[np.datetime64(m, "us")] for m in months],
+                      dtype=np.int64)
+        dv = batch["dau"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": day,
+            "dau": pa.array(dv, pa.int64()),
+            "mau": pa.array(mv, pa.int64()),
+            "stickiness": pa.array(np.round(dv / mv, 6), pa.float64()),
+        })
+
+    return dau.map_batches(attach, batch_format="pyarrow")

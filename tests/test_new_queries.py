@@ -111,6 +111,9 @@ NEW_QUERIES = [
     "o_dense_rank_price",
     "t_hapax_ratio",
     "j_asof_next_event",
+    "a_churned_customers",
+    "e_dau_mau",
+    "mm_image_dims",
     # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
     # fixture (like g_pagerank) — parity checked by the driver/oracle_check
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
