@@ -101,42 +101,47 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
     base = (1.0 - damping) / n_nodes
 
     if mode == "broadcast":
+        import pandas as pd
+
         od_tbl = pa.concat_tables(
             [bt for bt in outdeg_ds.iter_batches(batch_format="pyarrow",
                                                  batch_size=None)])
-        od = dict(zip(od_tbl["node"].to_pylist(),
-                      od_tbl["od"].to_pylist()))
-        node_list = nodes["node"].to_pylist()
-        ranks = {u: 1.0 / n_nodes for u in node_list}
+        # factorize node ids ONCE: a pandas Index gives C-level hash-probe
+        # lookups (get_indexer) for any key dtype; ranks/outdeg live as
+        # numpy arrays aligned to it — no per-iteration Python dict rebuild
+        node_idx = pd.Index(nodes["node"].to_pandas())
+        od_arr = np.zeros(n_nodes, np.float64)
+        od_arr[node_idx.get_indexer(od_tbl["node"].to_pandas())] = \
+            od_tbl["od"].to_numpy(zero_copy_only=False)
+        inv_od = np.divide(1.0, od_arr, out=np.zeros_like(od_arr),
+                           where=od_arr > 0)
+        ranks = np.full(n_nodes, 1.0 / n_nodes)
         for _ in range(iters):
-            w = {u: ranks[u] / od[u] for u in od}  # src weight map
+            w = ranks * inv_od  # src weight array, aligned to node_idx
 
-            def contribs(batch: pa.Table, w=w) -> pa.Table:
-                import pandas as pd
-
-                # vectorized map (C-level hash probes), not a Python loop
-                c = pd.Series(batch[src_col].to_pandas()).map(w) \
-                    .to_numpy(dtype=np.float64)
+            def contribs(batch: pa.Table, node_idx=node_idx,
+                         w=w) -> pa.Table:
+                si = node_idx.get_indexer(batch[src_col].to_pandas())
                 return pa.table({"node": batch[dst_col],
-                                 "c": pa.array(c, pa.float64())})
+                                 "c": pa.array(w[si], pa.float64())})
 
             agg = partial_groupby_agg(
                 edges.map_batches(contribs, batch_format="pyarrow"),
                 ["node"], [("c", "sum", "c")])
-            sums = {}
-            for bt in agg.iter_batches(batch_format="pyarrow",
-                                       batch_size=None):
-                sums.update(zip(bt["node"].to_pylist(),
-                                bt["c"].to_pylist()))
-            ranks = {u: base + damping * sums.get(u, 0.0)
-                     for u in node_list}
-        out = pa.table({
-            "node": pa.array(node_list, nodes["node"].type),
-            "rank": pa.array(round_half_away(
-                np.array([ranks[u] for u in node_list]), round_digits),
-                pa.float64()),
+            bts = [bt for bt in agg.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None)
+                   if bt.num_rows]
+            ranks = np.full(n_nodes, base)
+            if bts:
+                sums_tbl = pa.concat_tables(bts)
+                pos = node_idx.get_indexer(sums_tbl["node"].to_pandas())
+                ranks[pos] += damping * sums_tbl["c"].to_numpy(
+                    zero_copy_only=False)
+        return pa.table({
+            "node": nodes["node"],
+            "rank": pa.array(round_half_away(ranks, round_digits),
+                             pa.float64()),
         })
-        return out
 
     # ---- shuffle path: ranks stay a Dataset ------------------------------
     ranks_ds = nodes_ds.map_batches(
@@ -198,6 +203,101 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
             out_tbl["r"].to_numpy(zero_copy_only=False), round_digits),
             pa.float64()),
     })
+
+
+def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
+                   broadcast_max_nodes: int = 5_000_000) -> dict:
+    """Exact triangle count by DEGREE-ORDERED ORIENTATION — the skew-proof
+    shape for power-law graphs.
+
+    Input contract: ``edges`` is the DISTINCT undirected edge set, one row
+    per edge, canonically oriented ``a < b`` (string compare), no self
+    loops.
+
+    Naive wedge enumeration joins the edge set to itself on the shared
+    middle vertex — Σ deg² intermediate rows, which a single web-scale hub
+    (deg ~10⁶) turns into 10¹² wedges on one key. Instead every edge is
+    re-oriented from its lower-(degree, id) endpoint to the higher one;
+    each triangle is then enumerated exactly once at its minimum-rank
+    vertex, and every vertex's out-degree under this orientation is
+    ≤ O(√(2m)), so total wedge work is O(m^1.5) REGARDLESS of skew
+    (Chiba–Nishizeki / Schank–Wagner ordering, the standard MapReduce
+    triangle-count treatment). The closing test is one semi-join of the
+    unordered wedge pair against the edge set.
+
+    Degrees attach via broadcast (one row per NODE — hosts, not pages)
+    below ``broadcast_max_nodes``, else via two distributed hash
+    exchanges. Returns ``{"n_triangles", "n_wedges"}`` (wedge count =
+    the join's intermediate cardinality, exposed so tests can assert the
+    orientation actually bounded the blowup).
+    """
+    from ..relational import broadcast_join, exchange_join
+
+    edges = edges.materialize()
+
+    deg_ds = partial_groupby_agg(
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": pa.concat_arrays(
+                    [t[a_col].combine_chunks().cast(pa.string()),
+                     t[b_col].combine_chunks().cast(pa.string())]),
+                "one": pa.array(np.ones(2 * t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["node"], [("one", "count", "deg")])
+
+    n_nodes = deg_ds.count()
+    if n_nodes == 0:
+        return {"n_triangles": 0, "n_wedges": 0}
+    if n_nodes <= broadcast_max_nodes:
+        deg_tbl = pa.concat_tables(
+            [bt for bt in deg_ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)])
+        e2 = broadcast_join(
+            broadcast_join(edges, deg_tbl.rename_columns(["ka", "deg_a"]),
+                           a_col, "ka", how="inner"),
+            deg_tbl.rename_columns(["kb", "deg_b"]), b_col, "kb",
+            how="inner")
+    else:
+        e2 = exchange_join(
+            exchange_join(edges, deg_ds.map_batches(
+                lambda t: pa.table({"ka": t["node"], "deg_a": t["deg"]}),
+                batch_format="pyarrow"), a_col, "ka"),
+            deg_ds.map_batches(
+                lambda t: pa.table({"kb": t["node"], "deg_b": t["deg"]}),
+                batch_format="pyarrow"), b_col, "kb")
+
+    def orient_by_rank(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].combine_chunks().cast(pa.string())
+        b = batch[b_col].combine_chunks().cast(pa.string())
+        # rank = (degree, id); a < b lexically, so a wins degree ties
+        first_a = pc.less_equal(batch["deg_a"], batch["deg_b"])
+        return pa.table({"u": pc.if_else(first_a, a, b),
+                         "v": pc.if_else(first_a, b, a)})
+
+    directed = e2.map_batches(orient_by_rank,
+                              batch_format="pyarrow").materialize()
+    d2 = directed.map_batches(lambda t: t.rename_columns(["u2", "w"]),
+                              batch_format="pyarrow")
+    wed = exchange_join(directed, d2, "u", "u2")
+
+    def close_key(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["v"], batch["w"]))
+        return pa.table({"pair_key": pc.binary_join_element_wise(
+            t["v"].combine_chunks(), t["w"].combine_chunks(), "|")})
+
+    wkey = drop_empty_blocks(
+        wed.map_batches(close_key, batch_format="pyarrow").materialize())
+    if wkey is None:
+        return {"n_triangles": 0, "n_wedges": 0}
+    n_wedges = wkey.count()
+    ekey = edges.map_batches(
+        lambda t: pa.table({"pair_key": pc.binary_join_element_wise(
+            t[a_col].combine_chunks().cast(pa.string()),
+            t[b_col].combine_chunks().cast(pa.string()), "|")}),
+        batch_format="pyarrow")
+    closed = exchange_join(wkey, ekey, "pair_key", "pair_key",
+                           how="left_semi")
+    return {"n_triangles": closed.count(), "n_wedges": n_wedges}
 
 
 def components_min_label(edges: rd.Dataset, src_col: str, dst_col: str,

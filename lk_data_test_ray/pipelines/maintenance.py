@@ -37,10 +37,18 @@ def compact_parquet(in_dir: str, out_dir: str,
         size = ds.size_bytes() or 0
         n_blocks = max(1, math.ceil(size / target_bytes))
     tmp = out_dir + ".tmp"
+    old = out_dir + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     ds.repartition(n_blocks).write_parquet(tmp)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # Swap so a valid directory is installed at every instant: move the
+    # current output aside, rename the new one in, then drop the old copy.
+    # A crash mid-swap leaves either the old or the new output at out_dir
+    # (or the old one recoverable at .old) — never a missing directory.
+    if os.path.isdir(out_dir):
+        os.replace(out_dir, old)
     os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     files_out = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
     return {"files_in": len(files_in), "files_out": len(files_out),
             "rows": n_rows}

@@ -109,7 +109,8 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
         return batch.append_column("revenue_part", disc)
 
     agg = partial_groupby_agg(joined, ["l_orderkey", "o_orderdate"],
-                              [("revenue_part", "sum", "revenue")], pre=pre)
+                              [("revenue_part", "sum", "revenue")], pre=pre,
+                              ts_cols=("o_orderdate",))
     agg = agg.map_batches(_round_stage({"revenue": 2}), batch_format="pyarrow")
     out = topk(agg, [("revenue", True), ("l_orderkey", False)], 10)
     return out.rename_columns({"l_orderkey": "o_orderkey"})
@@ -369,7 +370,7 @@ def e_hourly_windows(sf_dir: str) -> rd.Dataset:
     agg = partial_groupby_agg(
         ev, ["hour", "event_type"],
         [("value", "sum", "sum_value"), ("value", "count", "n_events")],
-        pre=pre)
+        pre=pre, ts_cols=("hour",))
     return agg.map_batches(_round_stage({"sum_value": 2}),
                            batch_format="pyarrow")
 
@@ -1726,7 +1727,7 @@ def e_first_last_per_user(sf_dir: str) -> rd.Dataset:
     return partial_groupby_agg(
         ev, ["user_id"],
         [("ts", "min", "first_ts"), ("ts", "max", "last_ts"),
-         ("ts", "count", "n_events")])
+         ("ts", "count", "n_events")], ts_cols=("ts",))
 
 
 def q6_revenue_delta(sf_dir: str) -> rd.Dataset:
@@ -1783,7 +1784,8 @@ def e_cum_daily(sf_dir: str) -> rd.Dataset:
                                                  dtype=np.int64))})
 
     daily = partial_groupby_agg(ev.map_batches(day_of, batch_format="pyarrow"),
-                                ["day"], [("one", "count", "n")])
+                                ["day"], [("one", "count", "n")],
+                                ts_cols=("day",))
 
     def cum(tbl: pa.Table) -> pa.Table:
         idx = pc.sort_indices(tbl, sort_keys=[("day", "ascending")])
@@ -3027,7 +3029,7 @@ def e_daily_dense(sf_dir: str) -> rd.Dataset:
             lambda b: b.append_column(
                 "one", pa.array(np.ones(b.num_rows, np.int64))),
             batch_format="pyarrow"),
-        ["day"], [("one", "count", "n")])
+        ["day"], [("one", "count", "n")], ts_cols=("day",))
 
     # driver-side tiny spine from the observed min/max day
     got = days.take_all()
@@ -3291,7 +3293,8 @@ def e_retention_cohorts(sf_dir: str) -> rd.Dataset:
 
     parts = hash_repartition_map(ev, "user_id", per_partition)
     return partial_groupby_agg(parts, ["cohort_week", "week_offset"],
-                               [("n_users", "sum", "n_users")])
+                               [("n_users", "sum", "n_users")],
+                               ts_cols=("cohort_week",))
 
 
 def td_gopher_rules(sf_dir: str) -> rd.Dataset:
@@ -5165,13 +5168,13 @@ def e_cum_new_users(sf_dir: str) -> rd.Dataset:
 
     first = partial_groupby_agg(
         ev.map_batches(day_of, batch_format="pyarrow"),
-        ["user_id"], [("day", "min", "first_day")])
+        ["user_id"], [("day", "min", "first_day")], ts_cols=("day",))
     daily = partial_groupby_agg(
         first.map_batches(lambda b: pa.table(
             {"day": b["first_day"],
              "one": pa.array(np.ones(b.num_rows, np.int64))}),
             batch_format="pyarrow"),
-        ["day"], [("one", "count", "n_new")])
+        ["day"], [("one", "count", "n_new")], ts_cols=("day",))
 
     def cum(tbl: pa.Table) -> pa.Table:
         idx = pc.sort_indices(tbl, sort_keys=[("day", "ascending")])
@@ -5401,6 +5404,12 @@ def _char_trigram_counts(arr) -> tuple[np.ndarray, np.ndarray]:
     for d in (1, 2):  # a window starting at b-d straddles the boundary at b
         pos = inner - d
         valid[pos[(pos >= 0) & (pos < len(w))]] = False
+    # Byte-trigrams only match the character-based oracle for ASCII text;
+    # mask any window touching a non-ASCII byte so non-ASCII input degrades
+    # (those trigrams are dropped) instead of crashing the ascii decode.
+    non_ascii = buf >= 0x80
+    if non_ascii.any():
+        valid &= ~(non_ascii[:-2] | non_ascii[1:-1] | non_ascii[2:])
     grams = np.ascontiguousarray(w[valid]).view("S3").ravel()
     return np.unique(grams, return_counts=True)
 
@@ -5432,7 +5441,10 @@ def t_word_len_hist(sf_dir: str) -> rd.Dataset:
     computed from the raw utf-8 buffer with vectorized run detection (token
     start = non-space after space/boundary; token end = non-space before
     space/boundary) — no tokenizer materialization, no per-row Python. The
-    exchange moves ≤ max_word_len rows per batch."""
+    exchange moves ≤ max_word_len rows per batch. Lengths are utf-8 BYTE
+    lengths: identical to character lengths on ASCII text (the fixture and
+    the oracle's semantics); on non-ASCII input multi-byte characters count
+    their encoded width — documented, never a crash."""
     docs = read(sf_dir, "documents", ["text"])
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -5534,6 +5546,11 @@ def v_fk_orphans(sf_dir: str) -> pa.Table:
             def count_batch(batch: pa.Table, _ref=pk_ref) -> pa.Table:
                 keys = batch.column(0).to_numpy(zero_copy_only=False)
                 parr = ray.get(_ref)
+                if len(parr) == 0:  # no parents: every child row is an orphan
+                    return pa.table({
+                        "n_rows": pa.array([len(keys)], pa.int64()),
+                        "n_orphans": pa.array([len(keys)], pa.int64()),
+                    })
                 pos = np.searchsorted(parr, keys)
                 pos = np.minimum(pos, len(parr) - 1)
                 orphan = parr[pos] != keys
@@ -5605,7 +5622,7 @@ def e_rolling_revenue_7d(sf_dir: str) -> rd.Dataset:
 
     daily = partial_groupby_agg(
         orders.map_batches(day_cents, batch_format="pyarrow"),
-        ["day"], [("cents", "sum", "cents")])
+        ["day"], [("cents", "sum", "cents")], ts_cols=("day",))
 
     def window(tbl: pa.Table) -> pa.Table:
         idx = pc.sort_indices(tbl, sort_keys=[("day", "ascending")])
@@ -5674,16 +5691,15 @@ def o_dense_rank_price(sf_dir: str) -> rd.Dataset:
 
 def g_triangles(sf_dir: str) -> pa.Table:
     """Distributed triangle counting over the pages host graph (the graph-
-    analytics operator family beyond degree/PageRank/components): orient
-    every undirected edge a<b, join edges-to-edges on the shared middle
-    vertex to enumerate wedges (a<b<c), then semi-join wedges against the
-    edge set on the closing (a,c) pair — two hash exchanges, no per-vertex
-    Python. Skew note: wedge count grows with Σ deg² — at web scale, cap or
-    sample super-hub vertices before the wedge join (degree-threshold
-    split, the salted-count treatment)."""
+    analytics operator family beyond degree/PageRank/components), via
+    ``graph.triangle_count``: degree-ordered orientation enumerates each
+    triangle exactly once at its minimum-(degree, id) vertex, bounding
+    total wedge work at O(m^1.5) regardless of hub skew (a web-scale
+    super-host can no longer blow the middle-vertex join up to deg²),
+    then one semi-join closes the wedges against the edge set."""
     import os
 
-    from ..relational import exchange_join
+    from .graph import triangle_count
 
     fix = _pages_fixture(sf_dir)
     links = rd.read_parquet(os.path.join(fix, "links.parquet"),
@@ -5710,24 +5726,9 @@ def g_triangles(sf_dir: str) -> pa.Table:
             batch_format="pyarrow"),
         ["a", "b"], [("one", "count", "_c")]).drop_columns(["_c"])
 
-    def keyed(name_a: str, name_b: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            k = pc.binary_join_element_wise(
-                batch[name_a].combine_chunks().cast(pa.string()),
-                batch[name_b].combine_chunks().cast(pa.string()), "|")
-            return batch.append_column("pair_key", k)
-
-        return fn
-
-    e2 = edges.map_batches(
-        lambda t: t.rename_columns(["b2", "c"]), batch_format="pyarrow")
-    wedges = exchange_join(edges, e2, "b", "b2")  # a-b, b-c ⇒ wedge a<b<c
-    wkey = wedges.map_batches(keyed("a", "c"), batch_format="pyarrow")
-    ekey = edges.map_batches(keyed("a", "b"), batch_format="pyarrow")
-    closed = exchange_join(wkey.select_columns(["pair_key"]),
-                           ekey.select_columns(["pair_key"]),
-                           "pair_key", "pair_key", how="left_semi")
-    return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})
+    res = triangle_count(edges, "a", "b")
+    return pa.table({"n_triangles": pa.array([res["n_triangles"]],
+                                             pa.int64())})
 
 
 def t_hapax_ratio(sf_dir: str) -> rd.Dataset:
@@ -5908,9 +5909,15 @@ def a_churned_customers(sf_dir: str) -> rd.Dataset:
     table carries this operator.)"""
     orders = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
     last = partial_groupby_agg(orders, ["o_custkey"],
-                               [("o_orderdate", "max", "last_order")])
-    hi = orders.max("o_orderdate")  # driver scalar, closure-broadcast
-    cutoff = (np.datetime64(hi, "us") - np.timedelta64(365, "D"))
+                               [("o_orderdate", "max", "last_order")],
+                               ts_cols=("o_orderdate",))
+    # driver scalar, closure-broadcast; max over raw int64 µs so Ray's
+    # aggregate never numpy-round-trips a timestamp column
+    hi_us = orders.map_batches(
+        lambda b: pa.table({"ts_us": b["o_orderdate"]
+                            .cast(pa.timestamp("us")).cast(pa.int64())}),
+        batch_format="pyarrow").max("ts_us")
+    cutoff = (np.datetime64(int(hi_us), "us") - np.timedelta64(365, "D"))
 
     def churned(batch: pa.Table) -> pa.Table:
         out = batch.filter(pc.less(
@@ -5945,13 +5952,16 @@ def e_dau_mau(sf_dir: str) -> rd.Dataset:
 
     d_pairs = partial_groupby_agg(
         ev.map_batches(day_pairs, batch_format="pyarrow"),
-        ["day", "user_id"], [("user_id", "count", "_c")])
-    dau = partial_groupby_agg(d_pairs, ["day"], [("user_id", "count", "dau")])
+        ["day", "user_id"], [("user_id", "count", "_c")], ts_cols=("day",))
+    dau = partial_groupby_agg(d_pairs, ["day"], [("user_id", "count", "dau")],
+                              ts_cols=("day",))
     m_pairs = partial_groupby_agg(
         ev.map_batches(month_pairs, batch_format="pyarrow"),
-        ["month", "user_id"], [("user_id", "count", "_c")])
+        ["month", "user_id"], [("user_id", "count", "_c")],
+        ts_cols=("month",))
     mau_tbl = partial_groupby_agg(
-        m_pairs, ["month"], [("user_id", "count", "mau")]).to_pandas()
+        m_pairs, ["month"], [("user_id", "count", "mau")],
+        ts_cols=("month",)).to_pandas()
     mau = {np.datetime64(m, "us"): int(v)
            for m, v in zip(mau_tbl["month"], mau_tbl["mau"])}
 

@@ -138,12 +138,19 @@ def partial_groupby_agg(
     keys: list[str],
     specs: list[tuple[str, str, str]],
     pre: "callable | None" = None,
+    ts_cols: "tuple[str, ...]" = (),
 ) -> rd.Dataset:
     """``GROUP BY keys`` with aggregation pushed map-side.
 
     specs: (column, op, out_name) with op ∈ {sum, count, min, max, mean}.
     ``pre``: optional pa.Table → pa.Table projection applied per batch before
     aggregating (e.g. compute a revenue expression).
+    ``ts_cols``: names of ``timestamp("us")`` columns among the keys / spec
+    columns. Ray's aggregate round-trips blocks through numpy, silently
+    downcasting timestamp columns to 's' precision (with a per-worker 'D'
+    precision warning); listed columns are exchanged as raw int64 µs and
+    cast back to ``timestamp("us")`` on output, so the merge is precision-
+    stable end to end.
 
     Per batch: Arrow ``Table.group_by`` produces one partial row per distinct
     key in the batch; the global shuffle then moves only those partials
@@ -164,6 +171,12 @@ def partial_groupby_agg(
     def make_partials(batch: pa.Table) -> pa.Table:
         if pre is not None:
             batch = pre(batch)
+        for c in ts_cols:
+            i = batch.schema.get_field_index(c)
+            if i >= 0:
+                batch = batch.set_column(
+                    i, c, batch.column(i).cast(pa.timestamp("us"))
+                    .cast(pa.int64()))
         return batch.group_by(keys).aggregate(base)
 
     # merge partials with Ray's VECTORIZED built-in aggregations — never
@@ -178,12 +191,19 @@ def partial_groupby_agg(
     merged = partials.groupby(keys).aggregate(*merge_aggs)
 
     def project(batch: pa.Table) -> pa.Table:
-        out = {k: batch[k] for k in keys}
+        def restore(name: str, col):
+            if name in ts_cols:
+                return col.cast(pa.int64()).cast(pa.timestamp("us"))
+            return col
+
+        out = {k: restore(k, batch[k]) for k in keys}
         for col, op, outn in specs:
             if op == "mean":
                 out[outn] = pc.divide(
                     pc.cast(batch[f"{col}_sum"], pa.float64()),
                     pc.cast(batch[f"{col}_count"], pa.float64()))
+            elif op in ("min", "max"):
+                out[outn] = restore(col, batch[f"{col}_{_ARROW_OP[op]}"])
             else:
                 out[outn] = batch[f"{col}_{_ARROW_OP[op]}"]
         return pa.table(out)

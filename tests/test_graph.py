@@ -92,3 +92,62 @@ def test_components_min_label_matches_union_find(ray_session):
             comp_min[r] = min(comp_min.get(r, names[i]), names[i])
         want = {names[i]: comp_min[find(i)] for i in touched}
         assert got == want, trial
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for a, b in pairs:
+        n += len(adj[a] & adj[b])
+    return n // 3  # each triangle counted once per edge
+
+
+def test_triangle_count_hot_hub(ray_session):
+    """Degree-ordered orientation: exact count on a power-law-ish graph
+    with one hub touching ~30% of edges, and the wedge intermediate stays
+    near O(m^1.5) instead of the hub's deg² blowup."""
+    from lk_data_test_ray.pipelines.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    pairs = set()
+    # hub h000 in ~30% of edges (a star produces deg² wedges if unoriented)
+    for i in range(120):
+        pairs.add(("h000", f"n{i:03d}"))
+    # random background edges + deliberate triangles
+    for _ in range(250):
+        a, b = rng.integers(0, 120, 2)
+        if a != b:
+            pairs.add((f"n{min(a,b):03d}", f"n{max(a,b):03d}"))
+    pairs = sorted(tuple(sorted(p)) for p in pairs)
+    pairs = sorted(set(pairs))
+    tbl = pa.table({"a": pa.array([p[0] for p in pairs], pa.string()),
+                    "b": pa.array([p[1] for p in pairs], pa.string())})
+    res = triangle_count(rd.from_arrow(tbl), "a", "b")
+    assert res["n_triangles"] == _brute_triangles(pairs)
+    # naive middle-vertex wedges = sum(deg*(deg-1)/2); the hub alone gives
+    # ~deg²/2. Orientation must beat it by a wide margin.
+    from collections import Counter
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    naive = sum(d * (d - 1) // 2 for d in deg.values())
+    assert res["n_wedges"] < naive / 3, (res["n_wedges"], naive)
+
+
+def test_triangle_count_exchange_path_matches_broadcast(ray_session):
+    """Forcing the distributed degree-attach exchange (threshold=0) gives
+    the same count as the broadcast path."""
+    from lk_data_test_ray.pipelines.graph import triangle_count
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("d", "e")]
+    tbl = pa.table({"a": pa.array([p[0] for p in pairs], pa.string()),
+                    "b": pa.array([p[1] for p in pairs], pa.string())})
+    r1 = triangle_count(rd.from_arrow(tbl), "a", "b")
+    r2 = triangle_count(rd.from_arrow(tbl), "a", "b",
+                        broadcast_max_nodes=0)
+    assert r1["n_triangles"] == r2["n_triangles"] == 2
