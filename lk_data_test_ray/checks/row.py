@@ -80,8 +80,10 @@ class RowChecker:
             pid = -1
         return self._process(batch, pid)
 
-    def _process(self, batch: pa.Table, pid: int) -> pa.Table:
+    def _process(self, batch: pa.Table, pid: int,
+                 item: tuple | None = None) -> pa.Table:
         cols = _empty_cols()
+        self._item = item  # threaded into the stats partial for arrival dedup
 
         def emit(check_id, urls, severity, details):
             n = len(urls)
@@ -106,7 +108,12 @@ class RowChecker:
         ):
             emit("c0_schema", ["__schema__"], "fatal",
                  f"batch schema {batch.schema!s} != declared pages schema")
-            return _finish(cols, pid, None)
+            # a C0-failed item still emits a (merge-identity) stats partial:
+            # the consume loop counts stats rows to detect item arrival, so
+            # every item must contribute exactly one
+            stats = merge_stats([])
+            stats["item"] = item
+            return _finish(cols, pid, stats)
 
         url_col = batch["url"]
         text_col = batch["text"]
@@ -185,6 +192,7 @@ class RowChecker:
             "text_null": int(pc.sum(text_null.cast(pa.int64())).as_py() or 0),
             "ts_min": str(ts_valid.min()) if ts_valid.size else None,
             "ts_max": str(ts_valid.max()) if ts_valid.size else None,
+            "item": getattr(self, "_item", None),
         }
         return _finish(cols, pid, stats)
 
@@ -282,16 +290,18 @@ class ScanCheckActor:
     """
 
     def __init__(self, check_extract: bool = True, vocab=None,
-                 clean_dir: str | None = None):
+                 clean_dir: str | None = None, c1_collectors: list | None = None):
         self._fn = make_scan_check_fn(check_extract=check_extract,
-                                      vocab=vocab, clean_dir=clean_dir)
+                                      vocab=vocab, clean_dir=clean_dir,
+                                      c1_collectors=c1_collectors)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self._fn(batch)
 
 
 def make_scan_check_fn(check_extract: bool = True, vocab=None,
-                       clean_dir: str | None = None):
+                       clean_dir: str | None = None,
+                       c1_collectors: list | None = None):
     """Fused read+check stage over a Dataset of scan items.
 
     The heavy html/text blocks NEVER enter the object store: each task reads
@@ -314,8 +324,10 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
 
     def scan_check(batch: pa.Table) -> pa.Table:
         import os
+        import zlib
 
         import pyarrow.parquet as pq
+        import ray as _ray
 
         key = ("scan", check_extract, vocab_key)
         rc = _FN_CACHE.get(key)
@@ -323,6 +335,7 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
             rc = RowChecker(vocab=vocab, check_extract=check_extract)
             _FN_CACHE[key] = rc
         out = []
+        c1_acks = []
         for path, lo, hi, pid in zip(batch["path"].to_pylist(),
                                      batch["rg_lo"].to_pylist(),
                                      batch["rg_hi"].to_pylist(),
@@ -332,8 +345,24 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
                 tbl = pf.read_row_groups(list(range(lo, hi)))
             else:  # zero-row-group file: empty table, real schema
                 tbl = pf.schema_arrow.empty_table()
-            combined = rc._process(tbl, pid)
+            combined = rc._process(tbl, pid, item=(lo, hi))
             out.append(combined)
+            if c1_collectors is not None and "url" in tbl.column_names:
+                # fused C1 feed: this task already holds the url column —
+                # push pre-aggregated (hash, count) partials to a collector
+                # actor instead of a second parquet pass over the corpus.
+                # Routing MUST be a stable function of the item key so a
+                # lineage retry or speculative duplicate lands on the SAME
+                # collector and its idempotence set drops the repeat.
+                from ..functions.hashing import hash_strings64
+
+                item_key = f"{path}:{lo}:{hi}"
+                j = zlib.crc32(item_key.encode()) % len(c1_collectors)
+                h = hash_strings64(np.asarray(
+                    tbl["url"].to_pandas(), dtype=object))
+                hu, cu = np.unique(h, return_counts=True)
+                c1_acks.append(c1_collectors[j].add.remote(
+                    item_key, hu, cu.astype(np.int64)))
             if clean_dir is not None:
                 # quarantine split (the training-data use of validation):
                 # rows untouched by any row-phase violation stream straight
@@ -349,9 +378,38 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
                                    f"clean-{pid:05d}-{lo:05d}.parquet")
                 pq.write_table(clean, dst + ".tmp")
                 os.replace(dst + ".tmp", dst)
+        if c1_acks:
+            # block on the acks so a returned task implies its hashes are
+            # DURABLY held by the collector (an in-flight add from a dead
+            # worker would silently drop urls from the uniqueness check);
+            # adds are O(1) appends, so this await is sub-ms and fully
+            # overlapped with the per-item check work above
+            _ray.get(c1_acks)
         return pa.concat_tables(out) if out else COMBINED_SCHEMA.empty_table()
 
     return scan_check
+
+
+def split_items(tbl: pa.Table) -> list[pa.Table]:
+    """Split a combined output table into per-item slices.
+
+    ``make_scan_check_fn`` emits each scan item as (violations..., stats)
+    in order, and every item contributes exactly ONE stats row — so slicing
+    at stats-row positions recovers the per-item tables regardless of how
+    the executor bundles task outputs. The consume loop needs item
+    granularity to deduplicate arrivals (speculative re-issue and lineage
+    retries can deliver the same item twice)."""
+    if tbl.num_rows == 0:
+        return []
+    is_stats = pc.equal(tbl["kind"], "stats").to_numpy(zero_copy_only=False)
+    ends = np.flatnonzero(is_stats)
+    out, start = [], 0
+    for e in ends:
+        out.append(tbl.slice(start, int(e) + 1 - start))
+        start = int(e) + 1
+    if start < tbl.num_rows:  # defensive: a trailing stats-less segment
+        out.append(tbl.slice(start))
+    return out
 
 
 def split_combined(tables: list[pa.Table]) -> tuple[pa.Table, list[tuple[int, dict]]]:

@@ -111,6 +111,135 @@ def find_duplicate_urls(paths: list[str] | str, key: str = "url",
                      "count": pa.array(vc.to_numpy(), pa.int64())})
 
 
+# ---------------------------------------------------------------------------
+# Fused C1 feed: the row-phase scan tasks already hold every url column —
+# they push pre-aggregated (hash, count) partials straight into a small ring
+# of collector actors, deleting the standalone hash pass over parquet
+# (BASELINE.md measured that second url read at ~1-1.5 s concurrent / ~3.5%
+# of row-phase CPU at sf0.1; at 100 TB it is a full extra column scan).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class C1Collector:
+    """Accumulates per-scan-item (hash, count) partials for one slice of the
+    corpus (items are routed by a stable item-key hash, NOT by hash range —
+    equal url-hashes may land in different collectors; ``buckets`` re-splits
+    by hash top-bits so the final reduce sees disjoint ranges).
+
+    Adds are IDEMPOTENT by item key: Ray Data lineage retries and the
+    speculative re-issue path (validate.py) can legally deliver the same
+    scan item twice; only the first add lands. ``num_cpus=0`` so collectors
+    never take scan slots — an add is an O(1) list append; the occasional
+    compaction and the finalize-time bucketing are bounded by this
+    collector's slice (~n_rows/P hashes, 16 B each).
+    """
+
+    def __init__(self, compact_every: int = 128):
+        self._seen: set = set()
+        self._h: list = []
+        self._c: list = []
+        self._compact_every = compact_every
+
+    def add(self, item_key: str, hashes: np.ndarray, counts: np.ndarray) -> bool:
+        if item_key in self._seen:
+            return False
+        self._seen.add(item_key)
+        if len(hashes):
+            self._h.append(np.ascontiguousarray(hashes, dtype=np.uint64))
+            self._c.append(np.ascontiguousarray(counts, dtype=np.int64))
+        if len(self._h) > self._compact_every:
+            self._compact()
+        return True
+
+    def _compact(self) -> None:
+        h = np.concatenate(self._h)
+        hu, inv = np.unique(h, return_inverse=True)
+        cu = np.bincount(inv, weights=np.concatenate(self._c)).astype(np.int64)
+        self._h, self._c = [hu], [cu]
+
+    def buckets(self, p_bits: int):
+        """Split the merged multiset by hash top-bits → 2^p_bits
+        (hashes, counts) pairs (disjoint ranges across ALL collectors)."""
+        if not self._h:
+            e = (np.empty(0, np.uint64), np.empty(0, np.int64))
+            return tuple(e for _ in range(1 << p_bits)) if p_bits else e
+        self._compact()
+        h, c = self._h[0], self._c[0]
+        b = (h >> np.uint64(64 - p_bits)).astype(np.int64) if p_bits else None
+        if p_bits == 0:
+            return (h, c)
+        return tuple((h[b == p], c[b == p]) for p in range(1 << p_bits))
+
+
+@ray.remote
+def _reduce_dup_candidates(*parts) -> np.ndarray:
+    """One hash range: sum counts across collector partials → hashes with a
+    GLOBAL count > 1 (a url split across collectors/items must still dup)."""
+    hs = [h for h, _ in parts if len(h)]
+    if not hs:
+        return np.empty(0, dtype=np.uint64)
+    h = np.concatenate(hs)
+    c = np.concatenate([c for _, c in parts if len(c)])
+    hu, inv = np.unique(h, return_inverse=True)
+    cu = np.bincount(inv, weights=c)
+    return hu[cu > 1.5]
+
+
+@ray.remote
+def _feed_collector(path: str, key: str, collector, item_key: str) -> bool:
+    """Resume path: a previously-committed partition's scan never re-runs,
+    so its url hashes are fed by this url-only read instead (still one
+    column, still pre-aggregated; only non-committed work is fused)."""
+    tbl = pq.read_table(path, columns=[key])
+    h = hash_strings64(np.asarray(tbl[key].to_pandas(), dtype=object))
+    hu, cu = np.unique(h, return_counts=True)
+    return ray.get(collector.add.remote(item_key, hu, cu.astype(np.int64)))
+
+
+def make_collectors(n: int | None = None) -> list:
+    if n is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n = max(2, min(16, cpus // 2))
+    return [C1Collector.remote() for _ in range(n)]
+
+
+def collector_candidates(collectors: list, p_bits: int | None = None) -> np.ndarray:
+    """Distributed reduce over the collectors' accumulated partials →
+    candidate duplicate hashes (exactness restored by verify_candidates)."""
+    if p_bits is None:
+        p_bits = max(1, int(np.log2(max(2, len(collectors)))))
+    P = 1 << p_bits
+    per = []
+    for col in collectors:
+        refs = col.buckets.options(num_returns=P).remote(p_bits)
+        per.append([refs] if P == 1 else list(refs))
+    cand_refs = [
+        _reduce_dup_candidates.remote(*[refs[p] for refs in per])
+        for p in range(P)
+    ]
+    return np.concatenate(ray.get(cand_refs))
+
+
+def verify_candidates(paths: list[str], key: str,
+                      cand: np.ndarray) -> pa.Table:
+    """Exact verify of candidate hashes (collapses u64 collisions and
+    recovers the url strings): url-only re-read, runs ONLY when candidates
+    exist."""
+    if cand.size == 0:
+        return pa.table({key: pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64())})
+    cand_ref = ray.put(np.sort(cand))
+    survivors = ray.get([
+        _map_collect_candidates.remote(f, key, cand_ref) for f in paths
+    ])
+    flat = [u for part in survivors for u in part]
+    vc = pd.Series(flat, dtype=object).value_counts()
+    vc = vc[vc > 1]
+    return pa.table({key: pa.array(vc.index.astype(str), pa.string()),
+                     "count": pa.array(vc.to_numpy(), pa.int64())})
+
+
 def duplicates_to_violations(dups: pa.Table, key: str = "url") -> pa.Table:
     urls = dups[key].to_pylist()
     counts = dups["count"].to_pylist()

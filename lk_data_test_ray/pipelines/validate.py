@@ -33,16 +33,33 @@ import time
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from ..checks.drift import chi_square_drift
 from ..checks.row import (make_scan_check_fn, merge_stats, plan_scan_items,
-                          split_combined)
-from ..checks.uniqueness import duplicates_to_violations, find_duplicate_urls
+                          split_combined, split_items)
+from ..checks.uniqueness import (collector_candidates, duplicates_to_violations,
+                                 find_duplicate_urls, make_collectors,
+                                 verify_candidates, _feed_collector)
 from ..schema import VIOLATIONS_SCHEMA
 from ..state.manifest import ManifestStore
 
 ENGINE_VERSION = "0.1.0"
+
+
+@ray.remote
+def _spec_scan_item(item: dict, check_extract: bool, clean_dir,
+                    c1_collectors):
+    """Speculative (backup) execution of one straggling scan item — the same
+    fused read+check fn the row phase runs, first-result-wins. Safe to
+    duplicate: clean-output writes are atomic per (pid, rg_lo), C1 hash adds
+    are idempotent by item key, and the consume loop drops the slower copy's
+    violations/stats by item-key dedup."""
+    fn = make_scan_check_fn(check_extract=check_extract, clean_dir=clean_dir,
+                            c1_collectors=c1_collectors)
+    return fn(pa.table({k: [item[k]]
+                        for k in ("path", "rg_lo", "rg_hi", "pid")}))
 
 CHECK_IDS = ["c0_schema", "c1_url_unique", "c2_nonnull", "c3_lang_vocab",
              "c4_ts_range", "c5_lang_drift", "c6_extract_match"]
@@ -72,9 +89,21 @@ def run_validation(
     use_actor_pool: bool = False,
     scan_target_rows: int | None = None,
     collect_ray_stats: bool = False,
+    fuse_c1: bool = True,
+    speculative: bool | str = True,
 ) -> dict:
-    """Run the full suite; returns the summary dict (also written as JSON)."""
+    """Run the full suite; returns the summary dict (also written as JSON).
+
+    ``fuse_c1``: feed the C1 uniqueness exchange from url hashes emitted by
+    the fused scan tasks (no second parquet pass); False falls back to the
+    standalone concurrent url-only exchange.
+    ``speculative``: re-issue straggling scan items as backup tasks once
+    ≥95% of items have arrived and arrivals have stalled (first-result-wins;
+    commits, clean-output writes and C1 adds are all idempotent). The string
+    ``"force"`` re-issues every outstanding item immediately (test hook).
+    """
     import threading
+    import zlib
 
     t0 = time.time()
     files = _pages_files(pages_path)
@@ -87,19 +116,35 @@ def run_validation(
     todo = [f for f in files if partition_of[f] not in done]
     ray_stats = None
 
-    # ---- global C1 uniqueness runs CONCURRENTLY with the row phase ----------
-    # (independent datasets: C1 re-reads only the url column; Ray Data
-    # schedules both pipelines side by side, hiding the shuffle latency)
+    # ---- global C1 uniqueness ------------------------------------------------
+    # Fused mode: the scan tasks already hold every url column and push
+    # pre-aggregated (hash, count) partials into collector actors as a side
+    # output — the corpus is read ONCE for both phases. Previously-committed
+    # partitions (resume) never re-scan, so a url-only feed task covers them
+    # concurrently with the row phase. Fallback mode runs the standalone
+    # two-pass exchange concurrently on a thread.
+    collectors = None
+    feed_refs: list = []
     c1_result: dict = {}
+    if fuse_c1:
+        collectors = make_collectors()
+        done_files = [f for f in files if partition_of[f] in done]
+        feed_refs = [
+            _feed_collector.remote(
+                f, "url",
+                collectors[zlib.crc32(f"file:{f}".encode()) % len(collectors)],
+                f"file:{f}")
+            for f in done_files
+        ]
+    else:
+        def _c1():
+            try:
+                c1_result["dups"] = find_duplicate_urls(files)
+            except Exception as ex:  # surface after the row phase
+                c1_result["error"] = ex
 
-    def _c1():
-        try:
-            c1_result["dups"] = find_duplicate_urls(files)
-        except Exception as ex:  # surface after the row phase
-            c1_result["error"] = ex
-
-    c1_thread = threading.Thread(target=_c1, daemon=True)
-    c1_thread.start()
+        c1_thread = threading.Thread(target=_c1, daemon=True)
+        c1_thread.start()
 
     # ---------------- row phase: ONE streaming execution ---------------------
     # fused read+check over a Dataset of (file, row-group range) scan items:
@@ -148,11 +193,13 @@ def run_validation(
             combined = ds.map_batches(
                 ScanCheckActor,
                 fn_constructor_kwargs=dict(check_extract=check_extract,
-                                           clean_dir=clean_dir), **kwargs)
+                                           clean_dir=clean_dir,
+                                           c1_collectors=collectors), **kwargs)
         else:
             combined = ds.map_batches(
                 make_scan_check_fn(check_extract=check_extract,
-                                   clean_dir=clean_dir), **kwargs)
+                                   clean_dir=clean_dir,
+                                   c1_collectors=collectors), **kwargs)
 
         pend_viol: dict[int, list[pa.Table]] = {}
         pend_stats: dict[int, list[dict]] = {}
@@ -182,26 +229,124 @@ def run_validation(
         # commits run on background threads so parquet/manifest writes
         # overlap the stream instead of stalling consumption (safe: a pid is
         # submitted exactly once, and commits touch disjoint files/buffers)
+        import queue as _queue
+
         from concurrent.futures import ThreadPoolExecutor
 
+        total_items = len(items)
+        item_info = {(it["pid"], (it["rg_lo"], it["rg_hi"])): it
+                     for it in items}
+        arrived: set = set()
+        arrival_ts: list[float] = []
+        spec_submitted: set = set()
+        q: _queue.Queue = _queue.Queue()
+        stop_evt = threading.Event()
+
+        def _consume():
+            # the Dataset stream feeds the same queue as speculative results
+            try:
+                for tbl in combined.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None):
+                    q.put(("data", tbl))
+                    if stop_evt.is_set():
+                        break
+            except Exception as ex:
+                q.put(("err", ex))
+            finally:
+                q.put(("end", None))
+
+        def _spec_getter(refs: list):
+            pending = list(refs)
+            while pending:
+                ready, pending = ray.wait(pending, num_returns=1)
+                try:
+                    q.put(("data", ray.get(ready[0])))
+                except Exception as ex:
+                    q.put(("err", ex))
+
+        def _maybe_speculate(force: bool = False):
+            # re-issue the straggling tail as backup tasks: identical scan
+            # items have been measured spreading 172ms→5.6s under host CPU
+            # steal (BASELINE.md ds.stats() evidence) — the tail, not the
+            # median, sets the row-phase wall. Triggers only when ≤5% of
+            # items remain AND arrivals have stalled vs the observed
+            # arrival cadence, so a healthy run never duplicates work.
+            if not speculative:
+                return
+            missing = [k for k in item_info
+                       if k not in arrived and k not in spec_submitted]
+            if not missing:
+                return
+            remaining = total_items - len(arrived)
+            if speculative != "force" and not force:
+                if total_items < 16 or remaining > max(1, total_items // 20):
+                    return
+                if not arrival_ts:
+                    return
+                import numpy as _np
+
+                stall = time.time() - arrival_ts[-1]
+                gaps = _np.diff(_np.asarray(arrival_ts[-64:]))
+                med_gap = float(_np.median(gaps)) if gaps.size else 0.0
+                if stall < max(2.0, 6.0 * med_gap):
+                    return
+            refs = [_spec_scan_item.remote(item_info[k], check_extract,
+                                           clean_dir, collectors)
+                    for k in missing]
+            spec_submitted.update(missing)
+            threading.Thread(target=_spec_getter, args=(refs,),
+                             daemon=True).start()
+
+        consumer = threading.Thread(target=_consume, daemon=True)
+        consumer.start()
+        if speculative == "force":
+            # test hook: duplicate EVERY item from t=0 so the arrival-dedup
+            # path is exercised under total duplication, not just the tail
+            _maybe_speculate()
         with ThreadPoolExecutor(max_workers=4) as commit_ex:
             futs = []
             submitted: set = set()
-            for tbl in combined.iter_batches(batch_format="pyarrow",
-                                             batch_size=None):
-                viol, partials = split_combined([tbl])
+            while len(arrived) < total_items:
+                try:
+                    kind, payload = q.get(timeout=0.25)
+                except _queue.Empty:
+                    _maybe_speculate()
+                    continue
+                if kind == "err":
+                    raise payload
+                if kind == "end":
+                    # stream closed with items missing: backup tasks are the
+                    # only way to finish (in-flight speculations still count)
+                    if not speculative and len(arrived) < total_items:
+                        raise RuntimeError(
+                            f"row phase ended with {total_items - len(arrived)}"
+                            " scan items unaccounted for")
+                    _maybe_speculate(force=True)
+                    continue
                 done_pids = []
-                for pid, p in partials:
-                    pend_stats.setdefault(pid, []).append(p)
-                    seen[pid] += 1
-                    if seen[pid] == expected[pid]:
-                        done_pids.append(pid)
-                if viol.num_rows:
-                    for pid in pc.unique(viol["partition_id"]).to_pylist():
-                        pend_viol.setdefault(pid, []).append(
-                            viol.filter(pc.equal(viol["partition_id"], pid)))
+                for item_tbl in split_items(payload):
+                    viol, partials = split_combined([item_tbl])
+                    if partials:
+                        pid, p = partials[0]
+                        ikey = (pid, tuple(p["item"])) if p.get("item") \
+                            else (pid, None)
+                        if ikey in arrived:
+                            continue  # slower copy of a speculated item
+                        arrived.add(ikey)
+                        arrival_ts.append(time.time())
+                        pend_stats.setdefault(pid, []).append(p)
+                        seen[pid] += 1
+                        if seen[pid] == expected[pid]:
+                            done_pids.append(pid)
+                    if viol.num_rows:
+                        for pid in pc.unique(
+                                viol["partition_id"]).to_pylist():
+                            pend_viol.setdefault(pid, []).append(
+                                viol.filter(
+                                    pc.equal(viol["partition_id"], pid)))
                 futs += [commit_ex.submit(_commit, pid) for pid in done_pids]
                 submitted.update(done_pids)
+            stop_evt.set()
             # partitions that somehow missed an expected-count trigger (a
             # defensive sweep; NOT pids merely pending on the commit thread —
             # re-submitting those would overwrite their manifest with empty
@@ -223,10 +368,20 @@ def run_validation(
     global_stats = merge_stats(all_stats)
 
     # ---------------- global phase: C1 uniqueness ----------------------------
-    c1_thread.join()
-    if "error" in c1_result:
-        raise c1_result["error"]
-    c1_viol = duplicates_to_violations(c1_result["dups"])
+    if fuse_c1:
+        ray.get(feed_refs)  # resume-path url feeds (no-op on a fresh run)
+        cand = collector_candidates(collectors)
+        # exact verify (url strings + u64-collision collapse) only touches
+        # parquet again when candidates exist — and then only url columns
+        dups = verify_candidates(files, "url", cand)
+        for col in collectors:
+            ray.kill(col)
+        c1_viol = duplicates_to_violations(dups)
+    else:
+        c1_thread.join()
+        if "error" in c1_result:
+            raise c1_result["error"]
+        c1_viol = duplicates_to_violations(c1_result["dups"])
 
     # ---------------- global phase: C5 drift ---------------------------------
     drift = None
