@@ -141,6 +141,15 @@ class C1Collector:
         self._c: list = []
         self._compact_every = compact_every
 
+    def reset(self) -> bool:
+        """Clear state for pool reuse — actor process spawn costs ~2 s each
+        (BASELINE.md), so validate runs recycle one session-lived pool
+        instead of paying a cold-actor wave that the scan's first items
+        block on."""
+        self._seen.clear()
+        self._h, self._c = [], []
+        return True
+
     def add(self, item_key: str, hashes: np.ndarray, counts: np.ndarray) -> bool:
         if item_key in self._seen:
             return False
@@ -197,10 +206,33 @@ def _feed_collector(path: str, key: str, collector, item_key: str) -> bool:
     return ray.get(collector.add.remote(item_key, hu, cu.astype(np.int64)))
 
 
-def make_collectors(n: int | None = None) -> list:
+_COLLECTOR_POOL: dict = {}  # n → session-lived list of collector handles
+
+
+def make_collectors(n: int | None = None, reuse: bool = True) -> list:
+    """A ring of collector actors sized to the cluster.
+
+    ``reuse=True`` (default) recycles one session-lived pool per size after
+    resetting its state: collectors are num_cpus=0 and hold no state between
+    runs, while a fresh pool costs an actor-spawn wave (~2 s/actor) that the
+    scan's first items would block on. A pool whose actors died with a
+    previous Ray session is detected by the reset ping and rebuilt.
+    Concurrent run_validation calls in one driver must pass reuse=False for
+    all but one of them (per-item idempotence keys would collide)."""
     if n is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n = max(2, min(16, cpus // 2))
+        n = max(2, min(8, cpus // 4))
+    if reuse:
+        pool = _COLLECTOR_POOL.get(n)
+        if pool is not None:
+            try:
+                ray.get([c.reset.remote() for c in pool], timeout=10)
+                return pool
+            except Exception:
+                pass  # dead pool (new ray session): rebuild below
+        pool = [C1Collector.remote() for _ in range(n)]
+        _COLLECTOR_POOL[n] = pool
+        return pool
     return [C1Collector.remote() for _ in range(n)]
 
 

@@ -368,14 +368,16 @@ def run_validation(
     global_stats = merge_stats(all_stats)
 
     # ---------------- global phase: C1 uniqueness ----------------------------
+    t_row_done = time.time()
     if fuse_c1:
         ray.get(feed_refs)  # resume-path url feeds (no-op on a fresh run)
         cand = collector_candidates(collectors)
         # exact verify (url strings + u64-collision collapse) only touches
         # parquet again when candidates exist — and then only url columns
         dups = verify_candidates(files, "url", cand)
-        for col in collectors:
-            ray.kill(col)
+        # collectors are NOT killed: the pool is session-lived and recycled
+        # by make_collectors(reuse=True) — respawning actors per run costs
+        # a cold-start wave the first scan items block on
         c1_viol = duplicates_to_violations(dups)
     else:
         c1_thread.join()
@@ -432,6 +434,8 @@ def run_validation(
             per_check[c] = per_check.get(c, 0) + n
     wall = time.time() - t0
     summary = {
+        "phase_wall": {"row": round(t_row_done - t0, 3),
+                       "global": round(time.time() - t_row_done, 3)},
         "n_rows": global_stats["n_rows"],
         "n_partitions": len(files),
         "violations_total": int(sum(per_check.values())),
