@@ -3,11 +3,12 @@ frame-sample as actor-pool ``map_batches`` stages.
 
 No reference analog (the reference is text/XML only) — this is the 'Beyond
 the reference' multimodal component. Media columns are opaque ``binary`` with
-typed metadata; the decode step is STUBBED (no image/audio libs in this
-container): ``DecodeStage(fake=False)`` raises ``NotImplementedError`` at
-actor construction, ``fake=True`` substitutes a deterministic fake decoder so
-the Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested.
+typed metadata. Decode is REAL for formats expressible with stdlib + numpy:
+PPM P6 (raw bytes), PNG (stdlib zlib inflate + per-scanline unfilter, all 5
+filter types), RIFF/WAVE PCM (header walk). JPEG/WebM genuinely need codec
+libraries not in this container and are skipped-with-kind — the ``DECODERS``
+registry is the seam where a deployment plugs them in (once per actor).
+``fake=True`` keeps a deterministic stub decoder for plumbing tests.
 
 Scale notes: large payloads ⇒ SMALL ``batch_size`` (a batch × concurrency
 must fit the worker heap); payload bytes stay zero-copy Arrow buffers until
@@ -146,8 +147,8 @@ class DecodeStage:
                 img = self._decode_fake(bytes(payload))
                 nch = 1
                 pooled = mean_pool(img[:, :, None], self.target_size)
-            elif kind in RAW_DECODABLE:
-                img = ppm_decode(bytes(payload))  # REAL decode
+            elif kind in DECODERS:
+                img = DECODERS[kind](bytes(payload))  # REAL decode
                 nch = img.shape[2]
                 pooled = mean_pool(img, self.target_size)
                 img = img.mean(axis=2)  # gray for the histogram feature
@@ -238,6 +239,11 @@ class FrameSampleStage:
 
 RAW_DECODABLE = {"image/ppm"}
 
+# kind → REAL decoder fn (payload bytes → uint8 HxWxC). ppm is raw bytes;
+# png is stdlib-zlib + numpy unfilter (below). jpeg/webm need codec
+# libraries not in this container — a deployment registers them here.
+DECODERS: dict = {}
+
 
 def ppm_encode(img: np.ndarray) -> bytes:
     """uint8 HxWx3 array → binary PPM (P6)."""
@@ -302,6 +308,160 @@ def mean_pool(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
     v = img[:hh, :ww].astype(np.float64)
     v = v.reshape(hh // fh, fh, ww // fw, fw, -1).mean(axis=(1, 3))
     return v
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec — stdlib zlib + numpy only (no codec library): critical-chunk
+# walk, IDAT inflate, per-scanline unfilter per the PNG spec (all 5 filter
+# types), 8-bit gray / gray+alpha / RGB / RGBA, no interlace, no palette.
+# This moves the "real decode" boundary to cover the most common web image
+# format; JPEG/WebM genuinely need codec libraries and stay documented stubs
+# (a deployment registers their decoders in DecodeStage.__init__).
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def png_encode(img: np.ndarray, filters: str | int = "cycle",
+               compress_level: int = 6) -> bytes:
+    """uint8 HxW / HxWxC (C∈{1,2,3,4}) array → PNG bytes.
+
+    ``filters``: per-scanline filter selection — an int fixes one type,
+    ``"cycle"`` uses ``y % 5`` so every filter type (None/Sub/Up/Average/
+    Paeth) appears in multi-row images; all five are computed vectorized
+    from the reconstructed image (left/up/upper-left are just shifts)."""
+    import struct
+    import zlib
+
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("png_encode expects uint8 HxW or HxWxC")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    colt = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    arr = img.reshape(h, w * ch).astype(np.int16)
+    up = np.zeros_like(arr)
+    up[1:] = arr[:-1]
+    left = np.zeros_like(arr)
+    left[:, bpp:] = arr[:, :-bpp]
+    ul = np.zeros_like(arr)
+    ul[1:, bpp:] = arr[:-1, :-bpp]
+    cand = np.empty((5, h, w * ch), np.uint8)
+    cand[0] = arr.astype(np.uint8)
+    cand[1] = (arr - left).astype(np.uint8)          # Sub
+    cand[2] = (arr - up).astype(np.uint8)            # Up
+    cand[3] = (arr - ((left + up) >> 1)).astype(np.uint8)  # Average
+    p = left + up - ul                                # Paeth predictor
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    pred = np.where((pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up, ul))
+    cand[4] = (arr - pred).astype(np.uint8)
+    ftypes = (np.arange(h) % 5 if filters == "cycle"
+              else np.full(h, int(filters)))
+    raw = np.empty((h, w * ch + 1), np.uint8)
+    raw[:, 0] = ftypes
+    raw[:, 1:] = cand[ftypes, np.arange(h)]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colt, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT",
+                         zlib.compress(raw.tobytes(), compress_level))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 HxWxC array (REAL decode: chunk walk + zlib inflate
+    + per-scanline unfilter). None/Sub/Up unfilter vectorized per line (Sub
+    is a modular cumsum over per-channel lanes); Average/Paeth carry a
+    left-pixel dependency so they run a per-pixel loop vectorized over
+    channels — at a 100-TB multimodal curation scale the loop is bounded by
+    image width, and the stage parallelism is per-payload anyway."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    i, n = 8, len(payload)
+    w = h = ch = None
+    idat = []
+    while i + 8 <= n:
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + ln]
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitd, colt, _comp, _filt, interlace = data[8:13]
+            if bitd != 8 or colt not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (bitdepth={bitd} colortype={colt} "
+                    f"interlace={interlace}); only 8-bit non-interlaced "
+                    "gray/GA/RGB/RGBA")
+            ch = _PNG_CHANNELS[colt]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, lines = raw[:, 0], raw[:, 1:]
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    bpp = ch
+    for y in range(h):
+        f, line = int(ftypes[y]), lines[y]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: modular prefix-sum over per-channel lanes
+            rec = np.cumsum(line.reshape(w, bpp), axis=0,
+                            dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256 per the spec
+        elif f == 3:  # Average: floor((left+up)/2), left-sequential
+            rec = np.empty(stride, np.uint8)
+            la = np.zeros(bpp, np.int16)
+            p16 = prev.astype(np.int16)
+            l16 = line.astype(np.int16)
+            for x in range(0, stride, bpp):
+                la = (l16[x:x + bpp] + ((la + p16[x:x + bpp]) >> 1)) & 0xFF
+                rec[x:x + bpp] = la
+        elif f == 4:  # Paeth, left-sequential
+            rec = np.empty(stride, np.uint8)
+            la = np.zeros(bpp, np.int16)
+            ua = np.zeros(bpp, np.int16)
+            p16 = prev.astype(np.int16)
+            l16 = line.astype(np.int16)
+            for x in range(0, stride, bpp):
+                b = p16[x:x + bpp]
+                p = la + b - ua
+                pa, pb, pc = np.abs(p - la), np.abs(p - b), np.abs(p - ua)
+                pred = np.where((pa <= pb) & (pa <= pc), la,
+                                np.where(pb <= pc, b, ua))
+                la = (l16[x:x + bpp] + pred) & 0xFF
+                ua = b
+                rec[x:x + bpp] = la
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+DECODERS["image/ppm"] = ppm_decode
+DECODERS["image/png"] = png_decode
 
 
 # ---------------------------------------------------------------------------

@@ -5004,6 +5004,48 @@ def mm_decode_ppm(sf_dir: str) -> rd.Dataset:
                                  "n_channels"])
 
 
+def mm_decode_png(sf_dir: str) -> rd.Dataset:
+    """REAL PNG decode end-to-end with a FULL-VALUE oracle (stdlib zlib +
+    numpy — no codec library): each embedding row renders a 16x16 RGB PNG
+    whose pixel bytes are the integer sequence
+    ``(vec_id*2654435761 + j*97) % 256`` (j = row-major byte index) with the
+    scanline filter type CYCLING 0..4, so decoding exercises every unfilter
+    branch (None/Sub/Up/Average/Paeth). The query returns the dimensions
+    and the SUM OF DECODED PIXELS — exactly recomputable in SQL from
+    vec_id, so a single wrong byte anywhere in the inflate/unfilter path
+    hash-mismatches the oracle."""
+    from .multimodal import png_decode, png_encode
+
+    emb = read(sf_dir, "embeddings", ["vec_id"])
+    out_schema = pa.schema([
+        ("url", pa.string()), ("kind", pa.string()),
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("n_channels", pa.int32()), ("px_sum", pa.int64())])
+
+    def render_decode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(16 * 16 * 3, dtype=np.int64)
+        urls, sums = [], []
+        for vid in ids:
+            px = ((vid * 2654435761 + j * 97) % 256).astype(np.uint8)
+            payload = png_encode(px.reshape(16, 16, 3), filters="cycle")
+            img = png_decode(payload)  # REAL decode of the real bytes
+            urls.append(str(vid))
+            sums.append(int(img.sum(dtype=np.int64)))
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array([16] * n, pa.int32()),
+            "height": pa.array([16] * n, pa.int32()),
+            "n_channels": pa.array([3] * n, pa.int32()),
+            "px_sum": pa.array(sums, pa.int64()),
+        }, schema=out_schema)
+
+    return emb.map_batches(render_decode, batch_format="pyarrow",
+                           batch_size=256)
+
+
 def mm_frame_ppm(sf_dir: str) -> rd.Dataset:
     """REAL video-shape frame sampling: each embedding row renders an
     uncompressed 12-frame stream of concatenated 8x8 P6 PPMs; the
