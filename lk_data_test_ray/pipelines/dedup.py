@@ -70,10 +70,16 @@ def first_wins(ds: rd.Dataset, keys: list[str], id_col: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
-    """Distinct word-k-shingles per row → tall (id, shingle) table."""
+def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int,
+                  with_size: bool = False) -> pa.Table:
+    """Distinct word-k-shingles per row → tall (id, shingle) table.
+
+    ``with_size=True`` appends an ``sz`` column (the doc's distinct-shingle
+    count, repeated per row): per-doc set size is computable from the doc
+    row alone, so carrying it here lets the dense matmul path skip a whole
+    groupby exchange just to recover |A|."""
     toks = pc.split_pattern_regex(batch[text_col].combine_chunks(), TOKEN_SPLIT)
-    ids_out, sh_out = [], []
+    ids_out, sh_out, sz_out = [], [], []
     for rid, tl in zip(batch[id_col].to_pylist(), toks.to_pylist()):
         if not tl:
             continue
@@ -83,8 +89,13 @@ def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Tab
             sh = {" ".join(tl[i:i + k]) for i in range(len(tl) - k + 1)}
         ids_out.extend([rid] * len(sh))
         sh_out.extend(sorted(sh))
-    return pa.table({id_col: pa.array(ids_out, batch[id_col].type),
-                     "shingle": pa.array(sh_out, pa.string())})
+        if with_size:
+            sz_out.extend([len(sh)] * len(sh))
+    cols = {id_col: pa.array(ids_out, batch[id_col].type),
+            "shingle": pa.array(sh_out, pa.string())}
+    if with_size:
+        cols["sz"] = pa.array(sz_out, pa.int32())
+    return pa.table(cols)
 
 
 def shingle_jaccard_pairs(
@@ -595,51 +606,102 @@ def shingle_jaccard_pairs_matmul(
     exact oracle; at 10^12 rows use ``minhash_lsh_pairs`` (sub-quadratic by
     construction). Falls back to the inverted-index plan when the dense
     matrix would exceed ``max_dense_cells`` — and the guard is computed from
-    DISTRIBUTED scalar aggregates BEFORE anything is collected to the driver
+    DISTRIBUTED aggregates BEFORE anything is collected to the driver
     (round 1 collected the full (id, shingle) table first, so at the scale
     that needs the fallback the driver would OOM before reaching it).
+
+    The dense matrix carries ONLY shingles with document frequency ≥ 2:
+    a df==1 shingle cannot contribute to any intersection, and on web-ish
+    corpora singletons are most of the vocabulary — dropping them shrinks
+    the matrix (and the guard's cell count) several-fold, which keeps the
+    fast dense path live at corpus sizes the full-vocabulary guard would
+    needlessly route to the ~10x-slower inverted plan. Set sizes |A| still
+    count ALL shingles (carried per-row from the shingling pass), so scores
+    are bit-identical to the inverted plan. Docs whose every shingle is a
+    singleton drop out of the matrix entirely — they can pair with nobody.
     """
-    sh = ds.map_batches(
-        lambda b: _shingle_rows(b, id_col, text_col, k),
-        batch_format="pyarrow").materialize()
-    # guard inputs from DISTRIBUTED partials in ONE pass: HLL estimates of
-    # BOTH the doc count and the global vocabulary size (per-batch sketch
-    # partials, OR-merged — ±2% at precision 12, each padded 10%; the guard
-    # only needs the right order of magnitude). Σ per-doc distinct would
-    # over-estimate shared vocabularies ~10x and push the dense path into
-    # the (much slower) inverted-index fallback needlessly; a separate
-    # grouped doc count paid one more full exchange for exactness the guard
-    # does not need.
-    from ..sketches import HyperLogLog
-
-    def guard_partial(batch: pa.Table) -> pa.Table:
-        hs = HyperLogLog(12)
-        hs.update_strings(np.asarray(batch["shingle"].to_pylist(),
-                                     dtype=object))
-        hd = HyperLogLog(12)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        hd.update_hashes(ids.view(np.uint64)
-                         * np.uint64(0x9E3779B97F4A7C15))
-        return pa.table({"sh_blob": pa.array([hs.to_bytes()], pa.binary()),
-                         "id_blob": pa.array([hd.to_bytes()], pa.binary())})
-
-    m_sh, m_id = HyperLogLog(12), HyperLogLog(12)
-    for row in sh.map_batches(guard_partial,
-                              batch_format="pyarrow").take_all():
-        m_sh = m_sh.merge(HyperLogLog.from_bytes(row["sh_blob"]))
-        m_id = m_id.merge(HyperLogLog.from_bytes(row["id_blob"]))
-    n_sh_est = int(m_sh.estimate() * 1.1) + 1
-    n_docs = int(m_id.estimate() * 1.1) + 1
-    if n_docs * n_sh_est > max_dense_cells:
-        return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
-                                     threshold=threshold, _sh=sh,
-                                     metric=metric)
-    # small by the guard: compact global vocabulary built driver-side
-    # (shingle text never leaves as pair rows)
+    from ..functions.hashing import hash_strings64
     from ..relational import collect_tables
 
+    sh = ds.map_batches(
+        lambda b: _shingle_rows(b, id_col, text_col, k, with_size=True),
+        batch_format="pyarrow").materialize()
+
+    # exact df per shingle HASH (u64): per-batch np.unique partials streamed
+    # to the driver and merged incrementally under a HARD CAP. The cap is
+    # sized from max_dense_cells / n_docs — i.e. the largest keep-set the
+    # dense path could possibly use — so driver memory stays O(cap) no
+    # matter the corpus; blowing the cap IS the fallback signal (at that
+    # vocabulary the dense path is wrong anyway). This replaces a full Ray
+    # groupby exchange whose fixed cost (~3 s) dwarfed the 16 B/row it moved.
+    def hash_partial(b: pa.Table) -> pa.Table:
+        h = hash_strings64(np.asarray(b["shingle"].to_pylist(), dtype=object))
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64), pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    n_docs_ub = ds.count()  # parquet metadata / block counts: no extra pass
+    cap = max(int(max_dense_cells // max(n_docs_ub, 1)) * 4, 1 << 20)
+    acc_h = [np.empty(0, np.uint64)]
+    acc_c = [np.empty(0, np.int64)]
+    acc_rows, over = 0, False
+
+    def compact() -> tuple[np.ndarray, np.ndarray]:
+        allh = np.concatenate(acc_h)
+        merged, inv = np.unique(allh, return_inverse=True)
+        counts = np.bincount(inv, weights=np.concatenate(acc_c)
+                             ).astype(np.int64)
+        return merged, counts
+
+    for t in sh.map_batches(hash_partial, batch_format="pyarrow"
+                            ).iter_batches(batch_format="pyarrow",
+                                           batch_size=None):
+        acc_h.append(t["h"].to_numpy(zero_copy_only=False).view(np.uint64))
+        acc_c.append(t["c"].to_numpy(zero_copy_only=False))
+        acc_rows += len(t)
+        if acc_rows > 2 * cap:  # bound driver memory between compactions
+            mh, mc = compact()
+            acc_h, acc_c, acc_rows = [mh], [mc], len(mh)
+            if len(mh) > cap:
+                over = True
+                break
+    if over:
+        return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
+                                     threshold=threshold,
+                                     _sh=sh.drop_columns(["sz"]),
+                                     metric=metric)
+    mh, mc = compact()
+    keep_h = mh[mc >= 2]  # df==1 shingles cannot intersect anything
+    n_sh2 = len(keep_h)
+    if n_sh2 == 0:
+        out_schema = pa.schema([
+            ("id_a", pa.int64()), ("id_b", pa.int64()),
+            ("containment" if metric == "overlap" else "jaccard",
+             pa.float64())])
+        return rd.from_arrow(out_schema.empty_table())
+    if n_docs_ub * n_sh2 > max_dense_cells or n_docs_ub > 2_000_000:
+        # (the doc cap bounds the driver-side factorize below, not the math)
+        return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
+                                     threshold=threshold,
+                                     _sh=sh.drop_columns(["sz"]),
+                                     metric=metric)
+    # small by the guard: broadcast the df≥2 hash set, filter the shingle
+    # rows DISTRIBUTED, and collect only the surviving (id, shingle, sz)
+    # rows (hash collisions can only keep an extra singleton — harmless)
+    keep_ref = ray.put(keep_h)  # np.unique output: already sorted
+
+    def filt(b: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        h = hash_strings64(np.asarray(b["shingle"].to_pylist(), dtype=object))
+        idx = np.searchsorted(keep, h)
+        idx[idx == len(keep)] = 0
+        mask = keep[idx] == h if len(keep) else np.zeros(len(h), bool)
+        return b.filter(pa.array(mask))
+
     sh_tbl = collect_tables(
-        sh, pa.schema([(id_col, pa.int64()), ("shingle", pa.string())]))
+        sh.map_batches(filt, batch_format="pyarrow"),
+        pa.schema([(id_col, pa.int64()), ("shingle", pa.string()),
+                   ("sz", pa.int32())]))
     import pandas as pd
 
     ids_np = np.asarray(sh_tbl[id_col].to_pandas())
@@ -649,7 +711,10 @@ def shingle_jaccard_pairs_matmul(
 
     S = np.zeros((n_docs, n_sh), dtype=np.float32)
     S[doc_codes, sh_codes] = 1.0
-    sizes = S.sum(axis=1)
+    # |A| = FULL distinct-shingle count (incl. dropped singletons), carried
+    # per row by the shingling pass; any row of a doc has it
+    sizes = np.zeros(n_docs, dtype=np.float64)
+    sizes[doc_codes] = sh_tbl["sz"].to_numpy(zero_copy_only=False)
     mat_ref = ray.put((S, sizes, doc_ids))
 
     blocks = [{"lo": lo, "hi": min(lo + 1024, n_docs)}
@@ -659,17 +724,19 @@ def shingle_jaccard_pairs_matmul(
         S_, sizes_, ids_ = ray.get(mat_ref)
         out_a, out_b, out_j = [], [], []
         for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist()):
-            inter = S_[lo:hi] @ S_.T  # (block, n_docs)
+            # pairs need id_a < id_b by sorted position, so only multiply
+            # against columns ≥ lo — halves total FLOPs across blocks
+            inter = S_[lo:hi] @ S_[lo:].T  # (block, n_docs - lo)
             if metric == "overlap":
-                denom = np.minimum(sizes_[lo:hi, None], sizes_[None, :])
+                denom = np.minimum(sizes_[lo:hi, None], sizes_[None, lo:])
             else:
-                denom = sizes_[lo:hi, None] + sizes_[None, :] - inter
+                denom = sizes_[lo:hi, None] + sizes_[None, lo:] - inter
             jac = inter / np.maximum(denom, 1.0)
             rows, cols = np.nonzero(jac >= threshold)
-            keep = (rows + lo) < cols  # id_a < id_b by sorted position
+            keep = rows < cols  # both relative to lo
             rows, cols = rows[keep], cols[keep]
             out_a.extend(ids_[rows + lo])
-            out_b.extend(ids_[cols])
+            out_b.extend(ids_[cols + lo])
             out_j.extend(round_half_away(jac[rows, cols].astype(np.float64), 6))
         return pa.table({
             "id_a": pa.array(out_a, pa.int64()),
