@@ -975,12 +975,19 @@ def oracle_sql() -> dict[str, str]:
                 EXCEPT
                 SELECT user_id FROM events WHERE event_type = 'error')
         """,
+        # exact fixed-point: every term is a 2/4-decimal DECIMAL, so sums
+        # are exact and scale-independent (float64 sums drift ULPs at sf0.1)
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(1 - l_discount AS DECIMAL(8,2))), 2)
+                        AS DOUBLE) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DOUBLE) / count(*), 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

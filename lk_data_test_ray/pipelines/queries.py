@@ -62,22 +62,58 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     def pre(batch: pa.Table) -> pa.Table:
         mask = pc.less_equal(batch["l_shipdate"], pa.scalar(Q1_CUTOFF))
         batch = batch.filter(mask)
-        disc = pc.multiply(batch["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("disc_price", disc)
+        # exact fixed-point: prices/discounts are 2-decimal values, so
+        # cents (int64) and cents×(100·(1−d)) (int64, ≤1.1e9/row) are exact;
+        # integer sums are associative, so the distributed merge is
+        # bit-identical to DuckDB's DECIMAL oracle at ANY scale — float64
+        # partial sums drifted one ULP from the oracle at sf0.1 (2.9e9
+        # totals), which a rounded compare can surface
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = np.round(price * 100.0).astype(np.int64)
+        disc_c4 = cents * np.round((1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c2": pa.array(np.round(qty * 100.0).astype(np.int64)),
+            "price_c2": pa.array(cents),
+            "disc_c4": pa.array(disc_c4),
+        })
 
     agg = partial_groupby_agg(
         ds, ["l_returnflag", "l_linestatus"],
-        [("l_quantity", "sum", "sum_qty"),
-         ("l_extendedprice", "sum", "sum_base_price"),
-         ("disc_price", "sum", "sum_disc_price"),
-         ("l_quantity", "mean", "avg_qty"),
-         ("l_quantity", "count", "count_order")],
+        [("qty_c2", "sum", "sum_qty_c2"),
+         ("price_c2", "sum", "sum_base_price_c2"),
+         ("disc_c4", "sum", "sum_disc_price_c4"),
+         ("qty_c2", "count", "count_order")],
         pre=pre,
     )
-    return agg.map_batches(_round_stage(
-        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6}),
-        batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from ..relational import round_half_away
+
+        n = batch["count_order"].to_numpy(zero_copy_only=False)
+        qty = batch["sum_qty_c2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pa.array(qty / 100.0, pa.float64()),
+            "sum_base_price": pa.array(
+                batch["sum_base_price_c2"].to_numpy(zero_copy_only=False)
+                / 100.0, pa.float64()),
+            # round half away from zero to 2 decimals IN INTEGERS (values
+            # are positive), then the /100.0 float is the nearest float64
+            # of the exact decimal — same on the DuckDB DECIMAL side
+            "sum_disc_price": pa.array(
+                (batch["sum_disc_price_c4"].to_numpy(zero_copy_only=False)
+                 + 50) // 100 / 100.0, pa.float64()),
+            "avg_qty": pa.array(
+                round_half_away(qty / 100.0 / n, 6), pa.float64()),
+            "count_order": batch["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q3_top_orders(sf_dir: str) -> rd.Dataset:

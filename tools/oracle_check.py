@@ -20,12 +20,12 @@ import ray
 
 sys.path.insert(0, "/root/repo")
 
-# queries whose oracle SQL embeds the sf0.01 pages-fixture path
-PINNED_TO_SF001 = {"mm_payload_meta", "mm_decode_feats", "mm_frame_sample",
-                   "pages_host_counts", "g_pagerank", "pages_redact",
-                   "pages_links", "pages_dangling_links", "pages_url_canon",
-                   "v_daily_lang_drift", "g_degree_stats", "g_components",
-                   "pages_latest_per_host", "g_triangles"}
+def pinned_to_sf001(oracles: dict) -> set:
+    """Queries whose rendered oracle SQL reads the sf0.01 pages fixture by
+    absolute path (oracle_sql() is static; the driver compares at sf0.01) —
+    detected from the SQL text so new fixture-backed queries are never
+    silently compared against the wrong scale."""
+    return {name for name, sql in oracles.items() if "/lk_pages/" in sql}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -107,7 +107,8 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
-        if name in PINNED_TO_SF001 and not sf_dir.rstrip("/").endswith("sf0.01"):
+        if (name in pinned_to_sf001(oracles)
+                and not sf_dir.rstrip("/").endswith("sf0.01")):
             # these oracles read the sf0.01 pages fixture by absolute path
             # (oracle_sql() is static; the driver compares at sf0.01) — at
             # any other sf the comparison mismatches by construction
