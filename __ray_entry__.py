@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_follow_within": q.j_follow_within,
         "mm_decode_ppm": q.mm_decode_ppm,
         "mm_decode_png": q.mm_decode_png,
+        "mm_decode_gif": q.mm_decode_gif,
         "mm_frame_ppm": q.mm_frame_ppm,
         "j_scd2_history": q.j_scd2_history,
         "td_decontaminate_embed": q.td_decontaminate_embed,
@@ -758,6 +759,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS px_sum
             FROM embeddings e,
                  unnest(generate_series(0, 767)) AS t(j)
+            GROUP BY e.vec_id
+        """,
+        "mm_decode_gif": """
+            SELECT CAST(e.vec_id AS VARCHAR) AS url,
+                   'image/gif' AS kind,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS n_channels,
+                   CAST(SUM(((e.vec_id * 2654435761 + t.j * 97) % 256)
+                            + (((e.vec_id * 2654435761 + t.j * 97) % 256)
+                               * 7) % 256
+                            + (((e.vec_id * 2654435761 + t.j * 97) % 256)
+                               * 13) % 256)
+                        AS BIGINT) AS px_sum
+            FROM embeddings e,
+                 unnest(generate_series(0, 255)) AS t(j)
             GROUP BY e.vec_id
         """,
         "j_follow_within": """

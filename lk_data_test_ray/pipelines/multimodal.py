@@ -465,6 +465,239 @@ DECODERS["image/png"] = png_decode
 
 
 # ---------------------------------------------------------------------------
+# REAL GIF codec: GIF89a LZW — pure stdlib + numpy, no codec library.
+# The decoder is the deployment path (GIF is the third most common web image
+# format after JPEG/PNG); the encoder exists to render deterministic
+# fixtures, exactly like png_encode. Non-interlaced only (interlaced and
+# animated payloads raise with a clear kind — the actor-registry seam).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW over palette indices → raw code-stream bytes
+    (LSB-first bit packing, caller wraps into 255-byte sub-blocks).
+
+    Emits CLEAR first, grows the code width when the next table code would
+    no longer fit (mirror of the decoder's ``next == 1<<width`` rule, one
+    step ahead), and resets with CLEAR when the table hits 4096 codes."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    width = mcs + 1
+    emit(clear, width)
+    table: dict = {}
+    next_code = end + 1
+    px = indices.ravel()
+    cur = int(px[0])
+    for k in px[1:].tolist():
+        key = (cur, k)
+        hit = table.get(key)
+        if hit is not None:
+            cur = hit
+            continue
+        emit(cur, width)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset so both sides stay in sync
+            emit(clear, width)
+            table.clear()
+            next_code = end + 1
+            width = mcs + 1
+        cur = k
+    emit(cur, width)
+    emit(end, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> np.ndarray:
+    """GIF-variant LZW code stream → palette indices (uint8 array)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    # dictionary as (prefix_code, suffix_byte) arrays — materializing each
+    # entry's full byte string is O(len) per add; chains stay O(1)
+    prefix = np.full(4096, -1, np.int32)
+    suffix = np.zeros(4096, np.uint8)
+    suffix[:clear] = np.arange(clear, dtype=np.uint8)
+    out = np.empty(n_expected + 4096, np.uint8)  # slack for the last entry
+    n_out = 0
+    width = mcs + 1
+    next_code = end + 1
+    prev = -1
+    acc = n_bits = pos = 0
+    buf = np.frombuffer(data, np.uint8)
+    scratch = np.empty(4096, np.uint8)
+
+    def expand(code: int) -> int:
+        """Write code's byte string into scratch (reversed walk), return len."""
+        n = 0
+        c = code
+        while c >= 0:
+            scratch[n] = suffix[c]
+            n += 1
+            c = prefix[c] if c >= clear else -1
+            if c < clear and c >= 0:  # root code: one more byte then stop
+                scratch[n] = suffix[c]
+                n += 1
+                break
+        return n
+
+    while n_out < n_expected:
+        while n_bits < width:
+            if pos >= len(buf):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= int(buf[pos]) << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            prefix[:] = -1
+            next_code = end + 1
+            width = mcs + 1
+            prev = -1
+            continue
+        if code == end:
+            break
+        if prev < 0:  # first code after clear: a root code
+            if code >= clear:
+                raise ValueError("GIF LZW: non-root first code")
+            out[n_out] = suffix[code]
+            n_out += 1
+            prev = code
+            continue
+        if code < next_code:
+            n = expand(code)
+        elif code == next_code:  # KwKwK case: prev's string + its first byte
+            n = expand(prev)
+            # scratch holds reversed(prev_string); the entry is
+            # prev_string + first_byte, whose reverse is
+            # [first_byte] + reversed(prev_string)
+            first = scratch[n - 1]
+            scratch[1:n + 1] = scratch[:n].copy()
+            scratch[0] = first
+            n += 1
+        else:
+            raise ValueError("GIF LZW: code out of range")
+        entry_first = scratch[n - 1]  # reversed order: last slot = first byte
+        out[n_out:n_out + n] = scratch[:n][::-1]
+        n_out += n
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = entry_first
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if n_out < n_expected:
+        raise ValueError("GIF LZW: decoded fewer pixels than expected")
+    return out[:n_expected]
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) uint8 palette indices + (N, 3) uint8 palette → GIF89a bytes
+    with a global color table and REAL LZW-compressed image data."""
+    import struct
+
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("gif_encode expects uint8 HxW palette indices")
+    h, w = indices.shape
+    n_pal = len(palette)
+    if indices.max(initial=0) >= n_pal:
+        raise ValueError("palette index out of range")
+    # color table size: power of two ≥ max(n_pal, 2); field stores log2-1
+    bits = max(1, int(np.ceil(np.log2(max(n_pal, 2)))))
+    size = 1 << bits
+    gct = np.zeros((size, 3), np.uint8)
+    gct[:n_pal] = palette
+    mcs = max(2, bits)  # spec: LZW min code size ≥ 2
+    code_stream = _lzw_encode(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(code_stream), 255):
+        chunk = code_stream[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+            + gct.tobytes()
+            + b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([mcs]) + bytes(blocks)
+            + b";")
+
+
+def gif_decode(payload: bytes) -> np.ndarray:
+    """GIF bytes → uint8 HxWx3 array (REAL decode: header walk + LZW +
+    palette map). First image frame only; non-interlaced; extension blocks
+    (graphic control, comments, app) are skipped per spec."""
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[i:i + size * 3],
+                            np.uint8).reshape(size, 3)
+        i += size * 3
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            iw = int.from_bytes(payload[i + 5:i + 7], "little")
+            ih = int.from_bytes(payload[i + 7:i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                size = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload[i:i + size * 3],
+                                    np.uint8).reshape(size, 3)
+                i += size * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[i]
+            i += 1
+            parts = []
+            while payload[i] != 0:
+                ln = payload[i]
+                parts.append(payload[i + 1:i + 1 + ln])
+                i += 1 + ln
+            idx = _lzw_decode(b"".join(parts), mcs, iw * ih)
+            return pal[idx.reshape(ih, iw)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+DECODERS["image/gif"] = gif_decode
+
+
+# ---------------------------------------------------------------------------
 # REAL raw audio codec: RIFF/WAVE PCM 16-bit mono — header walk + numpy
 # frombuffer, no audio library.
 # ---------------------------------------------------------------------------

@@ -5082,6 +5082,51 @@ def mm_decode_png(sf_dir: str) -> rd.Dataset:
                            batch_size=256)
 
 
+def mm_decode_gif(sf_dir: str) -> rd.Dataset:
+    """REAL GIF decode end-to-end with a FULL-VALUE oracle (pure-Python
+    GIF89a LZW + numpy — no codec library): each embedding row renders a
+    16x16 paletted GIF whose palette indices are
+    ``(vec_id*2654435761 + j*97) % 256`` (j = row-major pixel) over the
+    fixed palette ``pal[i] = (i, i*7%256, i*13%256)``, LZW-compressed for
+    real (code-width growth and the KwKwK case both occur at this entropy).
+    The query returns dimensions and the SUM OF DECODED RGB BYTES — exactly
+    recomputable in SQL from vec_id, so any wrong byte in the LZW/palette
+    path hash-mismatches the oracle."""
+    from .multimodal import gif_decode, gif_encode
+
+    emb = read(sf_dir, "embeddings", ["vec_id"])
+    out_schema = pa.schema([
+        ("url", pa.string()), ("kind", pa.string()),
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("n_channels", pa.int32()), ("px_sum", pa.int64())])
+    pal_i = np.arange(256, dtype=np.uint8)
+    palette = np.stack([pal_i, (pal_i * 7) % 256, (pal_i * 13) % 256],
+                       axis=1).astype(np.uint8)
+
+    def render_decode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(16 * 16, dtype=np.int64)
+        urls, sums = [], []
+        for vid in ids:
+            idx = ((vid * 2654435761 + j * 97) % 256).astype(np.uint8)
+            payload = gif_encode(idx.reshape(16, 16), palette)
+            img = gif_decode(payload)  # REAL decode of the real bytes
+            urls.append(str(vid))
+            sums.append(int(img.sum(dtype=np.int64)))
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(["image/gif"] * n, pa.string()),
+            "width": pa.array([16] * n, pa.int32()),
+            "height": pa.array([16] * n, pa.int32()),
+            "n_channels": pa.array([3] * n, pa.int32()),
+            "px_sum": pa.array(sums, pa.int64()),
+        }, schema=out_schema)
+
+    return emb.map_batches(render_decode, batch_format="pyarrow",
+                           batch_size=256)
+
+
 def mm_frame_ppm(sf_dir: str) -> rd.Dataset:
     """REAL video-shape frame sampling: each embedding row renders an
     uncompressed 12-frame stream of concatenated 8x8 P6 PPMs; the
