@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_jsonl_source": q.v_jsonl_source,
         "v_csv_source": q.v_csv_source,
         "v_warc_source": q.v_warc_source,
+        "v_warc_gz_source": q.v_warc_gz_source,
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
         "a_distinct_users_hll": q.a_distinct_users_hll,
@@ -1838,6 +1839,14 @@ def oracle_sql() -> dict[str, str]:
         # fixture — the oracle is the fixture itself (md5 proves payloads
         # round-tripped byte-identically; NULL payload stays NULL)
         "v_warc_source": f"""
+            SELECT url, warc_ts,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes,
+                   md5(decode(html)) AS payload_md5
+            FROM read_parquet('{_pages_fixture_glob()}')
+        """,
+        # gz variant: same oracle — the digest must be identical whether
+        # the segment bytes were stored plain or member-per-record gzip
+        "v_warc_gz_source": f"""
             SELECT url, warc_ts,
                    CAST(octet_length(html) AS BIGINT) AS n_bytes,
                    md5(decode(html)) AS payload_md5

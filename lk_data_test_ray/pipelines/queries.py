@@ -2439,7 +2439,11 @@ def v_warc_source(sf_dir: str) -> rd.Dataset:
 
     fix = _pages_fixture(sf_dir)
     warc_dir = ensure_warc_segments(fix)
-    recs = read_warc(warc_dir)
+    return _warc_digest(read_warc(warc_dir))
+
+
+def _warc_digest(recs: rd.Dataset) -> rd.Dataset:
+    import hashlib
 
     def compact(batch: pa.Table) -> pa.Table:
         html = batch["html"]
@@ -2453,6 +2457,22 @@ def v_warc_source(sf_dir: str) -> rd.Dataset:
         })
 
     return recs.map_batches(compact, batch_format="pyarrow")
+
+
+def v_warc_gz_source(sf_dir: str) -> rd.Dataset:
+    """S1 over COMPRESSED web-archive bytes: the fixture serialized as
+    ``.warc.gz`` segments with each record its OWN gzip member (the actual
+    Common-Crawl layout — member-per-record is what allows byte-range
+    random access into a segment), inflated with stdlib zlib inside the
+    per-segment task and parsed by the same record walker. Same md5
+    full-value oracle as ``v_warc_source``: proves the
+    compress→concatenate→inflate→parse path is byte-lossless, NULL
+    payloads included."""
+    from ..sources.warc import ensure_warc_segments, read_warc
+
+    fix = _pages_fixture(sf_dir)
+    warc_dir = ensure_warc_segments(fix, compress=True)
+    return _warc_digest(read_warc(warc_dir))
 
 
 def a_corr_qty_price(sf_dir: str) -> rd.Dataset:

@@ -65,6 +65,42 @@ def segment_table(tbl: pa.Table, url_col: str = "url",
                     for u, t, p in zip(urls, tss, payloads))
 
 
+def segment_table_gz(tbl: pa.Table, url_col: str = "url",
+                     ts_col: str = "warc_ts",
+                     payload_col: str = "html") -> bytes:
+    """One ``.warc.gz`` segment: each record compressed as its OWN gzip
+    member and the members concatenated — the actual Common-Crawl layout
+    (member-per-record is what makes byte-range random access into a 1 GB
+    segment possible once an index records member offsets)."""
+    import zlib
+
+    urls = tbl[url_col].to_pylist()
+    tss = [t.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+           for t in tbl[ts_col].to_pylist()]
+    payloads = tbl[payload_col].to_pylist()
+    parts = []
+    for u, t, p in zip(urls, tss, payloads):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)  # wbits=31: gzip member
+        parts.append(co.compress(_record_bytes(u, t, p)) + co.flush())
+    return b"".join(parts)
+
+
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """Decompress a stream of concatenated gzip members → one bytes per
+    member, via ``decompressobj(wbits=31)`` + ``unused_data`` walking.
+    Pure stdlib; raises on a truncated trailing member."""
+    import zlib
+
+    out = []
+    while data:
+        d = zlib.decompressobj(31)
+        out.append(d.decompress(data))
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC segment")
+        data = d.unused_data
+    return out
+
+
 def parse_segment(data: bytes) -> pa.Table:
     """Parse one segment's bytes → (url, warc_ts, html) Arrow table."""
     urls, tss, payloads = [], [], []
@@ -104,8 +140,10 @@ def parse_segment(data: bytes) -> pa.Table:
     })
 
 
-def ensure_warc_segments(pages_fixture_dir: str) -> str:
-    """Idempotent: serialize the fixture's pages into ``warc/*.warc``.
+def ensure_warc_segments(pages_fixture_dir: str,
+                         compress: bool = False) -> str:
+    """Idempotent: serialize the fixture's pages into ``warc/*.warc``
+    (or ``warc_gz/*.warc.gz`` member-per-record gzip when ``compress``).
 
     Distributed: one segment per (parquet file, row-group range) scan item,
     named after its item so the layout is deterministic and a rerun
@@ -113,7 +151,8 @@ def ensure_warc_segments(pages_fixture_dir: str) -> str:
     """
     from .scan import fused_parquet_map
 
-    out_dir = os.path.join(pages_fixture_dir, "warc")
+    out_dir = os.path.join(pages_fixture_dir,
+                           "warc_gz" if compress else "warc")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
@@ -141,11 +180,13 @@ def ensure_warc_segments(pages_fixture_dir: str) -> str:
                                       columns=["url", "warc_ts", "html"])
                    if hi > lo else None)
             stem = os.path.splitext(os.path.basename(p))[0]
-            name = os.path.join(out_dir, f"{stem}_rg{lo:05d}-{hi:05d}.warc")
+            ext = ".warc.gz" if compress else ".warc"
+            name = os.path.join(out_dir, f"{stem}_rg{lo:05d}-{hi:05d}{ext}")
             tmp = name + ".tmp"
             with open(tmp, "wb") as fh:
                 if tbl is not None:
-                    fh.write(segment_table(tbl))
+                    fh.write(segment_table_gz(tbl) if compress
+                             else segment_table(tbl))
             os.replace(tmp, name)
             names.append(name)
         return pa.table({"segment": pa.array(names, pa.string())})
@@ -161,18 +202,25 @@ def ensure_warc_segments(pages_fixture_dir: str) -> str:
 
 
 def read_warc(warc_dir: str) -> rd.Dataset:
-    """Dataset of (url, warc_ts, html) parsed from ``*.warc`` segments —
-    one task per segment file (payload bytes are read, parsed and projected
-    inside that task when downstream maps fuse)."""
-    segs = sorted(glob.glob(os.path.join(warc_dir, "*.warc")))
+    """Dataset of (url, warc_ts, html) parsed from ``*.warc`` /
+    ``*.warc.gz`` segments — one task per segment file (payload bytes are
+    read, inflated, parsed and projected inside that task when downstream
+    maps fuse). Gzip segments are member-per-record streams (the
+    Common-Crawl layout); each member inflates independently, so the plain
+    parser runs on the rejoined record stream."""
+    segs = sorted(glob.glob(os.path.join(warc_dir, "*.warc"))
+                  + glob.glob(os.path.join(warc_dir, "*.warc.gz")))
     if not segs:
-        raise FileNotFoundError(f"no .warc segments under {warc_dir}")
+        raise FileNotFoundError(f"no .warc[.gz] segments under {warc_dir}")
 
     def parse(batch: pa.Table) -> pa.Table:
         out = []
         for p in batch["segment"].to_pylist():
             with open(p, "rb") as fh:
-                out.append(parse_segment(fh.read()))
+                raw = fh.read()
+            if p.endswith(".gz"):
+                raw = b"".join(split_gzip_members(raw))
+            out.append(parse_segment(raw))
         return pa.concat_tables(out)
 
     ds = rd.from_arrow_refs([

@@ -39,6 +39,46 @@ def test_warc_truncated_raises():
         parse_segment(data[:-10])  # payload cut short
 
 
+def test_warc_gz_member_per_record_roundtrip():
+    """.warc.gz: every record is its own gzip member (the Common-Crawl
+    layout); splitting members and re-parsing must be byte-lossless,
+    including empty/NULL payloads."""
+    from lk_data_test_ray.sources.warc import (segment_table_gz,
+                                               split_gzip_members)
+
+    ts = dt.datetime(2021, 3, 4, 5, 6, 7, 890123)
+    rows = [
+        ("http://a.example/x", ts, b"<html>hello</html>" * 100),
+        ("http://b.example/y", ts.replace(microsecond=0), b""),
+        ("http://c.example/z", ts, None),
+    ]
+    tbl = _tbl(rows)
+    gz = segment_table_gz(tbl)
+    members = split_gzip_members(gz)
+    assert len(members) == 3  # one member per record, not one stream
+    out = parse_segment(b"".join(members))
+    assert out.equals(tbl)
+    # each member independently inflatable (the random-access property)
+    import zlib
+
+    d = zlib.decompressobj(31)
+    first = d.decompress(gz)
+    assert first.startswith(b"WARC/1.0\r\n")
+    assert parse_segment(first).num_rows == 1
+
+
+def test_warc_gz_truncated_member_raises():
+    import pytest
+
+    from lk_data_test_ray.sources.warc import (segment_table_gz,
+                                               split_gzip_members)
+
+    tbl = _tbl([("u", dt.datetime(2020, 1, 1), b"abcdef" * 50)])
+    gz = segment_table_gz(tbl)
+    with pytest.raises(ValueError):
+        split_gzip_members(gz[:-8])
+
+
 def test_zone_map_pruning_skips_row_groups(sf_dir):
     """plan_pruned_items must read strictly fewer row groups than a full
     scan on ts-clustered storage, and pruned_range_scan must equal the
