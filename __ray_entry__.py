@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode_ppm": q.mm_decode_ppm,
         "mm_decode_png": q.mm_decode_png,
         "mm_decode_gif": q.mm_decode_gif,
+        "mm_decode_jpeg": q.mm_decode_jpeg,
         "mm_frame_ppm": q.mm_frame_ppm,
         "j_scd2_history": q.j_scd2_history,
         "td_decontaminate_embed": q.td_decontaminate_embed,
@@ -776,6 +777,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS px_sum
             FROM embeddings e,
                  unnest(generate_series(0, 255)) AS t(j)
+            GROUP BY e.vec_id
+        """,
+        "mm_decode_jpeg": """
+            SELECT CAST(e.vec_id AS VARCHAR) AS url,
+                   'image/jpeg' AS kind,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(SUM(64 * ((e.vec_id * 2654435761 + t.b * 97) % 256))
+                        AS BIGINT) AS px_sum
+            FROM embeddings e,
+                 unnest(generate_series(0, 3)) AS t(b)
             GROUP BY e.vec_id
         """,
         "j_follow_within": """

@@ -148,7 +148,11 @@ class DecodeStage:
                 nch = 1
                 pooled = mean_pool(img[:, :, None], self.target_size)
             elif kind in DECODERS:
-                img = DECODERS[kind](bytes(payload))  # REAL decode
+                try:
+                    img = DECODERS[kind](bytes(payload))  # REAL decode
+                except ValueError:
+                    continue  # corrupt/unsupported-variant payload: at web
+                    # scale these are routine — skip the row, never the task
                 nch = img.shape[2]
                 pooled = mean_pool(img, self.target_size)
                 img = img.mean(axis=2)  # gray for the histogram feature
@@ -695,6 +699,455 @@ def gif_decode(payload: bytes) -> np.ndarray:
 
 
 DECODERS["image/gif"] = gif_decode
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec (ITU-T T.81 sequential DCT) — pure numpy +
+# stdlib, no codec library. The decoder is GENERAL for baseline JPEG: it
+# reads quantization and Huffman tables from the stream's own DQT/DHT
+# segments (every JPEG carries them), handles restart markers, grayscale
+# and 3-component color at 4:4:4 or 4:2:0 sampling. JPEG is lossy, so the
+# full-value oracle fixture uses DC-only (per-8x8-constant) blocks, which
+# round-trip exactly; arbitrary images round-trip approximately (tested to
+# a tolerance). Progressive/arithmetic/12-bit streams raise at the
+# documented codec-registry seam.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int32)
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 orthonormal DCT-II basis A: block_dct = A @ block @ A.T."""
+    x = np.arange(8)
+    A = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    A[0] /= np.sqrt(2)
+    return A
+
+
+_DCT_A = _dct_basis()
+
+# fixed canonical Huffman tables for the ENCODER (the decoder always reads
+# tables from the stream): 12 DC size categories at 4 bits each; all 256
+# AC (run,size) symbols split 128 at 9 bits + 128 at 10 bits (a DHT count
+# byte holds ≤255 symbols per length) — valid prefix codes (Kraft 12/16
+# and 128/512 + 128/1024), no all-ones code, trivially canonical
+_ENC_DC_SYMS = list(range(12))
+_ENC_AC_SYMS = list(range(256))
+_ENC_AC_LENS = [9] * 128 + [10] * 128
+
+
+def _canonical_codes(lengths_syms: list[tuple[int, int]]) -> dict:
+    """[(bitlength, symbol)] sorted → {symbol: (code, bitlength)}."""
+    code = 0
+    prev_len = lengths_syms[0][0]
+    out = {}
+    for ln, sym in lengths_syms:
+        code <<= (ln - prev_len)
+        prev_len = ln
+        out[sym] = (code, ln)
+        code += 1
+    return out
+
+
+_ENC_DC_CODES = _canonical_codes([(4, s) for s in _ENC_DC_SYMS])
+_ENC_AC_CODES = _canonical_codes(
+    list(zip(_ENC_AC_LENS, _ENC_AC_SYMS)))
+
+
+def _dht_segment(tc_th: int, syms: list[int], lens: list[int]) -> bytes:
+    counts = [0] * 16
+    for ln in lens:
+        counts[ln - 1] += 1
+    return (b"\xff\xc4"
+            + (2 + 1 + 16 + len(syms)).to_bytes(2, "big")
+            + bytes([tc_th]) + bytes(counts) + bytes(syms))
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, ln: int):
+        self.acc = (self.acc << ln) | code
+        self.n += ln
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _amp_bits(v: int, size: int) -> int:
+    """JPEG amplitude encoding: negatives stored as v-1 in `size` bits."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _encode_block(wr: "_BitWriter", blk: np.ndarray, q: np.ndarray,
+                  dc_prev: list, ci: int):
+    coef = _DCT_A @ (blk - 128.0) @ _DCT_A.T
+    qc = np.round(coef / q).astype(np.int32).ravel()[_ZIGZAG]
+    diff = int(qc[0]) - dc_prev[ci]
+    dc_prev[ci] = int(qc[0])
+    s = _size_cat(diff)
+    code, ln = _ENC_DC_CODES[s]
+    wr.put(code, ln)
+    if s:
+        wr.put(_amp_bits(diff, s), s)
+    nz = np.flatnonzero(qc[1:])
+    pos = 0
+    for i in nz:
+        run = int(i) - pos
+        while run >= 16:
+            zc, zl = _ENC_AC_CODES[0xF0]  # ZRL
+            wr.put(zc, zl)
+            run -= 16
+        v = int(qc[1 + i])
+        s = _size_cat(v)
+        code, ln = _ENC_AC_CODES[(run << 4) | s]
+        wr.put(code, ln)
+        wr.put(_amp_bits(v, s), s)
+        pos = int(i) + 1
+    if pos < 63:
+        code, ln = _ENC_AC_CODES[0x00]  # EOB
+        wr.put(code, ln)
+
+
+def _pad_plane(p: np.ndarray, H: int, W: int) -> np.ndarray:
+    h, w = p.shape
+    pad = np.empty((H, W), np.float64)
+    pad[:h, :w] = p
+    pad[h:, :w] = p[-1:, :]
+    pad[:, w:] = pad[:, w - 1:w]
+    return pad
+
+
+def jpeg_encode(img: np.ndarray, quant: int | np.ndarray = 1,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """uint8 HxW (grayscale) / HxWx3 (RGB) → baseline JPEG bytes.
+
+    ``quant``: scalar fills the 8x8 quantization table (1 = max quality);
+    an (8,8) array is used as-is. ``subsample=True`` emits 4:2:0 (Y at
+    2x2, chroma 2x2-mean-downsampled — the common web layout);
+    ``restart_interval=N`` emits RSTn markers every N MCUs (DRI). The
+    encoder exists to render fixtures — tables travel in DQT/DHT like any
+    real stream, so ANY baseline decoder reads its output."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("jpeg_encode expects uint8 HxW or HxWx3")
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample \
+            else [(1, 1), (1, 1), (1, 1)]
+    q = (np.full((8, 8), int(quant), np.uint16)
+         if np.isscalar(quant) else np.asarray(quant, np.uint16))
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_comp = len(planes)
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        if sh < hmax or sv < vmax:  # chroma downsample by block mean
+            ry, rx = vmax // sv, hmax // sh
+            ph = (p.shape[0] + ry - 1) // ry * ry
+            pw = (p.shape[1] + rx - 1) // rx * rx
+            p = _pad_plane(p, ph, pw)
+            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        padded.append(_pad_plane(p, mcuy * 8 * sv, mcux * 8 * sh))
+    wr = _BitWriter()
+    dc_prev = [0] * n_comp
+    n_mcu = mcux * mcuy
+    rst = 0
+    ecs = bytearray()
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wr.flush()
+            ecs += wr.out
+            ecs += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wr = _BitWriter()
+            dc_prev = [0] * n_comp
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    _encode_block(wr, p[y0:y0 + 8, x0:x0 + 8], q,
+                                  dc_prev, ci)
+    wr.flush()
+    ecs += wr.out
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00"
+            + bytes(q.ravel()[_ZIGZAG].astype(np.uint8)))  # DQT id 0
+    sof = bytearray(b"\xff\xc0")
+    sof += (8 + 3 * n_comp).to_bytes(2, "big")
+    sof += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([n_comp])
+    for c, (sh, sv) in enumerate(samps):
+        sof += bytes([c + 1, (sh << 4) | sv, 0])  # id, sampling, qt 0
+    out += sof
+    out += _dht_segment(0x00, _ENC_DC_SYMS, [4] * 12)  # DC table 0
+    out += _dht_segment(0x10, _ENC_AC_SYMS, _ENC_AC_LENS)  # AC table 0
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytearray(b"\xff\xda")
+    sos += (6 + 2 * n_comp).to_bytes(2, "big")
+    sos += bytes([n_comp])
+    for c in range(n_comp):
+        sos += bytes([c + 1, 0x00])  # DC table 0 / AC table 0
+    sos += bytes([0, 63, 0])
+    out += sos
+    out += ecs
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over a destuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _receive_extend(r: "_BitReader", s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 HxWxC (REAL decode: marker walk, stream
+    DQT/DHT tables, Huffman + amplitude decode, dequantize, de-zigzag,
+    IDCT, chroma upsample, YCbCr→RGB). Sampling 4:4:4 / 4:2:0 (and 4:2:2);
+    restart markers honored. Progressive (SOF2), arithmetic, hierarchical
+    and 12-bit streams raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None
+    h = w = 0
+    restart = 0
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {i}")
+        m = payload[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(payload[i + 2:i + 4], "big")
+        seg = payload[i + 4:i + 2 + ln]
+        if m == 0xDB:  # DQT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantization unsupported")
+                tbl = np.zeros(64, np.float64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[p + 1:p + 65], np.uint8)
+                qt[tid] = tbl.reshape(8, 8)
+                p += 65
+        elif m in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
+                              "tq": tq})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic/"
+                             "hierarchical) unsupported")
+        elif m == 0xC4:  # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1:p + 17])
+                syms = seg[p + 17:p + 17 + sum(counts)]
+                table = {}
+                code, k = 0, 0
+                for bl in range(1, 17):
+                    for _ in range(counts[bl - 1]):
+                        table[(bl, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + sum(counts)
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS: entropy-coded data follows
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                sel[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4,
+                                       seg[2 + 2 * c] & 0x0F)
+            i = i + 2 + ln
+            return _decode_scan(payload, i, h, w, comps, sel, qt,
+                                huff_dc, huff_ac, restart)
+        i += 2 + ln
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_scan(payload, i, h, w, comps, sel, qt, huff_dc, huff_ac,
+                 restart) -> np.ndarray:
+    # destuff the entropy segment, splitting at restart markers
+    segments, cur = [], bytearray()
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            m = payload[i + 1] if i + 1 < n else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(hmax % c["h"] == 0 and vmax % c["v"] == 0 for c in comps):
+        raise ValueError("unsupported JPEG sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                               np.float64))
+    A, AT = _DCT_A, _DCT_A.T
+    n_mcu = mcux * mcuy
+    per_seg = restart if restart else n_mcu
+    mcu = 0
+    seg_idx = 0
+    rd_ = _BitReader(segments[0])
+    dc_prev = [0] * len(comps)
+    while mcu < n_mcu:
+        if restart and mcu and mcu % per_seg == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG restart segments exhausted")
+            rd_ = _BitReader(segments[seg_idx])
+            dc_prev = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(comps):
+            tdc, tac = sel[c["id"]]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    s = rd_.huff(huff_dc[tdc])
+                    diff = _receive_extend(rd_, s)
+                    dc_prev[ci] += diff
+                    zz = np.zeros(64, np.float64)
+                    zz[0] = dc_prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = rd_.huff(huff_ac[tac])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _receive_extend(rd_, s)
+                        k += 1
+                    coef = np.empty(64, np.float64)
+                    coef[_ZIGZAG] = zz
+                    blk = AT @ (coef.reshape(8, 8) * q) @ A + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+        mcu += 1
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+DECODERS["image/jpeg"] = jpeg_decode
 
 
 # ---------------------------------------------------------------------------

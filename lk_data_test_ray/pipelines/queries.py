@@ -5147,6 +5147,50 @@ def mm_decode_gif(sf_dir: str) -> rd.Dataset:
                            batch_size=256)
 
 
+def mm_decode_jpeg(sf_dir: str) -> rd.Dataset:
+    """REAL baseline JPEG decode end-to-end with a FULL-VALUE oracle (pure
+    numpy — marker walk, stream DQT/DHT Huffman tables, amplitude decode,
+    dequantize, IDCT, restart markers): each embedding row renders a 16x16
+    grayscale JPEG of four 8x8 blocks whose constant values are
+    ``(vec_id*2654435761 + b*97) % 256`` (b = block index). DC-only blocks
+    at quantization 1 round-trip EXACTLY through the lossy pipeline, so the
+    decoded pixel sum ``64 * Σ_b v_b`` is recomputable in SQL — any wrong
+    bit in the Huffman/IDCT/restart path mismatches. restart_interval=2
+    forces RSTn markers through the oracle path too."""
+    from .multimodal import jpeg_decode, jpeg_encode
+
+    emb = read(sf_dir, "embeddings", ["vec_id"])
+    out_schema = pa.schema([
+        ("url", pa.string()), ("kind", pa.string()),
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("n_channels", pa.int32()), ("px_sum", pa.int64())])
+
+    def render_decode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.arange(4, dtype=np.int64)
+        urls, sums = [], []
+        for vid in ids:
+            vals = ((vid * 2654435761 + b * 97) % 256).astype(np.uint8)
+            img = np.repeat(np.repeat(vals.reshape(2, 2), 8, axis=0),
+                            8, axis=1)
+            payload = jpeg_encode(img, quant=1, restart_interval=2)
+            dec = jpeg_decode(payload)  # REAL decode of the real bytes
+            urls.append(str(vid))
+            sums.append(int(dec.sum(dtype=np.int64)))
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(["image/jpeg"] * n, pa.string()),
+            "width": pa.array([16] * n, pa.int32()),
+            "height": pa.array([16] * n, pa.int32()),
+            "n_channels": pa.array([1] * n, pa.int32()),
+            "px_sum": pa.array(sums, pa.int64()),
+        }, schema=out_schema)
+
+    return emb.map_batches(render_decode, batch_format="pyarrow",
+                           batch_size=256)
+
+
 def mm_frame_ppm(sf_dir: str) -> rd.Dataset:
     """REAL video-shape frame sampling: each embedding row renders an
     uncompressed 12-frame stream of concatenated 8x8 P6 PPMs; the
