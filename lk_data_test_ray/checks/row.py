@@ -324,8 +324,7 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
 
     def scan_check(batch: pa.Table) -> pa.Table:
         import os
-        import zlib
-
+    
         import pyarrow.parquet as pq
         import ray as _ray
 
@@ -349,20 +348,26 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
             out.append(combined)
             if c1_collectors is not None and "url" in tbl.column_names:
                 # fused C1 feed: this task already holds the url column —
-                # push pre-aggregated (hash, count) partials to a collector
-                # actor instead of a second parquet pass over the corpus.
-                # Routing MUST be a stable function of the item key so a
-                # lineage retry or speculative duplicate lands on the SAME
-                # collector and its idempotence set drops the repeat.
+                # push pre-aggregated (hash, count) partials to the
+                # collectors instead of a second parquet pass over the
+                # corpus. Partials are routed by URL-HASH TOP BITS, so each
+                # collector owns a DISJOINT hash range and can decide
+                # duplicates locally — no cross-collector reduce exists.
+                # The item key makes every slice idempotent (a lineage
+                # retry or speculative duplicate re-sends the same slices
+                # to the same collectors, which drop the repeats).
                 from ..functions.hashing import hash_strings64
+                from .uniqueness import split_by_range
 
                 item_key = f"{path}:{lo}:{hi}"
-                j = zlib.crc32(item_key.encode()) % len(c1_collectors)
                 h = hash_strings64(np.asarray(
                     tbl["url"].to_pandas(), dtype=object))
                 hu, cu = np.unique(h, return_counts=True)
-                c1_acks.append(c1_collectors[j].add.remote(
-                    item_key, hu, cu.astype(np.int64)))
+                for j, (hj, cj) in enumerate(
+                        split_by_range(hu, cu, len(c1_collectors))):
+                    if len(hj):
+                        c1_acks.append(c1_collectors[j].add.remote(
+                            item_key, hj, cj))
             if clean_dir is not None:
                 # quarantine split (the training-data use of validation):
                 # rows untouched by any row-phase violation stream straight

@@ -31,6 +31,8 @@ to ~cluster cores so a reducer's range fits a worker heap (8 bytes/row).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -127,19 +129,36 @@ class C1Collector:
     equal url-hashes may land in different collectors; ``buckets`` re-splits
     by hash top-bits so the final reduce sees disjoint ranges).
 
+    Feeds are routed by URL-HASH TOP BITS (``split_by_range``), so each
+    collector owns a DISJOINT hash range and decides duplicates LOCALLY —
+    there is no cross-collector reduce stage at all. (The previous design
+    routed whole items by item-key hash and needed a bucketing +
+    reduce exchange at drain time: ~3×pool_size remote ops moving the
+    full hash multiset through the object store. On a kernel-taxed host
+    each of those ops stochastically stalled seconds; range routing cuts
+    the drain to ONE small RPC per collector and is the textbook
+    disjoint-range exchange shape at any scale.)
+
     Adds are IDEMPOTENT by item key: Ray Data lineage retries and the
     speculative re-issue path (validate.py) can legally deliver the same
-    scan item twice; only the first add lands. ``num_cpus=0`` so collectors
-    never take scan slots — an add is an O(1) list append; the occasional
-    compaction and the finalize-time bucketing are bounded by this
-    collector's slice (~n_rows/P hashes, 16 B each).
+    scan item's slices twice; only the first add of a key lands.
+    ``num_cpus=0`` so collectors never take scan slots — an add is an O(1)
+    list append; the finalize-time unique is bounded by this collector's
+    range (~n_rows/P hashes, 16 B each).
+
+    Partials are kept PER ITEM (not compacted across items): per-item
+    hashes are already unique, and cross-item duplicate urls are rare by
+    construction of a web corpus, so per-item storage costs the same
+    ~16 B/row as a merged multiset — and the retained item attribution
+    makes the exact verify's IO proportional to DUP INCIDENCE (only files
+    whose items held a candidate hash are re-read), not corpus size. At
+    10^12 rows the unattributed design re-read every fragment's url column
+    (~1% of 100 TB) to verify a handful of duplicates.
     """
 
-    def __init__(self, compact_every: int = 128):
+    def __init__(self):
         self._seen: set = set()
-        self._h: list = []
-        self._c: list = []
-        self._compact_every = compact_every
+        self._items: list = []  # (item_key, uint64 hashes, int64 counts)
 
     def reset(self) -> bool:
         """Clear state for pool reuse — actor process spawn costs ~2 s each
@@ -147,7 +166,7 @@ class C1Collector:
         instead of paying a cold-actor wave that the scan's first items
         block on."""
         self._seen.clear()
-        self._h, self._c = [], []
+        self._items = []
         return True
 
     def add(self, item_key: str, hashes: np.ndarray, counts: np.ndarray) -> bool:
@@ -155,55 +174,71 @@ class C1Collector:
             return False
         self._seen.add(item_key)
         if len(hashes):
-            self._h.append(np.ascontiguousarray(hashes, dtype=np.uint64))
-            self._c.append(np.ascontiguousarray(counts, dtype=np.int64))
-        if len(self._h) > self._compact_every:
-            self._compact()
+            self._items.append((item_key,
+                                np.ascontiguousarray(hashes, np.uint64),
+                                np.ascontiguousarray(counts, np.int64)))
         return True
 
-    def _compact(self) -> None:
-        h = np.concatenate(self._h)
+    def candidates(self) -> np.ndarray:
+        """Hashes with a global count > 1 — exact within this collector's
+        DISJOINT hash range, so no cross-collector reconciliation exists."""
+        if not self._items:
+            return np.empty(0, np.uint64)
+        h = np.concatenate([h for _, h, _ in self._items])
         hu, inv = np.unique(h, return_inverse=True)
-        cu = np.bincount(inv, weights=np.concatenate(self._c)).astype(np.int64)
-        self._h, self._c = [hu], [cu]
+        cu = np.bincount(
+            inv, weights=np.concatenate([c for _, _, c in self._items]))
+        return hu[cu > 1.5]
 
-    def buckets(self, p_bits: int):
-        """Split the merged multiset by hash top-bits → 2^p_bits
-        (hashes, counts) pairs (disjoint ranges across ALL collectors)."""
-        if not self._h:
-            e = (np.empty(0, np.uint64), np.empty(0, np.int64))
-            return tuple(e for _ in range(1 << p_bits)) if p_bits else e
-        self._compact()
-        h, c = self._h[0], self._c[0]
-        b = (h >> np.uint64(64 - p_bits)).astype(np.int64) if p_bits else None
-        if p_bits == 0:
-            return (h, c)
-        return tuple((h[b == p], c[b == p]) for p in range(1 << p_bits))
+    def candidate_files(self, cand_sorted: np.ndarray) -> list:
+        """Files whose items contained ANY candidate hash (u64 collisions
+        can only add a file — harmless; the verify is exact on urls)."""
+        out = set()
+        for item_key, h, _ in self._items:
+            idx = np.searchsorted(cand_sorted, h)
+            idx[idx == len(cand_sorted)] = 0
+            if len(cand_sorted) and bool((cand_sorted[idx] == h).any()):
+                out.add(_item_file(item_key))
+        return sorted(out)
+
+
+def _item_file(item_key: str) -> str:
+    """Scan items key as '<path>:<lo>:<hi>'; resume feeds as 'file:<path>'."""
+    if item_key.startswith("file:"):
+        return item_key[5:]
+    return item_key.rsplit(":", 2)[0]
+
+
+def split_by_range(hashes: np.ndarray, counts: np.ndarray,
+                   n: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split a SORTED unique-hash array (np.unique output) into ``n``
+    top-bit ranges — two searchsorted cuts per range, zero boolean masks.
+    ``n`` must be a power of two."""
+    p_bits = int(np.log2(n))
+    assert (1 << p_bits) == n, "collector pool size must be a power of two"
+    if p_bits == 0:
+        return [(hashes, counts)]
+    edges = (np.arange(1, n, dtype=np.uint64)
+             << np.uint64(64 - p_bits))
+    cuts = [0, *np.searchsorted(hashes, edges).tolist(), len(hashes)]
+    return [(hashes[a:b], counts[a:b]) for a, b in zip(cuts, cuts[1:])]
 
 
 @ray.remote
-def _reduce_dup_candidates(*parts) -> np.ndarray:
-    """One hash range: sum counts across collector partials → hashes with a
-    GLOBAL count > 1 (a url split across collectors/items must still dup)."""
-    hs = [h for h, _ in parts if len(h)]
-    if not hs:
-        return np.empty(0, dtype=np.uint64)
-    h = np.concatenate(hs)
-    c = np.concatenate([c for _, c in parts if len(c)])
-    hu, inv = np.unique(h, return_inverse=True)
-    cu = np.bincount(inv, weights=c)
-    return hu[cu > 1.5]
-
-
-@ray.remote
-def _feed_collector(path: str, key: str, collector, item_key: str) -> bool:
+def _feed_collector(path: str, key: str, collectors: list,
+                    item_key: str) -> bool:
     """Resume path: a previously-committed partition's scan never re-runs,
     so its url hashes are fed by this url-only read instead (still one
-    column, still pre-aggregated; only non-committed work is fused)."""
+    column, still pre-aggregated, still hash-range-routed; only
+    non-committed work is fused)."""
     tbl = pq.read_table(path, columns=[key])
     h = hash_strings64(np.asarray(tbl[key].to_pandas(), dtype=object))
     hu, cu = np.unique(h, return_counts=True)
-    return ray.get(collector.add.remote(item_key, hu, cu.astype(np.int64)))
+    acks = [collectors[j].add.remote(item_key, hj, cj)
+            for j, (hj, cj) in enumerate(
+                split_by_range(hu, cu.astype(np.int64), len(collectors)))
+            if len(hj)]
+    return all(ray.get(acks)) if acks else True
 
 
 _COLLECTOR_POOL: dict = {}  # n → session-lived list of collector handles
@@ -221,7 +256,8 @@ def make_collectors(n: int | None = None, reuse: bool = True) -> list:
     all but one of them (per-item idempotence keys would collide)."""
     if n is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n = max(2, min(8, cpus // 4))
+        # power of two ≤ cpus/4: collectors own disjoint hash-top-bit ranges
+        n = 1 << max(1, min(3, int(np.log2(max(2, cpus // 4)))))
     if reuse:
         pool = _COLLECTOR_POOL.get(n)
         if pool is not None:
@@ -236,32 +272,33 @@ def make_collectors(n: int | None = None, reuse: bool = True) -> list:
     return [C1Collector.remote() for _ in range(n)]
 
 
-def collector_candidates(collectors: list, p_bits: int | None = None) -> np.ndarray:
-    """Distributed reduce over the collectors' accumulated partials →
-    candidate duplicate hashes (exactness restored by verify_candidates)."""
-    if p_bits is None:
-        p_bits = max(1, int(np.log2(max(2, len(collectors)))))
-    P = 1 << p_bits
-    per = []
-    for col in collectors:
-        refs = col.buckets.options(num_returns=P).remote(p_bits)
-        per.append([refs] if P == 1 else list(refs))
-    cand_refs = [
-        _reduce_dup_candidates.remote(*[refs[p] for refs in per])
-        for p in range(P)
-    ]
-    return np.concatenate(ray.get(cand_refs))
+def collector_candidates(collectors: list) -> np.ndarray:
+    """Candidate duplicate hashes: each collector owns a disjoint hash
+    range, so the global candidate set is the plain union of the
+    collectors' LOCAL count>1 sets — one small RPC per collector, no
+    reduce stage (exactness restored by verify_candidates)."""
+    return np.concatenate(
+        ray.get([c.candidates.remote() for c in collectors]))
 
 
 def verify_candidates(paths: list[str], key: str,
-                      cand: np.ndarray) -> pa.Table:
+                      cand: np.ndarray,
+                      collectors: list | None = None) -> pa.Table:
     """Exact verify of candidate hashes (collapses u64 collisions and
     recovers the url strings): url-only re-read, runs ONLY when candidates
-    exist."""
+    exist. When ``collectors`` is given, their per-item attribution narrows
+    the re-read to files that actually held a candidate hash — IO scales
+    with dup incidence, not corpus size."""
     if cand.size == 0:
         return pa.table({key: pa.array([], pa.string()),
                          "count": pa.array([], pa.int64())})
     cand_ref = ray.put(np.sort(cand))
+    if collectors is not None:
+        hit = ray.get([c.candidate_files.remote(cand_ref)
+                       for c in collectors])
+        norm = {os.path.normpath(p): p for p in paths}
+        paths = sorted({norm[os.path.normpath(f)] for part in hit
+                        for f in part if os.path.normpath(f) in norm})
     survivors = ray.get([
         _map_collect_candidates.remote(f, key, cand_ref) for f in paths
     ])

@@ -103,7 +103,6 @@ def run_validation(
     ``"force"`` re-issues every outstanding item immediately (test hook).
     """
     import threading
-    import zlib
 
     t0 = time.time()
     files = _pages_files(pages_path)
@@ -130,10 +129,7 @@ def run_validation(
         collectors = make_collectors()
         done_files = [f for f in files if partition_of[f] in done]
         feed_refs = [
-            _feed_collector.remote(
-                f, "url",
-                collectors[zlib.crc32(f"file:{f}".encode()) % len(collectors)],
-                f"file:{f}")
+            _feed_collector.remote(f, "url", collectors, f"file:{f}")
             for f in done_files
         ]
     else:
@@ -360,30 +356,57 @@ def run_validation(
             # measure-don't-guess surface (``validate --stats`` CLI flag)
             ray_stats = combined.stats()
 
+    # ---------------- global phase: C1 drain + stats merge, OVERLAPPED -------
+    # the C1 candidate reduce + exact verify run remote work the driver only
+    # waits on, so they proceed on a thread while the driver merges the
+    # committed per-partition stats pickles (both start the moment the last
+    # scan item lands)
+    t_row_done = time.time()
+    c1_out: dict = {}
+
+    def _drain_c1():
+        try:
+            if fuse_c1:
+                ray.get(feed_refs)  # resume-path feeds (no-op fresh)
+                t_f = time.time()
+                cand = collector_candidates(collectors)
+                t_c = time.time()
+                # exact verify (url strings + u64-collision collapse): the
+                # collectors' per-item attribution narrows the re-read to
+                # files that actually held a candidate hash
+                c1_out["dups"] = verify_candidates(files, "url", cand,
+                                                   collectors=collectors)
+                c1_out["walls"] = {
+                    "feeds": round(t_f - t_row_done, 3),
+                    "candidates": round(t_c - t_f, 3),
+                    "verify": round(time.time() - t_c, 3)}
+                # collectors are NOT killed: the pool is session-lived and
+                # recycled by make_collectors(reuse=True) — respawning
+                # actors per run costs a cold-start wave the first scan
+                # items block on
+            else:
+                c1_thread.join()
+                if "error" in c1_result:
+                    raise c1_result["error"]
+                c1_out["dups"] = c1_result["dups"]
+        except Exception as ex:
+            c1_out["error"] = ex
+
+    drain = threading.Thread(target=_drain_c1, daemon=True)
+    drain.start()
+
     # ---------------- merge committed partition stats ------------------------
     done = store.completed()
     all_stats = [store.load_stats(pid) for pid in sorted(done, key=str)
                  if pid != "global"]
     all_stats = [s for s in all_stats if s is not None]
     global_stats = merge_stats(all_stats)
+    t_stats_merged = time.time()
 
-    # ---------------- global phase: C1 uniqueness ----------------------------
-    t_row_done = time.time()
-    if fuse_c1:
-        ray.get(feed_refs)  # resume-path url feeds (no-op on a fresh run)
-        cand = collector_candidates(collectors)
-        # exact verify (url strings + u64-collision collapse) only touches
-        # parquet again when candidates exist — and then only url columns
-        dups = verify_candidates(files, "url", cand)
-        # collectors are NOT killed: the pool is session-lived and recycled
-        # by make_collectors(reuse=True) — respawning actors per run costs
-        # a cold-start wave the first scan items block on
-        c1_viol = duplicates_to_violations(dups)
-    else:
-        c1_thread.join()
-        if "error" in c1_result:
-            raise c1_result["error"]
-        c1_viol = duplicates_to_violations(c1_result["dups"])
+    drain.join()
+    if "error" in c1_out:
+        raise c1_out["error"]
+    c1_viol = duplicates_to_violations(c1_out["dups"])
 
     # ---------------- global phase: C5 drift ---------------------------------
     drift = None
@@ -435,7 +458,9 @@ def run_validation(
     wall = time.time() - t0
     summary = {
         "phase_wall": {"row": round(t_row_done - t0, 3),
-                       "global": round(time.time() - t_row_done, 3)},
+                       "global": round(time.time() - t_row_done, 3),
+                       "c1_drain": c1_out.get("walls"),
+                       "stats_merge": round(t_stats_merged - t_row_done, 3)},
         "n_rows": global_stats["n_rows"],
         "n_partitions": len(files),
         "violations_total": int(sum(per_check.values())),

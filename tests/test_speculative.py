@@ -93,23 +93,34 @@ def test_partial_resume_feeds_c1(pages_fixture, tmp_path, golden):
 
 
 def test_collector_idempotence_and_ranges():
-    """Unit: duplicate item adds are dropped; candidates are found across
-    collectors and hash ranges (a url split across items/collectors with
-    per-item count 1 must still dup globally)."""
+    """Unit: duplicate item adds are dropped; a url with per-item count 1
+    split across DIFFERENT items still dups globally (adds are range-routed,
+    so both copies land in the same collector); split_by_range partitions a
+    sorted hash array into disjoint top-bit ranges."""
     from lk_data_test_ray.checks.uniqueness import (C1Collector,
-                                                    collector_candidates)
+                                                    collector_candidates,
+                                                    split_by_range)
 
-    cols = [C1Collector.remote() for _ in range(3)]
     h = np.array([1, 2, 3, 2**63 + 5], dtype=np.uint64)
     one = np.ones(4, dtype=np.int64)
-    # hash 2**63+5 appears once in two different collectors → global dup;
+    # split_by_range: top bit 0 → range 0; top bit 1 → range 1
+    parts = split_by_range(h, one, 2)
+    assert [p[0].tolist() for p in parts] == [[1, 2, 3], [2**63 + 5]]
+    assert sum(len(p[1]) for p in parts) == 4
+
+    cols = [C1Collector.remote() for _ in range(2)]
+    # hash 2**63+5 appears once in two different ITEMS → global dup;
     # hash 1 appears twice but only via a DUPLICATE item key → not a dup
     assert ray.get(cols[0].add.remote("item-a", h[:1], one[:1]))
     assert not ray.get(cols[0].add.remote("item-a", h[:1], one[:1]))
     assert ray.get(cols[1].add.remote("item-b", h[3:], one[3:]))
-    assert ray.get(cols[2].add.remote("item-c", h[3:], one[3:]))
+    assert ray.get(cols[1].add.remote("item-c", h[3:], one[3:]))
     assert ray.get(cols[0].add.remote("item-d", h[1:3], one[1:3]))
     cand = collector_candidates(cols)
     assert set(cand.tolist()) == {2**63 + 5}
+    # per-item attribution: only items that held a candidate are named
+    # (item keys with no ':' map to themselves as the "file")
+    assert set().union(*[set(ray.get(c.candidate_files.remote(
+        np.sort(cand)))) for c in cols]) == {"item-b", "item-c"}
     for c in cols:
         ray.kill(c)
