@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_csv_source": q.v_csv_source,
         "v_warc_source": q.v_warc_source,
         "v_warc_gz_source": q.v_warc_gz_source,
+        "v_warc_fetch": q.v_warc_fetch,
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
         "a_distinct_users_hll": q.a_distinct_users_hll,
@@ -341,6 +342,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_excess_shippers": _tpch.q20_excess_shippers,
         "q21_waiting_suppliers": _tpch.q21_waiting_suppliers,
     }
+
+
+def _pages_first_file() -> str:
+    """The sf0.01 fixture's first (sorted) pages parquet file — the
+    deterministic url sample v_warc_fetch requests by byte range."""
+    import glob as _glob
+    import os
+
+    return sorted(_glob.glob(_pages_fixture_glob()))[0]
 
 
 def _pages_fixture_glob() -> str:
@@ -1856,6 +1866,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(html) AS BIGINT) AS n_bytes,
                    md5(decode(html)) AS payload_md5
             FROM read_parquet('{_pages_fixture_glob()}')
+        """,
+        # random access: every archive record whose url is among the first
+        # file's first 200 urls (fetch returns ALL copies of a requested
+        # url — archive semantics — so the oracle joins on the DISTINCT set)
+        "v_warc_fetch": f"""
+            WITH want AS (
+                SELECT DISTINCT url FROM (
+                    SELECT url FROM read_parquet('{_pages_first_file()}')
+                    LIMIT 200))
+            SELECT p.url, p.warc_ts,
+                   CAST(octet_length(p.html) AS BIGINT) AS n_bytes,
+                   md5(decode(p.html)) AS payload_md5
+            FROM read_parquet('{_pages_fixture_glob()}') p
+            JOIN want w ON p.url = w.url
         """,
         # gz variant: same oracle — the digest must be identical whether
         # the segment bytes were stored plain or member-per-record gzip

@@ -2459,6 +2459,43 @@ def _warc_digest(recs: rd.Dataset) -> rd.Dataset:
     return recs.map_batches(compact, batch_format="pyarrow")
 
 
+def v_warc_fetch(sf_dir: str) -> pa.Table:
+    """Random access into the compressed archive: a CDX-style member index
+    (url → segment, byte offset, compressed length — built once, one task
+    per segment) resolves 200 deterministic urls, and each record is
+    fetched by READING AND INFLATING EXACTLY ONE GZIP MEMBER (never the
+    segment). The md5 full-value oracle proves the byte-range path returns
+    the same payload bytes as the original table — the access shape a
+    100 TB archive is actually served in (range request per member)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.warc import ensure_warc_segments, fetch_records
+
+    fix = _pages_fixture(sf_dir)
+    warc_dir = ensure_warc_segments(fix, compress=True)
+    pages = os.path.join(fix, "pages")
+    first = sorted(os.listdir(pages))[0]
+    urls = _pq.read_table(os.path.join(pages, first),
+                          columns=["url"])["url"].to_pylist()[:200]
+    return _warc_digest_table(fetch_records(warc_dir, urls))
+
+
+def _warc_digest_table(recs: pa.Table) -> pa.Table:
+    import hashlib
+
+    html = recs["html"]
+    md5s = pa.array([None if v is None else hashlib.md5(v).hexdigest()
+                     for v in html.to_pylist()], pa.string())
+    return pa.table({
+        "url": recs["url"],
+        "warc_ts": recs["warc_ts"],
+        "n_bytes": pc.binary_length(html).cast(pa.int64()),
+        "payload_md5": md5s,
+    })
+
+
 def v_warc_gz_source(sf_dir: str) -> rd.Dataset:
     """S1 over COMPRESSED web-archive bytes: the fixture serialized as
     ``.warc.gz`` segments with each record its OWN gzip member (the actual

@@ -101,6 +101,88 @@ def split_gzip_members(data: bytes) -> list[bytes]:
     return out
 
 
+def build_gz_index(data: bytes, segment: str) -> pa.Table:
+    """CDX-style member index of a ``.warc.gz`` segment: one row per record
+    with the member's byte offset + compressed length, keyed by url — the
+    structure that makes a 1 GB segment randomly accessible (Common Crawl
+    publishes exactly this as its cdx index). Built in the same pass that
+    inflates the members, so indexing a segment costs one read."""
+    import zlib
+
+    urls, offs, lens = [], [], []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(31)
+        rec = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC segment")
+        consumed = len(data) - pos - len(d.unused_data)
+        hdr_end = rec.find(_HDR_END)
+        fields = dict(ln.split(": ", 1)
+                      for ln in rec[:hdr_end].decode().split("\r\n")[1:])
+        urls.append(fields["WARC-Target-URI"])
+        offs.append(pos)
+        lens.append(consumed)
+        pos += consumed
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "segment": pa.array([segment] * len(urls), pa.string()),
+        "offset": pa.array(offs, pa.int64()),
+        "length": pa.array(lens, pa.int64()),
+    })
+
+
+def ensure_gz_index(warc_gz_dir: str) -> str:
+    """Idempotent: build ``index.parquet`` over every ``*.warc.gz`` segment
+    in the directory — one indexing task per segment, results unioned and
+    written once (at 100 TB: ~90k segment tasks → one partitioned index)."""
+    idx_path = os.path.join(warc_gz_dir, "index.parquet")
+    if os.path.exists(idx_path):
+        return idx_path
+    segs = sorted(glob.glob(os.path.join(warc_gz_dir, "*.warc.gz")))
+    if not segs:
+        raise FileNotFoundError(f"no .warc.gz segments under {warc_gz_dir}")
+
+    @ray.remote
+    def _index_one(p: str) -> pa.Table:
+        with open(p, "rb") as fh:
+            return build_gz_index(fh.read(), os.path.basename(p))
+
+    parts = ray.get([_index_one.remote(p) for p in segs])
+    tmp = idx_path + ".tmp"
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, idx_path)
+    return idx_path
+
+
+def fetch_records(warc_gz_dir: str, urls: list[str]) -> pa.Table:
+    """Random access: fetch ONLY the requested urls' records by byte range
+    — the index maps url → (segment, offset, length); each fetch reads and
+    inflates exactly one gzip member, never the segment. This is the shape
+    a 100 TB archive is served in production (range request per member)."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    idx = _pq.read_table(ensure_gz_index(warc_gz_dir))
+    want = pa.array(urls, pa.string())
+    hits = idx.filter(pc.is_in(idx["url"], value_set=want))
+    out = []
+    for seg, off, ln in zip(hits["segment"].to_pylist(),
+                            hits["offset"].to_pylist(),
+                            hits["length"].to_pylist()):
+        with open(os.path.join(warc_gz_dir, seg), "rb") as fh:
+            fh.seek(off)
+            member = fh.read(ln)
+        out.append(parse_segment(zlib.decompress(member, 31)))
+    if not out:
+        return parse_segment(b"")
+    return pa.concat_tables(out)
+
+
 def parse_segment(data: bytes) -> pa.Table:
     """Parse one segment's bytes → (url, warc_ts, html) Arrow table."""
     urls, tss, payloads = [], [], []

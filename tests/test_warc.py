@@ -67,6 +67,38 @@ def test_warc_gz_member_per_record_roundtrip():
     assert parse_segment(first).num_rows == 1
 
 
+def test_warc_gz_index_and_byte_range_fetch(tmp_path):
+    """The CDX-style member index must locate every record, and a byte-range
+    fetch (seek + read exactly `length` bytes + single-member inflate) must
+    reproduce the record bytes — including a duplicate url returning BOTH
+    copies."""
+    from lk_data_test_ray.sources.warc import (build_gz_index, fetch_records,
+                                               segment_table_gz)
+
+    ts = dt.datetime(2021, 3, 4, 5, 6, 7, 890123)
+    rows = [("http://a/x", ts, b"payload-a" * 30),
+            ("http://b/y", ts, None),
+            ("http://a/x", ts, b"payload-a-copy2"),  # duplicate url
+            ("http://c/z", ts, b"payload-c")]
+    tbl = _tbl(rows)
+    gz = segment_table_gz(tbl)
+    d = tmp_path / "warc_gz"
+    d.mkdir()
+    (d / "seg_rg00000-00004.warc.gz").write_bytes(gz)
+    idx = build_gz_index(gz, "seg_rg00000-00004.warc.gz")
+    assert idx.num_rows == 4
+    assert sum(idx["length"].to_pylist()) == len(gz)  # members tile the file
+    got = fetch_records(str(d), ["http://a/x", "http://c/z"])
+    assert got.num_rows == 3  # both copies of the dup url + one of c
+    by_payload = sorted([None if v is None else bytes(v)
+                         for v in got["html"].to_pylist()],
+                        key=lambda b: b or b"")
+    assert b"payload-a-copy2" in by_payload and b"payload-c" in by_payload
+    # the index is cached as index.parquet and reused
+    assert (d / "index.parquet").exists()
+    assert fetch_records(str(d), ["http://b/y"])["html"].to_pylist() == [None]
+
+
 def test_warc_gz_truncated_member_raises():
     import pytest
 
