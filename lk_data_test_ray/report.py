@@ -88,14 +88,31 @@ def render_report(out_dir: str) -> str:
 
 def publish_snapshot(out_dir: str, publish_root: str,
                      name: str = "current") -> str:
-    """Atomically point ``publish_root/name`` at ``out_dir``.
+    """Atomically point ``publish_root/name`` at ``out_dir`` and append the
+    publish to a version log.
 
     Readers following the symlink always see a complete snapshot — the
     reference's delete-graphs-then-reload publish contract
     (``update_graph.sh:3-7``) without the empty window. Idempotent: a
-    republish of the same out_dir is a no-op swap."""
+    republish of the same out_dir is a no-op swap (and is NOT logged as a
+    new version). Every distinct publish appends ``{version, target,
+    published_at}`` to ``snapshots.json`` (atomic rewrite), giving readers
+    time travel: ``resolve_snapshot(root, version=N)`` returns the N-th
+    published tree as long as it still exists on disk — the table-format
+    snapshot-log idea (Iceberg/Delta) reduced to its filesystem core."""
+    import datetime as _dt
+
     os.makedirs(publish_root, exist_ok=True)
     target = os.path.abspath(out_dir)
+    log = _read_log(publish_root)
+    if not log or log[-1]["target"] != target:
+        log.append({
+            "version": (log[-1]["version"] + 1) if log else 1,
+            "target": target,
+            "published_at": _dt.datetime.now(
+                _dt.timezone.utc).isoformat(timespec="seconds"),
+        })
+        _write_log(publish_root, log)
     link = os.path.join(publish_root, name)
     # symlink swap must be atomic: create under a temp name, then rename
     fd, tmp = tempfile.mkstemp(dir=publish_root)
@@ -104,3 +121,40 @@ def publish_snapshot(out_dir: str, publish_root: str,
     os.symlink(target, tmp)
     os.replace(tmp, link)
     return link
+
+
+def _read_log(publish_root: str) -> list:
+    p = os.path.join(publish_root, "snapshots.json")
+    if not os.path.exists(p):
+        return []
+    import json as _json
+
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _write_log(publish_root: str, log: list) -> None:
+    import json as _json
+
+    p = os.path.join(publish_root, "snapshots.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(log, f, indent=1)
+    os.replace(tmp, p)
+
+
+def resolve_snapshot(publish_root: str, version: int | None = None,
+                     name: str = "current") -> str:
+    """Time travel: the published tree for ``version`` (1-based; None =
+    follow the live symlink). Raises KeyError for an unknown version and
+    FileNotFoundError if that version's tree has since been deleted —
+    snapshot logs promise resolvability, not retention."""
+    if version is None:
+        return os.path.realpath(os.path.join(publish_root, name))
+    for rec in _read_log(publish_root):
+        if rec["version"] == version:
+            if not os.path.isdir(rec["target"]):
+                raise FileNotFoundError(
+                    f"snapshot v{version} target {rec['target']} is gone")
+            return rec["target"]
+    raise KeyError(f"no snapshot version {version} in {publish_root}")

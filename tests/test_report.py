@@ -48,6 +48,32 @@ def test_publish_snapshot_atomic_swap(tmp_path):
     assert os.path.exists(os.path.join(out1, "summary.json"))
 
 
+def test_snapshot_version_log_time_travel(tmp_path):
+    """Every distinct publish appends a version; resolve_snapshot reads any
+    past version while the live symlink tracks the newest; a republish of
+    the same tree is NOT a new version; deleted targets raise."""
+    import shutil
+
+    from lk_data_test_ray.report import resolve_snapshot
+
+    out1 = _fake_out_dir(tmp_path / "a")
+    out2 = _fake_out_dir(tmp_path / "b", passed=True)
+    root = str(tmp_path / "pub")
+    publish_snapshot(out1, root)
+    publish_snapshot(out1, root)  # idempotent republish: still v1
+    publish_snapshot(out2, root)
+    assert resolve_snapshot(root, 1) == os.path.realpath(out1)
+    assert resolve_snapshot(root, 2) == os.path.realpath(out2)
+    assert resolve_snapshot(root) == os.path.realpath(out2)  # live
+    import pytest
+
+    with pytest.raises(KeyError):
+        resolve_snapshot(root, 3)
+    shutil.rmtree(out1)
+    with pytest.raises(FileNotFoundError):
+        resolve_snapshot(root, 1)  # resolvability, not retention
+
+
 def test_report_cli(tmp_path):
     from lk_data_test_ray.__main__ import main
 
