@@ -290,18 +290,27 @@ class ScanCheckActor:
     """
 
     def __init__(self, check_extract: bool = True, vocab=None,
-                 clean_dir: str | None = None, c1_collectors: list | None = None):
+                 clean_dir: str | None = None,
+                 c1_collectors: list | None = None,
+                 c1_sidecar_dir: str | None = None):
         self._fn = make_scan_check_fn(check_extract=check_extract,
                                       vocab=vocab, clean_dir=clean_dir,
-                                      c1_collectors=c1_collectors)
+                                      c1_collectors=c1_collectors,
+                                      c1_sidecar_dir=c1_sidecar_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self._fn(batch)
 
 
+def sidecar_name(pid: int, lo: int, hi: int) -> str:
+    """C1 hash-sidecar filename for one scan item (stable across runs)."""
+    return f"item-{pid:05d}-{lo:05d}-{hi:05d}.npz"
+
+
 def make_scan_check_fn(check_extract: bool = True, vocab=None,
                        clean_dir: str | None = None,
-                       c1_collectors: list | None = None):
+                       c1_collectors: list | None = None,
+                       c1_sidecar_dir: str | None = None):
     """Fused read+check stage over a Dataset of scan items.
 
     The heavy html/text blocks NEVER enter the object store: each task reads
@@ -368,6 +377,19 @@ def make_scan_check_fn(check_extract: bool = True, vocab=None,
                     if len(hj):
                         c1_acks.append(c1_collectors[j].add.remote(
                             item_key, hj, cj))
+                if c1_sidecar_dir is not None:
+                    # persist this item's hash partial (16 B/row) so an
+                    # INCREMENTAL run feeds committed partitions from
+                    # sidecars instead of re-reading + re-hashing their url
+                    # columns (atomic + idempotent: speculative duplicates
+                    # rewrite identical bytes under the same name)
+                    sp = os.path.join(
+                        c1_sidecar_dir,
+                        sidecar_name(pid, lo, hi))
+                    tmp_sp = sp + f".tmp{os.getpid()}"
+                    np.savez(tmp_sp, h=hu.view(np.int64), c=cu,
+                             item_key=np.array(item_key))
+                    os.replace(tmp_sp + ".npz", sp)
             if clean_dir is not None:
                 # quarantine split (the training-data use of validation):
                 # rows untouched by any row-phase violation stream straight

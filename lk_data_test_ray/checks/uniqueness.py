@@ -225,6 +225,25 @@ def split_by_range(hashes: np.ndarray, counts: np.ndarray,
 
 
 @ray.remote
+def _feed_sidecars(sidecar_paths: list, collectors: list) -> bool:
+    """Resume path, sidecar form: feed committed partitions' url-hash
+    partials from the ``.npz`` sidecars their original scan persisted —
+    no parquet read, no re-hashing. Item keys travel inside the sidecars,
+    so dedup semantics are identical to a live scan's adds."""
+    acks = []
+    for sp in sidecar_paths:
+        with np.load(sp) as d:
+            hu = d["h"].view(np.uint64)
+            cu = d["c"].astype(np.int64)
+            item_key = str(d["item_key"])
+        for j, (hj, cj) in enumerate(
+                split_by_range(hu, cu, len(collectors))):
+            if len(hj):
+                acks.append(collectors[j].add.remote(item_key, hj, cj))
+    return all(ray.get(acks)) if acks else True
+
+
+@ray.remote
 def _feed_collector(path: str, key: str, collectors: list,
                     item_key: str) -> bool:
     """Resume path: a previously-committed partition's scan never re-runs,

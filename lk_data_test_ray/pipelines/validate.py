@@ -38,7 +38,7 @@ import ray.data as rd
 
 from ..checks.drift import chi_square_drift
 from ..checks.row import (make_scan_check_fn, merge_stats, plan_scan_items,
-                          split_combined, split_items)
+                          sidecar_name, split_combined, split_items)
 from ..checks.uniqueness import (collector_candidates, duplicates_to_violations,
                                  find_duplicate_urls, make_collectors,
                                  verify_candidates, _feed_collector)
@@ -50,14 +50,15 @@ ENGINE_VERSION = "0.1.0"
 
 @ray.remote
 def _spec_scan_item(item: dict, check_extract: bool, clean_dir,
-                    c1_collectors):
+                    c1_collectors, c1_sidecar_dir=None):
     """Speculative (backup) execution of one straggling scan item — the same
     fused read+check fn the row phase runs, first-result-wins. Safe to
     duplicate: clean-output writes are atomic per (pid, rg_lo), C1 hash adds
     are idempotent by item key, and the consume loop drops the slower copy's
     violations/stats by item-key dedup."""
     fn = make_scan_check_fn(check_extract=check_extract, clean_dir=clean_dir,
-                            c1_collectors=c1_collectors)
+                            c1_collectors=c1_collectors,
+                            c1_sidecar_dir=c1_sidecar_dir)
     return fn(pa.table({k: [item[k]]
                         for k in ("path", "rg_lo", "rg_hi", "pid")}))
 
@@ -125,13 +126,31 @@ def run_validation(
     collectors = None
     feed_refs: list = []
     c1_result: dict = {}
+    c1_dir = os.path.join(out_dir, "c1")
     if fuse_c1:
+        os.makedirs(c1_dir, exist_ok=True)
         collectors = make_collectors()
         done_files = [f for f in files if partition_of[f] in done]
-        feed_refs = [
-            _feed_collector.remote(f, "url", collectors, f"file:{f}")
-            for f in done_files
-        ]
+        # committed partitions never re-scan; feed their url hashes from the
+        # per-item sidecars their original scan persisted (16 B/row, already
+        # hashed) — falling back to a url-only parquet read when a file's
+        # sidecar set is incomplete (config change, pre-sidecar output dir).
+        # At 100 TB an incremental run re-feeds yesterday's corpus from ~1.6%
+        # of its bytes instead of re-reading + re-hashing every url column.
+        from ..checks.row import plan_scan_items as _plan
+        from ..checks.uniqueness import _feed_sidecars
+
+        feed_refs = []
+        for f in done_files:
+            exp = [(os.path.join(c1_dir,
+                                 sidecar_name(it["pid"], it["rg_lo"],
+                                              it["rg_hi"])))
+                   for it in _plan([f], partition_of)]
+            if exp and all(os.path.exists(x) for x in exp):
+                feed_refs.append(_feed_sidecars.remote(exp, collectors))
+            else:
+                feed_refs.append(
+                    _feed_collector.remote(f, "url", collectors, f"file:{f}"))
     else:
         def _c1():
             try:
@@ -190,12 +209,17 @@ def run_validation(
                 ScanCheckActor,
                 fn_constructor_kwargs=dict(check_extract=check_extract,
                                            clean_dir=clean_dir,
-                                           c1_collectors=collectors), **kwargs)
+                                           c1_collectors=collectors,
+                                           c1_sidecar_dir=(
+                                               c1_dir if fuse_c1 else None)),
+                **kwargs)
         else:
             combined = ds.map_batches(
                 make_scan_check_fn(check_extract=check_extract,
                                    clean_dir=clean_dir,
-                                   c1_collectors=collectors), **kwargs)
+                                   c1_collectors=collectors,
+                                   c1_sidecar_dir=(c1_dir if fuse_c1
+                                                   else None)), **kwargs)
 
         pend_viol: dict[int, list[pa.Table]] = {}
         pend_stats: dict[int, list[dict]] = {}
@@ -287,7 +311,8 @@ def run_validation(
                 if stall < max(2.0, 6.0 * med_gap):
                     return
             refs = [_spec_scan_item.remote(item_info[k], check_extract,
-                                           clean_dir, collectors)
+                                           clean_dir, collectors,
+                                           c1_dir if fuse_c1 else None)
                     for k in missing]
             spec_submitted.update(missing)
             threading.Thread(target=_spec_getter, args=(refs,),

@@ -114,3 +114,33 @@ def test_midstream_kill_then_resume(pages_fixture, tmp_path):
         return sorted(zip(t["check_id"].to_pylist(), t["url"].to_pylist()))
 
     assert key_set(got) == key_set(want)
+
+
+def test_resume_feeds_c1_from_sidecars(pages_fixture, tmp_path, monkeypatch):
+    """A resume run must feed committed partitions' C1 hashes from the
+    persisted .npz sidecars (no parquet re-read): poison the url-read
+    fallback and assert the resumed verdicts still match a fresh run."""
+    import glob
+
+    import lk_data_test_ray.checks.uniqueness as u
+    from lk_data_test_ray.pipelines import validate as v
+
+    fresh_dir = str(tmp_path / "fresh")
+    resumed_dir = str(tmp_path / "resumed")
+    s_fresh = _run(pages_fixture, fresh_dir)
+
+    _run(pages_fixture, resumed_dir)
+    assert glob.glob(os.path.join(resumed_dir, "c1", "*.npz"))
+    # drop the global manifest so the run re-executes ONLY the global phase,
+    # with every partition already committed → the feed covers all of them
+    for p in glob.glob(os.path.join(resumed_dir, "manifests", "*global*")):
+        os.remove(p)
+
+    def _boom(*a, **k):
+        raise AssertionError("resume fed C1 by re-reading parquet urls — "
+                             "sidecars were expected to cover it")
+
+    monkeypatch.setattr(v._feed_collector, "remote", _boom)
+    s_resumed = _run(pages_fixture, resumed_dir)
+    assert (s_resumed["per_check_violations"]
+            == s_fresh["per_check_violations"])
