@@ -92,6 +92,7 @@ def run_validation(
     collect_ray_stats: bool = False,
     fuse_c1: bool = True,
     speculative: bool | str = True,
+    c1_sidecars: bool = True,
 ) -> dict:
     """Run the full suite; returns the summary dict (also written as JSON).
 
@@ -126,9 +127,11 @@ def run_validation(
     collectors = None
     feed_refs: list = []
     c1_result: dict = {}
-    c1_dir = os.path.join(out_dir, "c1")
+    c1_dir = (os.path.join(out_dir, "c1")
+              if (fuse_c1 and c1_sidecars) else None)
     if fuse_c1:
-        os.makedirs(c1_dir, exist_ok=True)
+        if c1_dir is not None:
+            os.makedirs(c1_dir, exist_ok=True)
         collectors = make_collectors()
         done_files = [f for f in files if partition_of[f] in done]
         # committed partitions never re-scan; feed their url hashes from the
@@ -142,10 +145,11 @@ def run_validation(
 
         feed_refs = []
         for f in done_files:
-            exp = [(os.path.join(c1_dir,
+            exp = ([os.path.join(c1_dir,
                                  sidecar_name(it["pid"], it["rg_lo"],
-                                              it["rg_hi"])))
-                   for it in _plan([f], partition_of)]
+                                              it["rg_hi"]))
+                    for it in _plan([f], partition_of)]
+                   if c1_dir is not None else [])
             if exp and all(os.path.exists(x) for x in exp):
                 feed_refs.append(_feed_sidecars.remote(exp, collectors))
             else:
@@ -210,16 +214,14 @@ def run_validation(
                 fn_constructor_kwargs=dict(check_extract=check_extract,
                                            clean_dir=clean_dir,
                                            c1_collectors=collectors,
-                                           c1_sidecar_dir=(
-                                               c1_dir if fuse_c1 else None)),
+                                           c1_sidecar_dir=c1_dir),
                 **kwargs)
         else:
             combined = ds.map_batches(
                 make_scan_check_fn(check_extract=check_extract,
                                    clean_dir=clean_dir,
                                    c1_collectors=collectors,
-                                   c1_sidecar_dir=(c1_dir if fuse_c1
-                                                   else None)), **kwargs)
+                                   c1_sidecar_dir=c1_dir), **kwargs)
 
         pend_viol: dict[int, list[pa.Table]] = {}
         pend_stats: dict[int, list[dict]] = {}
@@ -311,8 +313,7 @@ def run_validation(
                 if stall < max(2.0, 6.0 * med_gap):
                     return
             refs = [_spec_scan_item.remote(item_info[k], check_extract,
-                                           clean_dir, collectors,
-                                           c1_dir if fuse_c1 else None)
+                                           clean_dir, collectors, c1_dir)
                     for k in missing]
             spec_submitted.update(missing)
             threading.Thread(target=_spec_getter, args=(refs,),
