@@ -715,35 +715,54 @@ def shingle_jaccard_pairs_matmul(
     # per row by the shingling pass; any row of a doc has it
     sizes = np.zeros(n_docs, dtype=np.float64)
     sizes[doc_codes] = sh_tbl["sz"].to_numpy(zero_copy_only=False)
-    mat_ref = ray.put((S, sizes, doc_ids))
 
+    def pairs_for(S_, sizes_, ids_, lo, hi):
+        # pairs need id_a < id_b by sorted position, so only multiply
+        # against columns ≥ lo — halves total FLOPs across blocks
+        inter = S_[lo:hi] @ S_[lo:].T  # (block, n_docs - lo)
+        if metric == "overlap":
+            denom = np.minimum(sizes_[lo:hi, None], sizes_[None, lo:])
+        else:
+            denom = sizes_[lo:hi, None] + sizes_[None, lo:] - inter
+        jac = inter / np.maximum(denom, 1.0)
+        rows, cols = np.nonzero(jac >= threshold)
+        keep = rows < cols  # both relative to lo
+        rows, cols = rows[keep], cols[keep]
+        return (ids_[rows + lo], ids_[cols + lo],
+                round_half_away(jac[rows, cols].astype(np.float64), 6))
+
+    def to_table(parts) -> pa.Table:
+        a = np.concatenate([p[0] for p in parts]) if parts else []
+        b = np.concatenate([p[1] for p in parts]) if parts else []
+        j = np.concatenate([p[2] for p in parts]) if parts else []
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            ("containment" if metric == "overlap" else "jaccard"):
+                pa.array(j, pa.float64()),
+        })
+
+    # tiny dense problems run ON THE DRIVER: the triangular matmul is
+    # ~sub-second of BLAS, while fanning it out pays task dispatch + a
+    # matrix broadcast + result transfers that measured 5-10x the compute
+    # on a loaded session. The cutoff (~2.5e10 FLOPs ≈ 0.5 s) keeps the
+    # distributed path for everything that actually needs width.
+    flops = float(n_docs) * n_docs * n_sh  # triangular ≈ half this
+    if flops <= 2.5e10:
+        parts = [pairs_for(S, sizes, doc_ids, lo, min(lo + 1024, n_docs))
+                 for lo in range(0, n_docs, 1024)]
+        return rd.from_arrow(to_table(parts))
+
+    mat_ref = ray.put((S, sizes, doc_ids))
     blocks = [{"lo": lo, "hi": min(lo + 1024, n_docs)}
               for lo in range(0, n_docs, 1024)]
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         S_, sizes_, ids_ = ray.get(mat_ref)
-        out_a, out_b, out_j = [], [], []
-        for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist()):
-            # pairs need id_a < id_b by sorted position, so only multiply
-            # against columns ≥ lo — halves total FLOPs across blocks
-            inter = S_[lo:hi] @ S_[lo:].T  # (block, n_docs - lo)
-            if metric == "overlap":
-                denom = np.minimum(sizes_[lo:hi, None], sizes_[None, lo:])
-            else:
-                denom = sizes_[lo:hi, None] + sizes_[None, lo:] - inter
-            jac = inter / np.maximum(denom, 1.0)
-            rows, cols = np.nonzero(jac >= threshold)
-            keep = rows < cols  # both relative to lo
-            rows, cols = rows[keep], cols[keep]
-            out_a.extend(ids_[rows + lo])
-            out_b.extend(ids_[cols + lo])
-            out_j.extend(round_half_away(jac[rows, cols].astype(np.float64), 6))
-        return pa.table({
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
-            ("containment" if metric == "overlap" else "jaccard"):
-                pa.array(out_j, pa.float64()),
-        })
+        parts = [pairs_for(S_, sizes_, ids_, lo, hi)
+                 for lo, hi in zip(batch["lo"].to_pylist(),
+                                   batch["hi"].to_pylist())]
+        return to_table(parts)
 
     return rd.from_items(blocks, override_num_blocks=len(blocks)).map_batches(
         block_pairs, batch_format="pyarrow")
