@@ -307,6 +307,54 @@ def sidecar_name(pid: int, lo: int, hi: int) -> str:
     return f"item-{pid:05d}-{lo:05d}-{hi:05d}.npz"
 
 
+def committed_sidecars(c1_dir: str, pid: int, path: str) -> list | None:
+    """The sidecar set that fully covers a committed partition, discovered
+    by GLOB over what the original scan actually wrote — never by
+    re-deriving the item split (the live scan auto-sizes its items to the
+    todo set, so a re-plan over one file routinely disagrees with the names
+    on disk and would silently defeat the sidecar fast path). Returns the
+    chosen files only when their (rg_lo, rg_hi) ranges tile
+    ``[0, n_row_groups)`` exactly (greedy max-hi walk, so sidecars from
+    runs with different splits may mix — any exact tiling of correct
+    per-item partials is correct); None → caller falls back to the
+    url-column parquet read."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cands = _glob.glob(os.path.join(c1_dir, f"item-{pid:05d}-*.npz"))
+    if not cands:
+        return None
+    by_lo: dict[int, tuple[int, str]] = {}
+    for c in cands:
+        try:
+            _, _, lo_s, hi_s = os.path.basename(c)[:-4].split("-")
+            lo, hi = int(lo_s), int(hi_s)
+        except ValueError:
+            continue
+        if lo not in by_lo or hi > by_lo[lo][0]:
+            by_lo[lo] = (hi, c)
+    try:
+        n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return None
+    cur, chosen = 0, []
+    while cur < n_rg:
+        nxt = by_lo.get(cur)
+        if nxt is None or nxt[0] <= cur:
+            return None
+        cur = nxt[0]
+        chosen.append(nxt[1])
+    if n_rg == 0:
+        # zero-row-group files plan one empty (0, 0) item
+        empty = by_lo.get(0)
+        if empty is None or empty[0] != 0:
+            return None
+        chosen = [empty[1]]
+    return chosen
+
+
 def make_scan_check_fn(check_extract: bool = True, vocab=None,
                        clean_dir: str | None = None,
                        c1_collectors: list | None = None,

@@ -277,6 +277,12 @@ def make_collectors(n: int | None = None, reuse: bool = True) -> list:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         # power of two ≤ cpus/4: collectors own disjoint hash-top-bit ranges
         n = 1 << max(1, min(3, int(np.log2(max(2, cpus // 4)))))
+    elif n < 1 or (n & (n - 1)):
+        # validate HERE, not as an AssertionError deep inside a remote scan
+        # task: collectors own disjoint hash top-bit ranges, so the pool
+        # size must be a power of two
+        raise ValueError(
+            f"collector pool size must be a power of two, got {n}")
     if reuse:
         pool = _COLLECTOR_POOL.get(n)
         if pool is not None:

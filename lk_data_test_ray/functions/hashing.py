@@ -33,12 +33,69 @@ def hash_strings64(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+_MD5_CON = None  # per-process cached DuckDB connection (workers are 1-thread)
+
+
+def _md5_con():
+    global _MD5_CON
+    if _MD5_CON is None:
+        import duckdb
+
+        _MD5_CON = duckdb.connect()
+    return _MD5_CON
+
+
 def md5_hex(values) -> np.ndarray:
-    """Vectorized md5 hex digests (matches DuckDB ``md5(text)``)."""
-    return np.array(
-        [hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None for v in values],
-        dtype=object,
-    )
+    """Vectorized md5 hex digests (matches DuckDB/hashlib ``md5(text)``).
+
+    md5 is the engine-neutral deterministic-sampling-key spec on the
+    ``td_shuffle_shards``/``o_stratified_sample`` scale paths, so the hot
+    path computes it with DuckDB's C kernel over a zero-copy Arrow column
+    (~3x the hashlib loop, zero per-row Python); a hashlib fallback keeps
+    the function importable without duckdb. NULLs stay NULL both ways."""
+    import pyarrow as pa
+
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(values), pa.string())
+    try:
+        con = _md5_con()
+    except ImportError:
+        return np.array(
+            [None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
+             for v in arr.to_pylist()],
+            dtype=object)
+    tbl = pa.table({"v": arr})
+    con.register("_md5_in", tbl)
+    try:
+        out = con.execute("SELECT md5(v) AS h FROM _md5_in").arrow()
+    finally:
+        con.unregister("_md5_in")
+    return np.asarray(out.column("h").to_pandas(), dtype=object)
+
+
+def md5_hex_ints(ids) -> np.ndarray:
+    """md5 hex of each integer's decimal string — the common sampling-key
+    shape ``md5(str(id))`` — without materializing Python strings: the
+    int64 array goes to DuckDB as-is and the VARCHAR cast + md5 both run
+    in its C kernels. Equal to ``md5_hex([str(i) for i in ids])``."""
+    import pyarrow as pa
+
+    a = np.asarray(ids, np.int64)
+    if not len(a):
+        return np.empty(0, dtype=object)
+    try:
+        con = _md5_con()
+    except ImportError:
+        return np.array([hashlib.md5(str(i).encode()).hexdigest()
+                         for i in a], dtype=object)
+    tbl = pa.table({"v": pa.array(a)})
+    con.register("_md5_in", tbl)
+    try:
+        out = con.execute(
+            "SELECT md5(CAST(v AS VARCHAR)) AS h FROM _md5_in").arrow()
+    finally:
+        con.unregister("_md5_in")
+    return np.asarray(out.column("h").to_pandas(), dtype=object)
 
 
 def rolling_fingerprint(text: str, window: int = 16) -> int:

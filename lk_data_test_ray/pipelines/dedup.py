@@ -44,7 +44,7 @@ def exact_dedup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset
     """
 
     def fingerprint(batch: pa.Table) -> pa.Table:
-        fp = md5_hex(batch[text_col].to_pylist())
+        fp = md5_hex(batch[text_col])
         return pa.table({
             "fp": pa.array(fp, pa.string()),
             id_col: batch[id_col],

@@ -150,9 +150,12 @@ class DecodeStage:
             elif kind in DECODERS:
                 try:
                     img = DECODERS[kind](bytes(payload))  # REAL decode
-                except ValueError:
-                    continue  # corrupt/unsupported-variant payload: at web
-                    # scale these are routine — skip the row, never the task
+                except (ValueError, IndexError, KeyError):
+                    # Corrupt/truncated payloads are routine at web scale:
+                    # skip the row, never the task. Truncation inside the
+                    # gif/jpeg header walks surfaces as IndexError (and a
+                    # missing Huffman table as KeyError), not just ValueError.
+                    continue
                 nch = img.shape[2]
                 pooled = mean_pool(img, self.target_size)
                 img = img.mean(axis=2)  # gray for the histogram feature

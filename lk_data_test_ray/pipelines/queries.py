@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..checks.vocab import ISO_639_1
-from ..functions.hashing import md5_hex, rolling_fingerprint, simhash64
+from ..functions.hashing import (md5_hex, md5_hex_ints,
+                                 rolling_fingerprint, simhash64)
 from ..functions.text import lang_id, quality_features, token_counts
 from ..relational import (broadcast_join, partial_groupby_agg, read,
                           read_table, round_half_away, topk)
@@ -570,7 +571,7 @@ def t_fingerprint(sf_dir: str) -> rd.Dataset:
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": batch["doc_id"],
-            "fp": pa.array(md5_hex(batch["text"].to_pylist()), pa.string()),
+            "fp": pa.array(md5_hex(batch["text"]), pa.string()),
         })
 
     return docs.map_batches(fp, batch_format="pyarrow")
@@ -4467,8 +4468,7 @@ def td_shuffle_shards(sf_dir: str) -> rd.Dataset:
     docs = read(sf_dir, "documents", ["doc_id"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        h = md5_hex([str(i) for i in ids])
+        h = md5_hex_ints(batch["doc_id"].to_numpy())
         band = np.array([int(x[:2], 16) for x in h], dtype=np.int64)
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
@@ -4602,7 +4602,7 @@ def td_rebalance(sf_dir: str) -> rd.Dataset:
     m = int(pc.min(counts["n"]).as_py())
 
     def add_key(batch: pa.Table) -> pa.Table:
-        h = md5_hex([str(i) for i in batch["doc_id"].to_pylist()])
+        h = md5_hex_ints(batch["doc_id"].to_numpy())
         return batch.append_column("h", pa.array(h, pa.string()))
 
     keyed = docs.map_batches(add_key, batch_format="pyarrow")
@@ -4926,7 +4926,7 @@ def td_pretrain_corpus(sf_dir: str) -> rd.Dataset:
     m = int(pc.min(counts["n"]).as_py()) if counts.num_rows else 0
 
     def add_key(batch: pa.Table) -> pa.Table:
-        h = md5_hex([str(i) for i in batch["doc_id"].to_pylist()])
+        h = md5_hex_ints(batch["doc_id"].to_numpy())
         return batch.append_column("h", pa.array(h, pa.string()))
 
     keyed = kept.map_batches(add_key, batch_format="pyarrow")

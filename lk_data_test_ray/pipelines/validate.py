@@ -140,17 +140,17 @@ def run_validation(
         # sidecar set is incomplete (config change, pre-sidecar output dir).
         # At 100 TB an incremental run re-feeds yesterday's corpus from ~1.6%
         # of its bytes instead of re-reading + re-hashing every url column.
-        from ..checks.row import plan_scan_items as _plan
+        from ..checks.row import committed_sidecars
         from ..checks.uniqueness import _feed_sidecars
 
         feed_refs = []
         for f in done_files:
-            exp = ([os.path.join(c1_dir,
-                                 sidecar_name(it["pid"], it["rg_lo"],
-                                              it["rg_hi"]))
-                    for it in _plan([f], partition_of)]
-                   if c1_dir is not None else [])
-            if exp and all(os.path.exists(x) for x in exp):
+            # discover what the original scan WROTE (its item split is
+            # auto-sized to that run's todo set — re-deriving it here would
+            # mismatch and silently defeat the sidecar path)
+            exp = (committed_sidecars(c1_dir, partition_of[f], f)
+                   if c1_dir is not None else None)
+            if exp:
                 feed_refs.append(_feed_sidecars.remote(exp, collectors))
             else:
                 feed_refs.append(

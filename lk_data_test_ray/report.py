@@ -101,25 +101,33 @@ def publish_snapshot(out_dir: str, publish_root: str,
     published tree as long as it still exists on disk — the table-format
     snapshot-log idea (Iceberg/Delta) reduced to its filesystem core."""
     import datetime as _dt
+    import fcntl
 
     os.makedirs(publish_root, exist_ok=True)
     target = os.path.abspath(out_dir)
-    log = _read_log(publish_root)
-    if not log or log[-1]["target"] != target:
-        log.append({
-            "version": (log[-1]["version"] + 1) if log else 1,
-            "target": target,
-            "published_at": _dt.datetime.now(
-                _dt.timezone.utc).isoformat(timespec="seconds"),
-        })
-        _write_log(publish_root, log)
     link = os.path.join(publish_root, name)
-    # symlink swap must be atomic: create under a temp name, then rename
-    fd, tmp = tempfile.mkstemp(dir=publish_root)
-    os.close(fd)
-    os.remove(tmp)
-    os.symlink(target, tmp)
-    os.replace(tmp, link)
+    # One exclusive lock serializes concurrent publishers (the log append is
+    # a read-modify-write: unguarded it can lose entries or duplicate
+    # version numbers), and the log entry is appended only AFTER the
+    # symlink swap succeeds — a failed swap must not leave a phantom
+    # version that resolve_snapshot would happily return.
+    with open(os.path.join(publish_root, ".snapshots.lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        # symlink swap must be atomic: create under a temp name, then rename
+        fd, tmp = tempfile.mkstemp(dir=publish_root)
+        os.close(fd)
+        os.remove(tmp)
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
+        log = _read_log(publish_root)
+        if not log or log[-1]["target"] != target:
+            log.append({
+                "version": (log[-1]["version"] + 1) if log else 1,
+                "target": target,
+                "published_at": _dt.datetime.now(
+                    _dt.timezone.utc).isoformat(timespec="seconds"),
+            })
+            _write_log(publish_root, log)
     return link
 
 

@@ -341,3 +341,28 @@ def test_gram_hash_pairs_equality_structure():
             for j in range(i + 1, len(gs)):
                 assert (gs[i] == gs[j]) == (key[i] == key[j]), \
                     (trial, gs[i], gs[j])
+
+
+def test_md5_hex_matches_hashlib():
+    """md5_hex / md5_hex_ints (DuckDB C kernel on the hot path) are exactly
+    hashlib's md5 over utf-8 bytes, with NULL passthrough — the sampling-key
+    spec the td_* oracles assume."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from lk_data_test_ray.functions.hashing import md5_hex, md5_hex_ints
+
+    vals = ["", "a", "hello world", "héllo wörld", "日本語" * 40,
+            None, "x" * 1000]
+    got = md5_hex(vals)
+    for v, g in zip(vals, got):
+        ref = None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
+        assert g == ref, (v, g)
+    # chunked Arrow input (the map_batches shape) and int-id fast path
+    got2 = md5_hex(pa.chunked_array([pa.array(["ab", "cd"]), pa.array(["ef"])]))
+    assert list(got2) == [hashlib.md5(x.encode()).hexdigest()
+                          for x in ["ab", "cd", "ef"]]
+    ids = [0, -5, 123456789, 2 ** 62, -(2 ** 62)]
+    assert list(md5_hex_ints(ids)) == [
+        hashlib.md5(str(i).encode()).hexdigest() for i in ids]

@@ -116,3 +116,31 @@ def test_decode_stage_handles_gif():
     assert got["gif1"] == ("image/gif", 16, 16, 3)
     assert got["png1"] == ("image/png", 16, 16, 3)
     assert "skip1" not in got  # jpeg: no codec in this container
+
+
+def test_decode_stage_skips_truncated_payloads():
+    """Corrupt/truncated payloads of EVERY registered codec skip the row,
+    never kill the task — truncation inside the gif/jpeg header walks
+    surfaces as IndexError, not ValueError (web-scale skip contract)."""
+    import pyarrow as pa
+
+    idx = _rng(12).integers(0, 4, size=(8, 8), dtype=np.uint8)
+    pal = _rng(13).integers(0, 256, size=(4, 3), dtype=np.uint8)
+    img = _rng(14).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    gif, png = mm.gif_encode(idx, pal), mm.png_encode(img)
+    jpg = mm.jpeg_encode(img)
+    payloads = (
+        [gif[:8], gif[:20], gif[:-4], png[:10], png[:-6],
+         jpg[:4], jpg[: len(jpg) // 2], jpg[:-2]]
+        + [gif]  # one intact row proves the stage still decodes
+    )
+    batch = pa.table({
+        "url": pa.array([f"p{i}" for i in range(len(payloads))], pa.string()),
+        "html": pa.array(payloads, pa.binary()),
+    })
+    out = mm.DecodeStage(fake=False)(batch)  # must not raise
+    got = set(out["url"].to_pylist())
+    # p4 (png minus IEND) and p7 (jpeg minus EOI) lose only trailing
+    # markers — all pixel data is present, so decoding them is correct.
+    assert f"p{len(payloads) - 1}" in got  # intact row decodes
+    assert got.isdisjoint({"p0", "p1", "p2", "p3", "p5", "p6"})

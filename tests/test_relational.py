@@ -244,6 +244,53 @@ def test_char_trigram_boundary_mask():
     assert got == dict(ref)
 
 
+def test_char_trigram_non_ascii():
+    """Non-ASCII input never crashes the byte-trigram kernel: windows
+    touching a non-ASCII byte are dropped (byte-trigrams only equal
+    char-trigrams on ASCII), all-ASCII windows still count."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from lk_data_test_ray.pipelines.queries import _char_trigram_counts
+
+    vals = ["héllo", "日本語 text", "plain", "αβ", "mixed café latte"]
+    grams, counts = _char_trigram_counts(pa.array(vals, pa.string()))
+    got = {g.decode("ascii") for g in grams}  # decode must not raise
+    ref = Counter()
+    for v in vals:
+        b = v.encode("utf-8")
+        for i in range(len(b) - 2):
+            w = b[i:i + 3]
+            if all(c < 0x80 for c in w):
+                ref[w.decode("ascii")] += 1
+    assert {g.decode("ascii"): int(n)
+            for g, n in zip(grams, counts)} == dict(ref)
+    assert "llo" in got and "tex" in got
+
+
+def test_word_len_hist_non_ascii(ray_session, tmp_path):
+    """Non-ASCII text never crashes the word-length kernel; multi-byte
+    tokens count their documented utf-8 BYTE width."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import t_word_len_hist
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["日本 ab", "café x"], pa.string()),
+        "lang": pa.array(["ja", "fr"], pa.string()),
+        "source": pa.array(["s"] * 2, pa.string()),
+        "n_chars": pa.array([5, 6], pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (t_word_len_hist(str(tmp_path)).to_pandas()
+           .set_index("word_len")["n"].to_dict())
+    # tokens: 日本(6 bytes) ab(2) | café(5 bytes) x(1)
+    assert out == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
 def test_word_len_hist_runs(ray_session, tmp_path):
     """Word-length kernel: token runs end at spaces AND document
     boundaries; multi-space gaps produce no zero-length tokens."""

@@ -83,3 +83,63 @@ def test_report_cli(tmp_path):
     assert os.path.exists(os.path.join(out, "index.html"))
     assert os.path.realpath(
         str(tmp_path / "pub" / "current")) == os.path.realpath(out)
+
+
+def test_publish_failed_swap_leaves_no_phantom_version(tmp_path):
+    """A publish whose symlink swap fails must not append a version-log
+    entry (resolve_snapshot would otherwise time-travel to a snapshot that
+    was never live)."""
+    import json
+    import os
+
+    import pytest
+
+    from lk_data_test_ray.report import publish_snapshot
+
+    out1 = tmp_path / "snap1"
+    out1.mkdir()
+    root = str(tmp_path / "pub")
+    publish_snapshot(str(out1), root)
+    # force the swap to fail: a non-empty DIRECTORY at the link name makes
+    # os.replace raise
+    os.symlink(str(out1), os.path.join(root, "other"))  # sanity: root ok
+    bad = tmp_path / "snap2"
+    bad.mkdir()
+    os.remove(os.path.join(root, "current"))
+    os.makedirs(os.path.join(root, "current", "sub"))
+    with pytest.raises(OSError):
+        publish_snapshot(str(bad), root)
+    log = json.load(open(os.path.join(root, "snapshots.json")))
+    assert [e["target"] for e in log] == [str(out1)]
+
+
+def test_publish_concurrent_versions_unique(tmp_path):
+    """Concurrent publishers never lose log entries or duplicate version
+    numbers (exclusive-lock guard on the read-modify-write)."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from lk_data_test_ray.report import publish_snapshot
+
+    root = str(tmp_path / "pub")
+    outs = []
+    for i in range(6):
+        d = tmp_path / f"s{i}"
+        d.mkdir()
+        outs.append(str(d))
+
+    def pub(d):
+        publish_snapshot(d, root)
+
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=pub, args=(d,)) for d in outs]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    assert all(p.exitcode == 0 for p in procs)
+    log = json.load(open(os.path.join(root, "snapshots.json")))
+    assert sorted(e["version"] for e in log) == list(
+        range(1, len(log) + 1))
+    assert len({e["target"] for e in log}) == len(log)

@@ -144,3 +144,38 @@ def test_resume_feeds_c1_from_sidecars(pages_fixture, tmp_path, monkeypatch):
     s_resumed = _run(pages_fixture, resumed_dir)
     assert (s_resumed["per_check_violations"]
             == s_fresh["per_check_violations"])
+
+
+def test_committed_sidecars_tiling(tmp_path):
+    """Sidecar discovery globs what the scan wrote and accepts ONLY an
+    exact row-group tiling — mixed splits resolve greedily, gaps reject."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.checks.row import committed_sidecars
+
+    f = str(tmp_path / "part.parquet")
+    # 8 row groups of 2 rows
+    t = pa.table({"x": pa.array(range(16))})
+    pq.write_table(t, f, row_group_size=2)
+    c1 = tmp_path / "c1"
+    c1.mkdir()
+
+    def touch(pid, lo, hi):
+        np.savez(str(c1 / f"item-{pid:05d}-{lo:05d}-{hi:05d}.npz"), z=1)
+
+    # incomplete coverage → None
+    touch(3, 0, 4)
+    assert committed_sidecars(str(c1), 3, f) is None
+    # exact tiling → chosen, in range order
+    touch(3, 4, 8)
+    got = committed_sidecars(str(c1), 3, f)
+    assert [os.path.basename(g) for g in got] == [
+        "item-00003-00000-00004.npz", "item-00003-00004-00008.npz"]
+    # a different run's coarser split mixes in → greedy picks the max-hi walk
+    touch(3, 0, 8)
+    got = committed_sidecars(str(c1), 3, f)
+    assert [os.path.basename(g) for g in got] == ["item-00003-00000-00008.npz"]
+    # other pid's sidecars are invisible
+    assert committed_sidecars(str(c1), 4, f) is None
