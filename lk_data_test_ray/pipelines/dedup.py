@@ -178,14 +178,62 @@ def shingle_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _capped_pair_indices(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Within-bucket candidate-pair index arrays, bounded for hot buckets.
+
+    ``n ≤ cap``: all n(n-1)/2 pairs (exhaustive — the normal LSH-collision
+    case). ``n > cap`` (a boilerplate-dominated bucket: one template in 1%
+    of a crawl makes 100k-member buckets, whose 5×10⁹ all-pairs rows would
+    sink one map_groups task): emit the sorted-id CHAIN plus power-of-two
+    strides ≤128 — ≤ 8n pairs. Recall impact (documented): direct pair
+    coverage inside an oversized bucket is no longer exhaustive, but every
+    true duplicate CLUSTER stays connected through the chain (members of a
+    hot bucket that are genuinely near-identical verify along consecutive
+    ids), which is what the downstream connected-components clustering
+    consumes; the estimate/verify stage re-filters false chain edges."""
+    if n <= cap:
+        return np.triu_indices(n, k=1)
+    strides = [1 << k for k in range(min(8, max(1, int(np.ceil(np.log2(n))))))]
+    ia = np.concatenate([np.arange(n - s) for s in strides])
+    ib = np.concatenate([np.arange(s, n) for s in strides])
+    return ia, ib
+
+
+def _fixed_binary_matrix(col, width_bytes: int) -> np.ndarray:
+    """View an equal-width binary column as an (n, width/8) uint64 matrix —
+    zero-copy off the Arrow values buffer when offsets are contiguous
+    (arrays fresh from a join/take are), per-row frombuffer otherwise."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, width_bytes // 8), np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], np.int32, count=n + 1,
+                         offset=arr.offset * 4)
+    if offs[-1] - offs[0] == n * width_bytes:
+        data = np.frombuffer(arr.buffers()[2], np.uint8,
+                             count=n * width_bytes, offset=int(offs[0]))
+        return np.ascontiguousarray(
+            data.reshape(n, width_bytes)).view(np.uint64)
+    return np.stack([np.frombuffer(x, np.uint64) for x in arr.to_pylist()])
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset, id_col: str, text_col: str, num_perm: int = 64,
     bands: int = 16, shingle_k: int = 2, threshold: float = 0.5,
+    bucket_cap: int = 512, sig_broadcast_limit: int = 500_000,
 ) -> rd.Dataset:
     """Candidate pairs from LSH band buckets + MinHash-estimated Jaccard.
 
     shingle → minhash → band → bucket-groupby (SURVEY.md 'Beyond' item).
     With r = num_perm/bands rows per band, collision prob = 1-(1-J^r)^bands.
+
+    Scale bounds (template-heavy web corpora violate the "LSH collisions
+    are rare" assumption): buckets above ``bucket_cap`` members emit a
+    bounded chain+stride pair subset instead of all-pairs
+    (``_capped_pair_indices``), and when the hot-survivor row count exceeds
+    ``sig_broadcast_limit`` the survivor signatures ship through the hash
+    exchange (joined to the pairs) instead of a driver ``ray.put``
+    broadcast — no driver-memory term grows with the corpus.
     """
     rows = num_perm // bands
     assert bands * rows == num_perm
@@ -275,7 +323,9 @@ def minhash_lsh_pairs(
         if len(uniq_ids) < 2:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(uniq_ids), k=1)
+        # bounded above bucket_cap — boilerplate buckets are quadratic
+        # otherwise (see _capped_pair_indices for the recall contract)
+        ia, ib = _capped_pair_indices(len(uniq_ids), bucket_cap)
         return pa.table({"id_a": pa.array(uniq_ids[ia], pa.int64()),
                          "id_b": pa.array(uniq_ids[ib], pa.int64())})
 
@@ -289,29 +339,9 @@ def minhash_lsh_pairs(
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
-    if survivors.count() == 0:
+    n_surv_rows = survivors.count()
+    if n_surv_rows == 0:
         return rd.from_arrow(empty)
-    # signatures for the (tiny) survivor doc set only
-    surv_ids = np.unique(np.asarray(survivors.to_pandas()[id_col]))
-    id_tbl = pa.table({id_col: pa.array(surv_ids, pa.int64())})
-    from ..relational import broadcast_join
-
-    surv_docs = broadcast_join(ds.select_columns([id_col, text_col]), id_tbl,
-                               id_col, id_col, how="semi")
-    from ..relational import collect_tables
-
-    sig_tbl = collect_tables(
-        surv_docs.map_batches(signer_sigs, batch_format="pyarrow"),
-        pa.schema([(id_col, pa.int64()), ("sig", pa.binary())]))
-    # survivor signature matrix, broadcast once (bounded by the hot-bucket
-    # screen — the same assumption the driver-side sig collect above makes)
-    sid = np.asarray(sig_tbl[id_col].to_pandas())
-    S = (np.stack([np.frombuffer(x, dtype=np.uint64)
-                   for x in sig_tbl["sig"].to_pylist()])
-         if len(sid) else np.empty((0, num_perm), np.uint64))
-    order = np.argsort(sid)
-    sid, S = sid[order], S[order]
-    state_ref = ray.put((sid, S))
 
     cand = survivors.groupby(["band", "bkey"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
@@ -321,26 +351,99 @@ def minhash_lsh_pairs(
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                             ("est_jaccard", pa.float64())])
 
-    def dedup_and_estimate(tbl: pa.Table) -> pa.Table:
-        # all rows of an id_a are co-located: one np.unique dedups the
-        # cross-band repeats, then every unique pair's agreement is one
-        # fancy-index + compare against the broadcast signature matrix
+    if n_surv_rows <= sig_broadcast_limit:
+        # normal regime: the hot-survivor set is tiny, so the signature
+        # matrix rides one driver ray.put broadcast and every pair's
+        # agreement is a local fancy-index compare
+        surv_ids = np.unique(np.asarray(survivors.to_pandas()[id_col]))
+        id_tbl = pa.table({id_col: pa.array(surv_ids, pa.int64())})
+        from ..relational import broadcast_join, collect_tables
+
+        surv_docs = broadcast_join(ds.select_columns([id_col, text_col]),
+                                   id_tbl, id_col, id_col, how="semi")
+        sig_tbl = collect_tables(
+            surv_docs.map_batches(signer_sigs, batch_format="pyarrow"),
+            pa.schema([(id_col, pa.int64()), ("sig", pa.binary())]))
+        sid = np.asarray(sig_tbl[id_col].to_pandas())
+        S = (np.stack([np.frombuffer(x, dtype=np.uint64)
+                       for x in sig_tbl["sig"].to_pylist()])
+             if len(sid) else np.empty((0, num_perm), np.uint64))
+        order = np.argsort(sid)
+        sid, S = sid[order], S[order]
+        state_ref = ray.put((sid, S))
+
+        def dedup_and_estimate(tbl: pa.Table) -> pa.Table:
+            # all rows of an id_a are co-located: one np.unique dedups the
+            # cross-band repeats, then every unique pair's agreement is one
+            # fancy-index + compare against the broadcast signature matrix
+            if tbl.num_rows == 0:
+                return out_schema.empty_table()
+            a = tbl["id_a"].to_numpy(zero_copy_only=False)
+            b = tbl["id_b"].to_numpy(zero_copy_only=False)
+            M = np.unique(np.stack([a, b], axis=1), axis=0)
+            sids, S_ = ray.get(state_ref)
+            ia = np.searchsorted(sids, M[:, 0])
+            ib = np.searchsorted(sids, M[:, 1])
+            est = (S_[ia] == S_[ib]).mean(axis=1)
+            keep = est >= float(threshold)
+            return pa.table(
+                {"id_a": pa.array(M[keep, 0], pa.int64()),
+                 "id_b": pa.array(M[keep, 1], pa.int64()),
+                 "est_jaccard": pa.array(est[keep], pa.float64())},
+                schema=out_schema)
+
+        return hash_repartition_map(cand, "id_a", dedup_and_estimate)
+
+    # degenerate regime (template-heavy crawl): too many hot survivors to
+    # collect on the driver — signatures stay in the object store and reach
+    # each pair through the hash exchange (two equi-joins), so no term
+    # grows with the corpus on any single node
+    from ..relational import exchange_join
+
+    surv_docs = exchange_join(ds.select_columns([id_col, text_col]),
+                              survivors.select_columns([id_col]),
+                              id_col, id_col, how="left_semi")
+    sig_ds = surv_docs.map_batches(
+        signer_sigs, batch_format="pyarrow").materialize()
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def dedup_only(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return out_schema.empty_table()
+            return pair_schema.empty_table()
         a = tbl["id_a"].to_numpy(zero_copy_only=False)
         b = tbl["id_b"].to_numpy(zero_copy_only=False)
         M = np.unique(np.stack([a, b], axis=1), axis=0)
-        sids, S_ = ray.get(state_ref)
-        ia = np.searchsorted(sids, M[:, 0])
-        ib = np.searchsorted(sids, M[:, 1])
-        est = (S_[ia] == S_[ib]).mean(axis=1)
-        keep = est >= float(threshold)
-        return pa.table({"id_a": pa.array(M[keep, 0], pa.int64()),
-                         "id_b": pa.array(M[keep, 1], pa.int64()),
-                         "est_jaccard": pa.array(est[keep], pa.float64())},
-                        schema=out_schema)
+        return pa.table({"id_a": pa.array(M[:, 0], pa.int64()),
+                         "id_b": pa.array(M[:, 1], pa.int64())},
+                        schema=pair_schema)
 
-    return hash_repartition_map(cand, "id_a", dedup_and_estimate)
+    uniq_pairs = hash_repartition_map(cand, "id_a", dedup_only)
+    sig_a = sig_ds.map_batches(
+        lambda t: t.rename_columns(["id_a", "sig_a"]),
+        batch_format="pyarrow")
+    sig_b = sig_ds.map_batches(
+        lambda t: t.rename_columns(["id_b", "sig_b"]),
+        batch_format="pyarrow")
+    joined = exchange_join(
+        exchange_join(uniq_pairs, sig_a, "id_a", "id_a", how="inner"),
+        sig_b, "id_b", "id_b", how="inner")
+
+    def estimate_batch(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        A = _fixed_binary_matrix(tbl["sig_a"], num_perm * 8)
+        B = _fixed_binary_matrix(tbl["sig_b"], num_perm * 8)
+        est = (A == B).mean(axis=1)
+        keep = est >= float(threshold)
+        m = pa.array(keep)
+        return pa.table(
+            {"id_a": tbl["id_a"].filter(m),
+             "id_b": tbl["id_b"].filter(m),
+             "est_jaccard": pa.array(est[keep], pa.float64())},
+            schema=out_schema)
+
+    return joined.map_batches(estimate_batch, batch_format="pyarrow")
 
 
 def _combined_key(band: np.ndarray, bkey: np.ndarray) -> np.ndarray:
@@ -406,11 +509,14 @@ def _filter_to_hot(signed: rd.Dataset, hot: pa.Table) -> rd.Dataset:
 
 
 def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> rd.Dataset:
+                  max_hamming: int = 3, bucket_cap: int = 512) -> rd.Dataset:
     """Near-dup pairs by 64-bit SimHash Hamming distance ≤ max_hamming.
 
     Pigeonhole bucketing: split the 64-bit hash into 4 16-bit bands — any pair
     within Hamming ≤ 3 agrees on ≥ 1 band; exact distance verified per pair.
+    Buckets above ``bucket_cap`` members emit the bounded chain+stride pair
+    subset (``_capped_pair_indices``) — same boilerplate-bucket contract as
+    ``minhash_lsh_pairs``.
     """
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -454,9 +560,11 @@ def simhash_pairs(ds: rd.Dataset, id_col: str, text_col: str,
                              "id_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int32())})
         hs = hs[first]
-        ia, ib = np.triu_indices(len(uniq), k=1)
+        ia, ib = _capped_pair_indices(len(uniq), bucket_cap)
         x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+        # vectorized popcount (no per-pair Python bin())
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int32)
         keep = ham <= max_hamming
         return pa.table({"id_a": pa.array(uniq[ia][keep], pa.int64()),
                          "id_b": pa.array(uniq[ib][keep], pa.int64()),
