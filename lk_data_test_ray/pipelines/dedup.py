@@ -78,23 +78,37 @@ def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int,
     count, repeated per row): per-doc set size is computable from the doc
     row alone, so carrying it here lets the dense matmul path skip a whole
     groupby exchange just to recover |A|."""
-    toks = pc.split_pattern_regex(batch[text_col].combine_chunks(), TOKEN_SPLIT)
-    ids_out, sh_out, sz_out = [], [], []
-    for rid, tl in zip(batch[id_col].to_pylist(), toks.to_pylist()):
-        if not tl:
-            continue
-        if len(tl) < k:
-            sh = {" ".join(tl)}
-        else:
-            sh = {" ".join(tl[i:i + k]) for i in range(len(tl) - k + 1)}
-        ids_out.extend([rid] * len(sh))
-        sh_out.extend(sorted(sh))
-        if with_size:
-            sz_out.extend([len(sh)] * len(sh))
-    cols = {id_col: pa.array(ids_out, batch[id_col].type),
-            "shingle": pa.array(sh_out, pa.string())}
+    from ..functions.text import word_ngrams_batch
+
+    texts = batch[text_col]
+    # all k-grams via the shared Arrow kernel (token explode → windowed
+    # take → binary_join — no per-row Python), then per-row DISTINCT via
+    # one vectorized group_by. Rows with 0 < n_tokens < k emit their whole
+    # token join as the single shingle (the original loop's semantics).
+    grams, _gcnt, grow = word_ngrams_batch(texts, k)
+    toks = pc.split_pattern_regex(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+        else texts, TOKEN_SPLIT)
+    nw = pc.fill_null(pc.list_value_length(toks), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    short = np.flatnonzero((nw > 0) & (nw < k))
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    if len(short):
+        joined = pc.binary_join(toks, " ").take(pa.array(short, pa.int64()))
+        grams = pa.concat_arrays([grams.cast(pa.string()),
+                                  joined.cast(pa.string())])
+        grow = np.concatenate([grow, short])
+    d = pa.table({"rid": pa.array(grow, pa.int64()),
+                  "shingle": grams}).group_by(["rid", "shingle"]).aggregate([])
+    rid = d["rid"].to_numpy(zero_copy_only=False)
+    take_idx = pa.array(rid, pa.int64())
+    cols = {id_col: batch[id_col].combine_chunks().take(take_idx),
+            "shingle": d["shingle"]}
     if with_size:
-        cols["sz"] = pa.array(sz_out, pa.int32())
+        sz = (np.bincount(rid, minlength=len(nw))[rid]
+              if len(rid) else np.empty(0, np.int64))
+        cols["sz"] = pa.array(sz.astype(np.int32), pa.int32())
     return pa.table(cols)
 
 

@@ -1962,7 +1962,7 @@ def g_pagerank(sf_dir: str) -> pa.Table:
     return pagerank(links, "src_url", "dst_url", damping=0.85, iters=5)
 
 
-def dd_ngram_coverage(sf_dir: str) -> rd.Dataset:
+def dd_ngram_coverage(sf_dir: str, wire: str = "hash") -> rd.Dataset:
     """Cross-document n-gram duplication coverage (the RefinedWeb /
     MassiveText repeated-content signal): per document, the fraction of its
     DISTINCT word 5-grams that also occur in at least one OTHER document.
@@ -1971,24 +1971,60 @@ def dd_ngram_coverage(sf_dir: str) -> rd.Dataset:
     within-batch distinct is globally distinct) → ONE hash exchange on the
     gram — each partition owns every occurrence of its grams, computes
     per-gram doc counts with a vectorized ``group_by``, and emits per-doc
-    partials (n_dup, n_tot) — → tiny doc-keyed sum. Grams are exchanged as
-    strings here for oracle-exactness; at 100 TB the key would be a 128-bit
-    gram hash (same plan, constant-width keys). Docs with <5 tokens have no
-    grams and no row (matching the SQL)."""
+    partials (n_dup, n_tot) — → tiny doc-keyed sum. Docs with <5 tokens
+    have no grams and no row (matching the SQL).
+
+    ``wire="hash"`` (default, the 100-TB path): grams cross the exchange
+    as 128-bit hashes — ``hashing.gram_hash_pairs``' two independent folds
+    over dictionary-encoded token hashes, 16 constant bytes/key, zero gram
+    strings anywhere (the ``dd_dup_spans`` machinery; collisions need both
+    64-bit folds to collide, ~2⁻¹²⁸/pair). ``wire="string"`` exchanges the
+    gram strings themselves — the collision-free oracle-exactness mode;
+    the two paths' per-doc fractions are property-tested equal."""
     K = 5
-    from ..functions.text import word_ngrams_batch
     from ..relational import hash_repartition_map
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        grams, gcnt, grow = word_ngrams_batch(batch["text"], K)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        tbl = pa.table({
-            "g": grams,
-            "doc_id": pa.array(ids[grow], pa.int64()),
-        })
-        return tbl.group_by(["g", "doc_id"]).aggregate([])  # distinct pairs
+    if wire == "hash":
+        from ..functions.hashing import gram_hash_pairs
+        from ..functions.text import TOKEN_SPLIT
+
+        def gram_rows(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            toks = pc.split_pattern_regex(
+                batch["text"].combine_chunks(), TOKEN_SPLIT)
+            counts = pc.fill_null(pc.list_value_length(toks), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = pc.list_flatten(toks).dictionary_encode()
+            uniq = np.asarray(enc.dictionary, dtype=object)
+            th = (pd.util.hash_array(uniq, categorize=False)
+                  [enc.indices.to_numpy(zero_copy_only=False)]
+                  if len(uniq) else np.empty(0, np.uint64))
+            h1, h2, grow = gram_hash_pairs(th, counts, K)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            tbl = pa.table({
+                "g": pa.array(h1.view(np.int64), pa.int64()),
+                "g2": pa.array(h2.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[grow], pa.int64()),
+            })
+            return tbl.group_by(["g", "g2", "doc_id"]).aggregate([])
+
+        gram_key = ["g", "g2"]
+    else:
+        from ..functions.text import word_ngrams_batch
+
+        def gram_rows(batch: pa.Table) -> pa.Table:
+            grams, gcnt, grow = word_ngrams_batch(batch["text"], K)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            tbl = pa.table({
+                "g": grams,
+                "doc_id": pa.array(ids[grow], pa.int64()),
+            })
+            return tbl.group_by(["g", "doc_id"]).aggregate([])
+
+        gram_key = ["g"]
 
     pairs = docs.map_batches(gram_rows, batch_format="pyarrow")
 
@@ -1999,8 +2035,8 @@ def dd_ngram_coverage(sf_dir: str) -> rd.Dataset:
                              "n_tot": pa.array([], pa.int64())})
         # docs-per-gram, then mark each (gram, doc) row dup if its gram has
         # ≥2 docs; count + flag-attach are both vectorized Acero ops
-        cnt = tbl.group_by(["g"]).aggregate([("doc_id", "count")])
-        joined = tbl.join(cnt, keys="g", join_type="inner")
+        cnt = tbl.group_by(gram_key).aggregate([("doc_id", "count")])
+        joined = tbl.join(cnt, keys=gram_key, join_type="inner")
         part = pa.table({
             "doc_id": joined["doc_id"],
             "dup": pc.greater_equal(joined["doc_id_count"],

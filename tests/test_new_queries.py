@@ -148,3 +148,38 @@ def test_oracle_parity(entry, con, name):
     ora = con.execute(entry.oracle_sql()[name]).df()
     verdict = compare(name, mine, ora)
     assert verdict == "OK", verdict
+
+
+def test_ngram_coverage_hash_wire_equals_string(ray_session, tmp_path):
+    """The 128-bit gram-hash wire path (default) and the string-key oracle
+    path produce identical per-doc duplication fractions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import dd_ngram_coverage
+
+    texts = [
+        "a b c d e f g h",          # shares 5-grams with doc 2
+        "z y x w v u t s r",
+        "a b c d e f q",            # "a b c d e" + "b c d e f" shared
+        "one two three four",       # <5 tokens → no row
+        "m n o p q r s t u v w",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    h = (dd_ngram_coverage(str(tmp_path), wire="hash").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    s = (dd_ngram_coverage(str(tmp_path), wire="string").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert h.equals(s)
+    got = dict(zip(h["doc_id"], h["dup_frac"]))
+    assert 3 not in got                 # <5 tokens → no grams, no row
+    assert got[1] == 0.0 and got[4] == 0.0
+    # shared "a b c d e"/"b c d e f" (dup_frac is rounded to 6 decimals)
+    assert got[0] == 0.5 and got[2] == 0.666667
