@@ -156,7 +156,7 @@ def run_queries(sf_dir: str) -> dict:
 
 def single_run(sf_dir: str, num_cpus: int, with_queries: bool,
                warmup: bool = False, n_override: int | None = None,
-               n_runs: int = 2) -> dict:
+               n_runs: int = 2, with_control: bool = True) -> dict:
     _init_ray(num_cpus)
     if warmup:
         # steady-state measurement (scaling efficiency): a small warmup run
@@ -187,6 +187,17 @@ def single_run(sf_dir: str, num_cpus: int, with_queries: bool,
     if cold is not None:
         out["cold_wall_sec"] = cold["wall_sec"]
         out["cold_rows_per_sec"] = cold["rows_per_sec"]
+    if with_control:
+        # same-run no-Ray denominator (round-3 verdict item #1): a host
+        # stall scales engine AND control down together, so the artifact
+        # carries its own interpretation — engine_vs_control ≈ steady-state
+        # fraction of the measured host ceiling (healthy hosts: 0.75-0.95)
+        ctrl = _control_probe(flagship["rows"], count=num_cpus)
+        rps = ctrl.get(str(num_cpus)) or ctrl.get(num_cpus)
+        if rps:
+            out["control_rows_per_sec"] = rps
+            out["engine_vs_control"] = round(
+                flagship["rows_per_sec"] / rps, 3)
     if with_queries:
         out["queries"] = run_queries(sf_dir)
     return out
@@ -201,19 +212,82 @@ SCALING_MULTIPLIER = 8  # scaling input = 8× the bench sf so that parallel
 # the floor asymmetry is the smaller of the two effects (BASELINE.md).
 
 
-def _control_probe(n: int) -> dict:
-    """No-Ray multiprocessing control at 8 and 32 workers (same row work)."""
-    p = subprocess.run(
-        [sys.executable,
-         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "tools", "host_ceiling_probe.py"), str(n), "--pairs"],
-        capture_output=True, text=True)
+def _control_probe(n: int, count: int | None = None) -> dict:
+    """No-Ray multiprocessing control (same row work, fresh process).
+
+    ``count=None``: the scaling pair's worker counts (2/8/32);
+    ``count=N``: one worker count — the same-run denominator the default
+    bench embeds so every BENCH artifact is interpretable WITHOUT
+    BASELINE.md archaeology (a host stall moves engine and control
+    together; an engine regression moves only the engine)."""
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "host_ceiling_probe.py"), str(n)]
+    cmd.append("--pairs" if count is None else f"--count={count}")
+    p = subprocess.run(cmd, capture_output=True, text=True)
     try:
         line = [ln for ln in p.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
         return json.loads(line)
     except Exception:
         return {}
+
+
+def scaling_pair_run(sf_dir: str, lo: int, hi: int) -> dict:
+    """One N→4N pair at arbitrary CPU levels (e.g. 4→16: both legs inside
+    the CPU-bound regime, away from the 32-leg's memory-bus saturation and
+    the 2-leg's noise), interleaved fresh-process legs + the same-run
+    no-Ray control. Round-3 verdict item #7."""
+    from lk_data_test_ray.sources.pages import pages_nrows_for_sf
+
+    n = SCALING_MULTIPLIER * pages_nrows_for_sf(sf_dir)
+    subprocess.run(
+        [sys.executable, __file__, "--warm-fixture", "--sf-dir", sf_dir,
+         "--scaling-n", str(n)],
+        check=True)
+
+    def one_leg(cpus: int) -> dict:
+        p = subprocess.run(
+            [sys.executable, __file__, "--sf-dir", sf_dir,
+             "--num-cpus", str(cpus), "--no-queries", "--warmup",
+             "--runs", "1", "--scaling-n", str(n)],
+            capture_output=True, text=True, check=True)
+        line = [ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    results: dict = {}
+    for _ in range(3):
+        for cpus in (lo, hi):
+            r = one_leg(cpus)
+            if (cpus not in results
+                    or r["rows_per_sec"] > results[cpus]["rows_per_sec"]):
+                results[cpus] = r
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "host_ceiling_probe.py"), str(n),
+           f"--counts={lo},{hi}"]
+    p = subprocess.run(cmd, capture_output=True, text=True)
+    try:
+        control = json.loads([ln for ln in p.stdout.strip().splitlines()
+                              if ln.startswith("{")][-1])
+    except Exception:
+        control = {}
+    eff = round((results[hi]["rows_per_sec"]
+                 / results[lo]["rows_per_sec"]) / (hi / lo), 3)
+    ctrl_eff = (round((control[str(hi)] / control[str(lo)]) / (hi / lo), 3)
+                if str(lo) in control and str(hi) in control else None)
+    return {
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+        "value": eff,
+        "unit": "ratio",
+        "sf": sf_dir,
+        "rows": results[hi]["rows"],
+        "rows_per_sec": {str(c): results[c]["rows_per_sec"]
+                         for c in (lo, hi)},
+        "control_no_ray": {"rows_per_sec": control,
+                           "efficiency": ctrl_eff},
+    }
 
 
 def scaling_run(sf_dir: str) -> dict:
@@ -316,7 +390,17 @@ def main():
     ap.add_argument("--warm-fixture", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--scaling-n", type=int, default=None)
+    ap.add_argument("--no-control", action="store_true",
+                    help="skip the same-run no-Ray control probe")
+    ap.add_argument("--pair", default=None,
+                    help="scaling pair 'lo,hi' (e.g. 4,16) instead of the "
+                         "default 2/8/32 gate levels")
     args = ap.parse_args()
+
+    if args.pair:
+        lo, hi = (int(x) for x in args.pair.split(","))
+        print(json.dumps(scaling_pair_run(args.sf_dir, lo, hi)))
+        return
 
     if args.warm_fixture:
         from lk_data_test_ray.sources.pages import (ensure_pages,
@@ -332,7 +416,8 @@ def main():
         out = single_run(args.sf_dir, args.num_cpus,
                          with_queries=not args.no_queries,
                          warmup=args.warmup, n_override=args.scaling_n,
-                         n_runs=args.runs)
+                         n_runs=args.runs,
+                         with_control=not (args.no_control or args.warmup))
         print(json.dumps(out))
         import ray
 

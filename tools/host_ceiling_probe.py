@@ -49,7 +49,13 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     n_rows = int(args[0]) if args else 2_400_000
     # --pairs: only the worker counts the scaling gate compares
+    # --count=N: ONE worker count (bench.py's same-run denominator)
     counts = (2, 8, 32) if "--pairs" in sys.argv else (1, 2, 8, 16, 32)
+    for a in sys.argv[1:]:
+        if a.startswith("--count="):
+            counts = (int(a.split("=", 1)[1]),)
+        elif a.startswith("--counts="):
+            counts = tuple(int(x) for x in a.split("=", 1)[1].split(","))
     from lk_data_test_ray.sources.pages import ensure_pages
 
     fix = ensure_pages(n_rows)
