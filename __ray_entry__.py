@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_daily_dense": q.e_daily_dense,
         "e_retention_cohorts": q.e_retention_cohorts,
         "td_gopher_rules": q.td_gopher_rules,
+        "td_c4_line_filters": q.td_c4_line_filters,
         "q10_returned_revenue": q.q10_returned_revenue,
         "g_degree_stats": q.g_degree_stats,
         "dd_containment": q.dd_containment,
@@ -351,6 +352,17 @@ def _pages_first_file() -> str:
     import os
 
     return sorted(_glob.glob(_pages_fixture_glob()))[0]
+
+
+def _lines_fixture_glob() -> str:
+    """Parquet glob of the sf0.01 line corpus (td_c4_line_filters input) —
+    generated here if absent so the DuckDB side can read it."""
+    import os
+
+    from lk_data_test_ray.sources.lines import ensure_lines, lines_ndocs_for_sf
+
+    fix = ensure_lines(lines_ndocs_for_sf("/root/testdata/sf0.01"))
+    return os.path.join(fix, "*.parquet")
 
 
 def _pages_fixture_glob() -> str:
@@ -2120,6 +2132,34 @@ def oracle_sql() -> dict[str, str]:
                        AND mean_raw >= 2.0 AND mean_raw <= 12.0
                        AND alpha_raw >= 0.6 AND n_stop >= 1 AS passes
             FROM f
+        """,
+        "td_c4_line_filters": f"""
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM read_parquet('{_lines_fixture_glob()}')
+            ),
+            lf AS (
+                SELECT doc_id,
+                       (regexp_matches(trim(line, ' '), '[.!?"]$')
+                        AND len(regexp_split_to_array(trim(line, ' '),
+                                                      '\\s+')) >= 3
+                        AND NOT contains(lower(line), 'javascript'))
+                           AS keep
+                FROM lines
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       CAST(count(*) FILTER (WHERE keep) AS BIGINT)
+                           AS kept_lines
+                FROM lf GROUP BY doc_id
+            )
+            SELECT d.doc_id, a.n_lines, a.kept_lines,
+                   (NOT contains(lower(d.text), 'lorem ipsum')
+                    AND NOT contains(d.text, '{{')
+                    AND a.kept_lines >= 5) AS page_kept
+            FROM read_parquet('{_lines_fixture_glob()}') d
+            JOIN agg a USING (doc_id)
         """,
         "q10_returned_revenue": """
             SELECT c_custkey, c_name,

@@ -3473,6 +3473,55 @@ def td_gopher_rules(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(feats, batch_format="pyarrow")
 
 
+def td_c4_line_filters(sf_dir: str) -> rd.Dataset:
+    """C4-style line-level cleaning gate (Raffel et al. 2020 §2.2): a line
+    survives iff it ends in a terminal punctuation mark, has ≥3
+    whitespace tokens and does not mention "javascript"; a page survives
+    iff it keeps ≥5 lines and contains neither a curly brace nor "lorem
+    ipsum". One vectorized pass per batch: split-on-newline list arrays,
+    flatten, per-line Arrow predicates, parent-indexed bincounts back to
+    the doc — no token loop, no shuffle (embarrassingly parallel, the
+    right shape for a 100-TB cleaning sweep). Input is the deterministic
+    line corpus (``sources/lines.py``; testdata documents carry no
+    newlines), same fixture-pinned-oracle convention as the mm_* queries."""
+    import os
+
+    from ..sources.lines import ensure_lines, lines_ndocs_for_sf
+
+    fix = ensure_lines(lines_ndocs_for_sf(sf_dir))
+    docs = rd.read_parquet(os.path.join(fix))
+
+    def feats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        lines = pc.split_pattern(text, "\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        # trim ASCII space only — mirrors the oracle's trim(line, ' ')
+        trimmed = pc.utf8_trim(flat, " ")
+        ends = pc.match_substring_regex(
+            trimmed, '[.!?"]$').to_numpy(zero_copy_only=False)
+        n_words = pc.list_value_length(pc.split_pattern_regex(
+            trimmed, r"\s+")).to_numpy(zero_copy_only=False)
+        js = pc.match_substring(pc.utf8_lower(flat),
+                                "javascript").to_numpy(zero_copy_only=False)
+        keep = ends & (n_words >= 3) & ~js
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        kept = np.bincount(parent[keep], minlength=n).astype(np.int64)
+        lorem = pc.match_substring(
+            pc.utf8_lower(text), "lorem ipsum").to_numpy(zero_copy_only=False)
+        brace = pc.match_substring(text, "{").to_numpy(zero_copy_only=False)
+        page_kept = ~lorem & ~brace & (kept >= 5)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "kept_lines": pa.array(kept, pa.int64()),
+            "page_kept": pa.array(page_kept),
+        })
+
+    return docs.map_batches(feats, batch_format="pyarrow")
+
+
 def q10_returned_revenue(sf_dir: str) -> rd.Dataset:
     """TPC-H Q10 shape (returned-item revenue per customer, one quarter):
     fact-side filters pushed before the single orderkey shuffle join,

@@ -183,3 +183,39 @@ def test_ngram_coverage_hash_wire_equals_string(ray_session, tmp_path):
     assert got[1] == 0.0 and got[4] == 0.0
     # shared "a b c d e"/"b c d e f" (dup_frac is rounded to 6 decimals)
     assert got[0] == 0.5 and got[2] == 0.666667
+
+
+def test_c4_line_filters_rules(ray_session, tmp_path, monkeypatch):
+    """Hand-built docs exercise every C4 rule branch: terminal punct,
+    <3 words, javascript line, lorem-ipsum page, brace page, the ≥5
+    kept-lines page gate, and ASCII-space trimming."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import lk_data_test_ray.pipelines.queries as q
+
+    k = "good line here."        # kept
+    docs = [
+        "\n".join([k] * 5),                          # exactly 5 kept → page kept
+        "\n".join([k] * 4),                          # 4 kept → page dropped
+        "\n".join([k] * 5 + ["uses JavaScript now."]),   # js line dropped, page kept
+        "\n".join([k] * 5 + ["code { brace }"]),     # brace → page dropped
+        "\n".join([k] * 5 + ["Lorem Ipsum ahead."]), # lorem → page dropped
+        "\n".join(["  " + k + "  "] * 5),            # trim then keep
+        "\n".join(["no punct here", "hi.", "a b."]), # 0 kept (first no punct, rest <3 words... "hi." 1 word, "a b." 2)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    fix = tmp_path / "lines"
+    fix.mkdir()
+    pq.write_table(tbl, str(fix / "lines-000.parquet"))
+    monkeypatch.setattr("lk_data_test_ray.sources.lines.ensure_lines",
+                        lambda n, **kw: str(fix))
+    out = (q.td_c4_line_filters(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 4's lorem line is itself a valid LINE (3 words, terminal punct);
+    # the lorem-ipsum rule is page-level only
+    assert list(out["kept_lines"]) == [5, 4, 5, 5, 6, 5, 0]
+    assert list(out["n_lines"]) == [5, 4, 6, 6, 6, 5, 3]
+    assert list(out["page_kept"]) == [True, False, True, False, False,
+                                      True, False]

@@ -25,7 +25,8 @@ def pinned_to_sf001(oracles: dict) -> set:
     absolute path (oracle_sql() is static; the driver compares at sf0.01) —
     detected from the SQL text so new fixture-backed queries are never
     silently compared against the wrong scale."""
-    return {name for name, sql in oracles.items() if "/lk_pages/" in sql}
+    return {name for name, sql in oracles.items()
+            if "/lk_pages/" in sql or "/lk_lines/" in sql}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
