@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_retention_cohorts": q.e_retention_cohorts,
         "td_gopher_rules": q.td_gopher_rules,
         "td_c4_line_filters": q.td_c4_line_filters,
+        "dd_c4_spans": q.dd_c4_spans,
         "q10_returned_revenue": q.q10_returned_revenue,
         "g_degree_stats": q.g_degree_stats,
         "dd_containment": q.dd_containment,
@@ -2160,6 +2161,46 @@ def oracle_sql() -> dict[str, str]:
                     AND a.kept_lines >= 5) AS page_kept
             FROM read_parquet('{_lines_fixture_glob()}') d
             JOIN agg a USING (doc_id)
+        """,
+        "dd_c4_spans": f"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS ls
+                FROM read_parquet('{_lines_fixture_glob()}')
+            ),
+            l AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       generate_subscripts(ls, 1) AS pos
+                FROM d
+            ),
+            sp AS (
+                SELECT doc_id, pos,
+                       line || chr(10)
+                            || lead(line, 1) OVER w || chr(10)
+                            || lead(line, 2) OVER w AS span,
+                       lead(pos, 2) OVER w AS p2
+                FROM l WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            dup AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY span
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM sp WHERE p2 IS NOT NULL
+                ) WHERE rn > 1
+            ),
+            rem AS (
+                SELECT DISTINCT l.doc_id, l.pos
+                FROM l JOIN dup
+                  ON l.doc_id = dup.doc_id
+                 AND l.pos BETWEEN dup.pos AND dup.pos + 2
+            )
+            SELECT l.doc_id,
+                   coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                            FILTER (WHERE r.pos IS NULL), '') AS clean_text
+            FROM l LEFT JOIN rem r
+              ON l.doc_id = r.doc_id AND l.pos = r.pos
+            GROUP BY l.doc_id
         """,
         "q10_returned_revenue": """
             SELECT c_custkey, c_name,

@@ -4382,18 +4382,21 @@ def a_winsorize_price(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _dup_span_rows(docs: rd.Dataset, k: int) -> rd.Dataset:
-    """(doc_id, pos) of every K-token window occurrence that duplicates an
+def _dup_span_rows(docs: rd.Dataset, k: int,
+                   unit: str = "token") -> rd.Dataset:
+    """(doc_id, pos) of every K-unit window occurrence that duplicates an
     earlier (doc_id, pos)-ordered occurrence anywhere in the corpus — the
-    shared core of ``dd_dup_spans`` (detection) and ``dd_substr_cut``
-    (removal). See ``dd_dup_spans`` for the plan."""
+    shared core of ``dd_dup_spans`` (detection), ``dd_substr_cut``
+    (removal) and ``dd_c4_spans`` (line/sentence spans, ``unit="line"``).
+    See ``dd_dup_spans`` for the plan."""
     from ..functions.hashing import gram_hash_pairs, hash_strings64
     from ..functions.text import TOKEN_SPLIT
     from ..relational import hash_repartition_map
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            batch["text"].combine_chunks(), TOKEN_SPLIT)
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        toks = (pc.split_pattern(text, "\n") if unit == "line"
+                else pc.split_pattern_regex(text, TOKEN_SPLIT))
         counts = pc.fill_null(pc.list_value_length(toks), 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(toks).dictionary_encode()
@@ -4431,6 +4434,37 @@ def _dup_span_rows(docs: rd.Dataset, k: int) -> rd.Dataset:
     return hash_repartition_map(pairs, "h1", non_first)
 
 
+def dd_c4_spans(sf_dir: str) -> rd.Dataset:
+    """C4's global span dedup (Raffel et al. 2020 §2.2 — the other half of
+    ``td_c4_line_filters``): "we discarded all but one of any
+    three-sentence span occurring more than once in the data set". Lines
+    stand in for sentences (the fixture corpus is line-structured, as C4's
+    is after its line filters); every document comes back with the lines
+    covered by a non-first duplicated 3-line span REMOVED — the globally
+    first occurrence (by (doc_id, pos)) survives, overlapping removed
+    spans union their lines, and unaffected documents pass through
+    unchanged.
+
+    Scale shape: identical to ``dd_substr_cut`` with lines as the unit —
+    each 3-line window ships as a 32-byte (h1, h2, doc_id, pos) row
+    through one hash exchange (128-bit fold of the per-line 64-bit hashes;
+    no span STRINGS on the wire), non-first occurrences fall out of one
+    integer sort + shifted-equality pass per partition, and the cut
+    co-locates doc text with its dup-span rows by a single doc_id exchange
+    (text crosses the wire exactly once — unavoidable, the output IS
+    rewritten text). Input is the deterministic line corpus
+    (``sources/lines.py``, which injects shared boilerplate blocks so real
+    cross-document duplicate spans exist), same fixture-pinned-oracle
+    convention as ``td_c4_line_filters``."""
+    import os
+
+    from ..sources.lines import ensure_lines, lines_ndocs_for_sf
+
+    fix = ensure_lines(lines_ndocs_for_sf(sf_dir))
+    docs = rd.read_parquet(os.path.join(fix))
+    return _substr_cut(docs, 3, unit="line")
+
+
 def dd_dup_spans(sf_dir: str) -> rd.Dataset:
     """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): flag every
@@ -4450,13 +4484,16 @@ def dd_dup_spans(sf_dir: str) -> rd.Dataset:
     return _dup_span_rows(read(sf_dir, "documents", ["doc_id", "text"]), 8)
 
 
-def _substr_cut(docs: rd.Dataset, k: int = 8) -> rd.Dataset:
+def _substr_cut(docs: rd.Dataset, k: int = 8,
+                unit: str = "token") -> rd.Dataset:
     """Apply the ExactSubstr cut to a (doc_id, text) Dataset → (doc_id,
-    clean_text). See ``dd_substr_cut`` for the plan."""
+    clean_text). ``unit="line"`` cuts whole lines (the C4 span dedup);
+    the default cuts whitespace tokens. See ``dd_substr_cut`` for the
+    plan."""
     from ..functions.text import TOKEN_SPLIT
     from ..relational import hash_repartition_map
 
-    spans = _dup_span_rows(docs, k)
+    spans = _dup_span_rows(docs, k, unit)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -4488,8 +4525,9 @@ def _substr_cut(docs: rd.Dataset, k: int = 8) -> rd.Dataset:
         idx = pc.sort_indices(d, sort_keys=[("doc_id", "ascending")])
         d = d.take(idx)
         ids = d["doc_id"].to_numpy(zero_copy_only=False)
-        toks = pc.split_pattern_regex(
-            pc.fill_null(d["text"].combine_chunks(), ""), TOKEN_SPLIT)
+        dt = pc.fill_null(d["text"].combine_chunks(), "")
+        toks = (pc.split_pattern(dt, "\n") if unit == "line"
+                else pc.split_pattern_regex(dt, TOKEN_SPLIT))
         nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         offs = np.concatenate([[0], np.cumsum(nw)])
@@ -4509,7 +4547,7 @@ def _substr_cut(docs: rd.Dataset, k: int = 8) -> rd.Dataset:
         new_offs = np.concatenate([[0], np.cumsum(kept_n)])
         clean = pc.binary_join(pa.ListArray.from_arrays(
             pa.array(new_offs, pa.int32()),
-            flat.filter(pa.array(keep))), " ")
+            flat.filter(pa.array(keep))), "\n" if unit == "line" else " ")
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "clean_text": clean}, schema=out_schema)
 

@@ -11,7 +11,11 @@ Injected structure (all rates deterministic under the seed):
     counts 1-12 (so the ≥3-words rule bites); ~4% of lines contain the
     word "javascript" (C4 drops those lines);
   * per-doc: 4-24 lines; ~6% of docs contain a ``{`` line and ~4% a
-    "lorem ipsum" line (C4 drops those whole pages).
+    "lorem ipsum" line (C4 drops those whole pages);
+  * ~12% of docs embed one of three shared 3-line boilerplate blocks
+    (cookie banner / nav footer / subscribe plea) at a random position —
+    the cross-document duplicate spans C4's three-sentence-span dedup
+    (``dd_c4_spans``) exists to remove.
 """
 
 from __future__ import annotations
@@ -23,7 +27,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-LINES_VERSION = 1
+LINES_VERSION = 2
+
+_BOILERPLATE = [
+    ["This site uses cookies to improve your experience.",
+     "By continuing you accept our cookie policy.",
+     "Click here to manage your preferences."],
+    ["Home News Sports Opinion Contact.",
+     "Copyright all rights reserved worldwide.",
+     "Terms of service and privacy policy apply."],
+    ["Subscribe to our newsletter today!",
+     "Get the latest stories in your inbox.",
+     "No spam ever, unsubscribe any time."],
+]
 
 _WORDS = (
     "the quick brown fox jumps over lazy dog data table stream batch "
@@ -48,6 +64,10 @@ def _gen_doc(rng: np.random.Generator) -> str:
         if rng.random() < 0.10:  # leading/trailing spaces exercise the trim
             line = " " + line + " "
         lines.append(line)
+    if rng.random() < 0.12:
+        block = _BOILERPLATE[int(rng.integers(0, len(_BOILERPLATE)))]
+        at = int(rng.integers(0, len(lines) + 1))
+        lines[at:at] = block
     r = rng.random()
     if r < 0.06:
         lines.append("function f() { return 1; }")

@@ -219,3 +219,34 @@ def test_c4_line_filters_rules(ray_session, tmp_path, monkeypatch):
     assert list(out["n_lines"]) == [5, 4, 6, 6, 6, 5, 3]
     assert list(out["page_kept"]) == [True, False, True, False, False,
                                       True, False]
+
+
+def test_c4_spans_cut_semantics(ray_session, tmp_path, monkeypatch):
+    """Hand-built docs exercise every dd_c4_spans branch: the globally
+    first (doc_id, pos) occurrence survives, cross-doc and within-doc
+    duplicates are cut, overlapping removed spans union their lines, and
+    <3-line docs pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import lk_data_test_ray.pipelines.queries as q
+
+    docs = [
+        "A\nB\nC\nD",        # first occurrences of ABC, BCD → unchanged
+        "A\nB\nC",           # ABC dup of doc0@1 → everything cut
+        "X\nA\nB\nC\nY",     # ABC dup at pos 2 → middle cut
+        "P\nQ\nR\nP\nQ\nR",  # within-doc: PQR@4 dups PQR@1 → tail cut
+        "M\nN",              # <3 lines: no spans
+        "A\nB\nC\nD\nE",     # ABC@1 and BCD@2 both dup → union cuts 1-4
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    fix = tmp_path / "lines"
+    fix.mkdir()
+    pq.write_table(tbl, str(fix / "lines-000.parquet"))
+    monkeypatch.setattr("lk_data_test_ray.sources.lines.ensure_lines",
+                        lambda n, **kw: str(fix))
+    out = (q.dd_c4_spans(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["clean_text"]) == [
+        "A\nB\nC\nD", "", "X\nY", "P\nQ\nR", "M\nN", "E"]
