@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
         "pages_url_canon": q.pages_url_canon,
+        "pages_blocklist": q.pages_blocklist,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
         "m_lang_remap": q.m_lang_remap,
@@ -1567,6 +1568,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages
             FROM read_parquet('{_pages_fixture_glob()}')
             GROUP BY 1
+        """,
+        # blocklist literals mirror queries.BLOCK_HOSTS / BLOCK_DOMAINS
+        "pages_blocklist": f"""
+            WITH p AS (
+                SELECT url, lang,
+                       regexp_extract(url, '^https://([^/]+)/', 1) AS host
+                FROM read_parquet('{_pages_fixture_glob()}')
+            )
+            SELECT url, lang FROM p
+            WHERE host NOT IN ('h0007.example-0.org',
+                               'h0012.example-5.org',
+                               'h0500.example-3.org')
+              AND regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                  NOT IN ('example-3.org', 'example-6.org')
         """,
         # same href/anchor regex as functions/extract.py:_A_RE (RE2 'is'
         # flags ≙ re.I | re.S); anchor cleanup mirrors _TAG/_WS subs.

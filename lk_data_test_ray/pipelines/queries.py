@@ -973,6 +973,48 @@ def pages_url_canon(sf_dir: str) -> rd.Dataset:
     return partial_groupby_agg(hosts, ["host"], [("one", "count", "n_pages")])
 
 
+BLOCK_HOSTS = ["h0007.example-0.org", "h0012.example-5.org",
+               "h0500.example-3.org"]
+BLOCK_DOMAINS = ["example-3.org", "example-6.org"]
+
+
+def pages_blocklist(sf_dir: str) -> rd.Dataset:
+    """UT1-style URL blocklist filter (the standard web-corpus hygiene
+    step — C4, RefinedWeb and CCNet all drop pages whose host or
+    registered domain appears on a curated blocklist): a page is dropped
+    iff its host matches an exact blocklist entry OR its registered
+    domain (last two dot-labels) matches a blocked domain — so one domain
+    entry blocks every subdomain. Both match kinds are exercised
+    (``h0007`` is a hot Zipf host; the two domain entries cover ~2/7 of
+    the fixture's traffic).
+
+    Scale shape: pure broadcast-side filter (S2) — the blocklist ships to
+    workers once with the task closure (at real scale the ~4M-entry UT1
+    list is a single ``ray.put`` + per-batch ``pc.is_in``, the
+    `relational.py:42` broadcast pattern); host and registered domain are
+    vectorized regex extracts; no shuffle, no row loop, html never read
+    (column pruning at the scan)."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "lang"])
+    hosts_set = pa.array(BLOCK_HOSTS, pa.string())
+    doms_set = pa.array(BLOCK_DOMAINS, pa.string())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"].combine_chunks(),
+                             r"^https://(?P<h>[^/]+)/"), "h")
+        dom = pc.struct_field(
+            pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$"), "d")
+        blocked = pc.or_kleene(pc.is_in(host, value_set=hosts_set),
+                               pc.is_in(dom, value_set=doms_set))
+        return batch.filter(pc.invert(pc.fill_null(blocked, False)))
+
+    return pages.map_batches(filt, batch_format="pyarrow")
+
+
 def v_profile_orders(sf_dir: str) -> pa.Table:
     """Distributed column profiler (the validation engine's 'describe', the
     explicit form of the reference's ad-hoc set-size counters,

@@ -250,3 +250,21 @@ def test_c4_spans_cut_semantics(ray_session, tmp_path, monkeypatch):
            .sort_values("doc_id").reset_index(drop=True))
     assert list(out["clean_text"]) == [
         "A\nB\nC\nD", "", "X\nY", "P\nQ\nR", "M\nN", "E"]
+
+
+def test_pages_blocklist_both_match_kinds(ray_session):
+    """Exact-host and registered-domain blocklist entries both drop their
+    pages; everything else survives."""
+    import re
+
+    import lk_data_test_ray.pipelines.queries as q
+
+    out = q.pages_blocklist(SF).to_pandas()
+    hosts = out["url"].str.extract(r"^https://([^/]+)/", expand=False)
+    assert not hosts.isin(q.BLOCK_HOSTS).any()
+    doms = hosts.str.extract(r"([^.]+\.[^.]+)$", expand=False)
+    assert not doms.isin(q.BLOCK_DOMAINS).any()
+    # unblocked traffic survives, including other subdomains of allowed
+    # registered domains
+    assert len(out) > 0 and doms.str.match(r"example-[01245]\.org$").all()
+    assert (doms == "example-0.org").any()
