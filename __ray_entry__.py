@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_median_nchars": q.a_median_nchars,
         "pages_url_canon": q.pages_url_canon,
         "pages_blocklist": q.pages_blocklist,
+        "pages_anchor_text": q.pages_anchor_text,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
         "m_lang_remap": q.m_lang_remap,
@@ -1606,6 +1607,37 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(regexp_replace(anchors[i],
                         '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
             FROM m, unnest(generate_series(1, len(hrefs))) AS t(i)
+        """,
+        # aggregates over the same regex link extraction as the
+        # pages_links oracle (NOT the generator's links.parquet — that
+        # table also lists links of pages whose html the fixture nulls)
+        "pages_anchor_text": f"""
+            WITH docs AS (
+                SELECT url AS src_url, decode(html) AS h
+                FROM read_parquet('{_pages_fixture_glob()}')
+                WHERE html IS NOT NULL
+            ), m AS (
+                SELECT src_url,
+                       regexp_extract_all(h,
+                           '<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a\\s*>',
+                           1, 'is') AS hrefs,
+                       regexp_extract_all(h,
+                           '<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a\\s*>',
+                           2, 'is') AS anchors
+                FROM docs
+            ), links AS (
+                SELECT src_url, hrefs[i] AS dst_url,
+                       trim(regexp_replace(regexp_replace(anchors[i],
+                            '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+                FROM m, unnest(generate_series(1, len(hrefs))) AS t(i)
+            )
+            SELECT dst_url,
+                   count(*) AS n_inlinks,
+                   count(DISTINCT src_url) AS n_src,
+                   string_agg(DISTINCT anchor, ' | ' ORDER BY anchor)
+                       AS anchors
+            FROM links
+            GROUP BY dst_url
         """,
         # exact anti-join oracle for the raw-Ray hash-membership exchange
         "pages_dangling_links": f"""

@@ -759,6 +759,94 @@ def pages_links(sf_dir: str) -> rd.Dataset:
                              columns=["url", "html"])
 
 
+def pages_anchor_text(sf_dir: str) -> rd.Dataset:
+    """Inbound anchor-text aggregation per target URL — the classic
+    web-graph training signal (anchor text of pages linking TO a url
+    describes it better than the url itself; search and quality-filter
+    corpora aggregate it exactly like this): per dst_url, the inlink
+    count, the distinct-source count, and the sorted distinct anchor
+    texts joined with ``" | "``.
+
+    Scale shape: the (src, dst, anchor) child rows come from the fused
+    scan (html never enters the object store, see ``pages_links``), each
+    batch pre-dedupes (dst, anchor) / (dst, src) pairs map-side (cuts the
+    boilerplate anchors a template site repeats on every page), then ONE
+    hash exchange on dst_url co-locates each target's inlinks; per
+    partition everything is two Arrow sorts + segmented numpy dedup +
+    one ``binary_join`` — no per-group Python. n_inlinks counts ALL
+    inlink rows, so it rides the same exchange un-deduped (a count
+    partial, not rows)."""
+    return _anchor_agg(pages_links(sf_dir))
+
+
+def _anchor_agg(links: rd.Dataset) -> rd.Dataset:
+    """Per-dst_url anchor aggregation core of ``pages_anchor_text`` —
+    factored so the map-side multiplicity carry is unit-testable."""
+    from ..relational import hash_repartition_map
+
+    out_schema = pa.schema([
+        ("dst_url", pa.string()), ("n_inlinks", pa.int64()),
+        ("n_src", pa.int64()), ("anchors", pa.string())])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        # map-side: collapse duplicate (dst, src, anchor) rows, carry the
+        # collapsed multiplicity so the global inlink count stays exact
+        t = batch.group_by(["dst_url", "src_url", "anchor"]) \
+            .aggregate([("dst_url", "count")])
+        return pa.table({
+            "dst_url": t["dst_url"], "src_url": t["src_url"],
+            "anchor": t["anchor"],
+            "n": t["dst_url_count"].cast(pa.int64()),
+        })
+
+    def agg(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+
+        def segments(sorted_tbl: pa.Table):
+            codes = sorted_tbl["dst_url"].combine_chunks() \
+                .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            first = np.concatenate([[True], codes[1:] != codes[:-1]])
+            seg_id = np.cumsum(first) - 1
+            return first, seg_id
+
+        ia = pc.sort_indices(tbl, sort_keys=[
+            ("dst_url", "ascending"), ("anchor", "ascending")])
+        ta = tbl.take(ia)
+        first_a, seg_a = segments(ta)
+        n_seg = int(seg_a[-1]) + 1
+        n_inlinks = np.bincount(
+            seg_a, weights=ta["n"].to_numpy(zero_copy_only=False),
+            minlength=n_seg).astype(np.int64)
+        anch = ta["anchor"].combine_chunks()
+        prev_ne = pc.not_equal(anch.slice(1), anch.slice(0, len(anch) - 1)) \
+            .to_numpy(zero_copy_only=False)
+        keep = first_a | np.concatenate([[True], prev_ne])
+        kept_per_seg = np.bincount(seg_a[keep], minlength=n_seg)
+        offs = np.concatenate([[0], np.cumsum(kept_per_seg)])
+        anchors = pc.binary_join(pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), anch.filter(pa.array(keep))), " | ")
+        dsts = ta["dst_url"].filter(pa.array(first_a))
+
+        isrc = pc.sort_indices(tbl, sort_keys=[
+            ("dst_url", "ascending"), ("src_url", "ascending")])
+        ts = tbl.take(isrc)
+        first_s, seg_s = segments(ts)
+        src = ts["src_url"].combine_chunks()
+        sne = pc.not_equal(src.slice(1), src.slice(0, len(src) - 1)) \
+            .to_numpy(zero_copy_only=False)
+        skeep = first_s | np.concatenate([[True], sne])
+        n_src = np.bincount(seg_s[skeep], minlength=n_seg).astype(np.int64)
+
+        return pa.table({
+            "dst_url": dsts, "n_inlinks": pa.array(n_inlinks, pa.int64()),
+            "n_src": pa.array(n_src, pa.int64()), "anchors": anchors,
+        }, schema=out_schema)
+
+    pairs = links.map_batches(pre, batch_format="pyarrow")
+    return hash_repartition_map(pairs, "dst_url", agg)
+
+
 def mm_payload_meta(sf_dir: str) -> rd.Dataset:
     """Multimodal: binary payload sniff + per-kind byte accounting.
 

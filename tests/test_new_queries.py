@@ -268,3 +268,29 @@ def test_pages_blocklist_both_match_kinds(ray_session):
     # registered domains
     assert len(out) > 0 and doms.str.match(r"example-[01245]\.org$").all()
     assert (doms == "example-0.org").any()
+
+
+def test_anchor_agg_multiplicity_and_dedup(ray_session):
+    """The map-side pre-dedup must carry multiplicity: n_inlinks counts
+    ALL inlink rows (duplicate triples included), n_src and anchors are
+    distinct, anchors sorted and ' | '-joined."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.queries import _anchor_agg
+
+    rows = [
+        # dst "t1": 3 identical triples + one different anchor from s2
+        ("s1", "t1", "buy now"), ("s1", "t1", "buy now"),
+        ("s1", "t1", "buy now"), ("s2", "t1", "a deal"),
+        ("s2", "t2", "x"),
+    ]
+    t = pa.table({"src_url": pa.array([r[0] for r in rows]),
+                  "dst_url": pa.array([r[1] for r in rows]),
+                  "anchor": pa.array([r[2] for r in rows])})
+    out = (_anchor_agg(rd.from_arrow(t)).to_pandas()
+           .sort_values("dst_url").reset_index(drop=True))
+    assert list(out["dst_url"]) == ["t1", "t2"]
+    assert list(out["n_inlinks"]) == [4, 1]
+    assert list(out["n_src"]) == [2, 1]
+    assert list(out["anchors"]) == ["a deal | buy now", "x"]
