@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "j_interval_overlap",
     "t_char_ngrams",
     "e_dedup_consecutive",
+    # round-4 webtext additions
+    "td_c4_line_filters",
+    "dd_c4_spans",
+    "pages_blocklist",
+    "pages_anchor_text",
 ]
 
 
