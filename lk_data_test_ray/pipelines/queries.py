@@ -2497,12 +2497,21 @@ def _events_sidecar(sf_dir: str, fmt: str) -> str:
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
                           columns=["event_id", "event_type", "value"])
         df = t.to_pandas()
-        path = os.path.join(out_dir, f"events.{fmt}")
-        if fmt == "jsonl":
-            df.to_json(path, orient="records", lines=True,
-                       double_precision=15)
+        if fmt == "jsonl.gz":
+            # sharded, as real corpora ship — exercises the parallel
+            # decompress-per-file read path
+            n_shards = 4
+            bounds = [len(df) * i // n_shards for i in range(n_shards + 1)]
+            for s in range(n_shards):
+                df.iloc[bounds[s]:bounds[s + 1]].to_json(
+                    os.path.join(out_dir, f"events-{s:03d}.jsonl.gz"),
+                    orient="records", lines=True, double_precision=15,
+                    compression="gzip")
+        elif fmt == "jsonl":
+            df.to_json(os.path.join(out_dir, "events.jsonl"),
+                       orient="records", lines=True, double_precision=15)
         else:
-            df.to_csv(path, index=False)
+            df.to_csv(os.path.join(out_dir, "events.csv"), index=False)
         open(marker, "w").close()
     return out_dir
 
@@ -2571,6 +2580,24 @@ def v_jsonl_source(sf_dir: str) -> rd.Dataset:
 
     d = _events_sidecar(sf_dir, "jsonl")
     ev = rd.read_json(os.path.join(d, "events.jsonl"))
+    agg = partial_groupby_agg(ev, ["event_type"],
+                              [("value", "sum", "sum_value"),
+                               ("event_id", "count", "n")])
+    return agg.map_batches(_round_stage({"sum_value": 2}),
+                           batch_format="pyarrow")
+
+
+def v_jsonl_gz_source(sf_dir: str) -> rd.Dataset:
+    """Non-parquet source format (S1 over SHARDED gzipped JSONL — the
+    container real web corpora actually ship in): ``ray.data.read_json``
+    decompresses each shard in its own read task (compression inferred
+    from the ``.gz`` extension, one task per file — the natural
+    parallelism unit since gzip streams aren't splittable), and the
+    grouped sum/count must equal the parquet oracle exactly."""
+    import os
+
+    d = _events_sidecar(sf_dir, "jsonl.gz")
+    ev = rd.read_json(os.path.join(d))
     agg = partial_groupby_agg(ev, ["event_type"],
                               [("value", "sum", "sum_value"),
                                ("event_id", "count", "n")])
