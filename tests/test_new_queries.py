@@ -252,6 +252,75 @@ def test_c4_spans_cut_semantics(ray_session, tmp_path, monkeypatch):
         "A\nB\nC\nD", "", "X\nY", "P\nQ\nR", "M\nN", "E"]
 
 
+_C4_SPAN_SQL = """
+    WITH d AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS ls
+        FROM read_parquet('{glob}')
+    ),
+    l AS (
+        SELECT doc_id, unnest(ls) AS line,
+               generate_subscripts(ls, 1) AS pos
+        FROM d
+    ),
+    sp AS (
+        SELECT doc_id, pos,
+               line || chr(10) || lead(line, 1) OVER w || chr(10)
+                    || lead(line, 2) OVER w AS span,
+               lead(pos, 2) OVER w AS p2
+        FROM l WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, row_number() OVER (
+                PARTITION BY span ORDER BY doc_id, pos) AS rn
+            FROM sp WHERE p2 IS NOT NULL) WHERE rn > 1
+    ),
+    rem AS (
+        SELECT DISTINCT l.doc_id, l.pos FROM l JOIN dup
+          ON l.doc_id = dup.doc_id
+         AND l.pos BETWEEN dup.pos AND dup.pos + 2
+    )
+    SELECT l.doc_id,
+           coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                    FILTER (WHERE r.pos IS NULL), '') AS clean_text
+    FROM l LEFT JOIN rem r
+      ON l.doc_id = r.doc_id AND l.pos = r.pos
+    GROUP BY l.doc_id
+"""
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_c4_spans_fuzz_vs_duckdb(ray_session, tmp_path, monkeypatch, seed):
+    """Random corpora drawn from a TINY line pool (dense 3-line span
+    collisions, within- and cross-doc, plus empty and <3-line docs) —
+    dd_c4_spans must match the window-function DuckDB oracle exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import lk_data_test_ray.pipelines.queries as q
+
+    rng = np.random.default_rng(seed)
+    pool = [f"line {i}." for i in range(12)]
+    docs = []
+    for _ in range(80):
+        n = int(rng.integers(0, 10))
+        docs.append("\n".join(pool[i] for i in rng.integers(0, 12, n)))
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    fix = tmp_path / "lines"
+    fix.mkdir()
+    pq.write_table(tbl, str(fix / "lines-000.parquet"))
+    monkeypatch.setattr("lk_data_test_ray.sources.lines.ensure_lines",
+                        lambda n, **kw: str(fix))
+    mine = (q.dd_c4_spans(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    ora = (duckdb.sql(_C4_SPAN_SQL.format(glob=str(fix / "*.parquet")))
+           .df().sort_values("doc_id").reset_index(drop=True))
+    assert list(mine["doc_id"]) == list(ora["doc_id"])
+    assert list(mine["clean_text"]) == list(ora["clean_text"])
+
+
 def test_pages_blocklist_both_match_kinds(ray_session):
     """Exact-host and registered-domain blocklist entries both drop their
     pages; everything else survives."""
