@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_weighted_sample": q.o_weighted_sample,
         "j_follow_within": q.j_follow_within,
         "mm_decode_ppm": q.mm_decode_ppm,
+        "mm_image_phash": q.mm_image_phash,
         "mm_decode_png": q.mm_decode_png,
         "mm_decode_gif": q.mm_decode_gif,
         "mm_decode_jpeg": q.mm_decode_jpeg,
@@ -776,6 +777,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INTEGER) AS height,
                    CAST(3 AS INTEGER) AS n_channels
             FROM embeddings
+        """,
+        # full-value dHash oracle: the fixture image is built so its TRUE
+        # dHash is vec_id // 4 (row pixels random-walk by the group id's
+        # bits); matching proves decode → grayscale → 64 comparisons →
+        # bit-pack agree AND the sub-threshold jitter never flips a bit
+        "mm_image_phash": """
+            WITH ph AS (
+                SELECT vec_id, CAST(vec_id // 4 AS BIGINT) AS phash
+                FROM embeddings
+            )
+            SELECT p.vec_id, p.phash, c.n
+            FROM ph p JOIN (SELECT phash, CAST(count(*) AS BIGINT) AS n
+                            FROM ph GROUP BY phash) c USING (phash)
         """,
         "mm_decode_png": """
             SELECT CAST(e.vec_id AS VARCHAR) AS url,

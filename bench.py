@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dd_c4_spans",
     "pages_blocklist",
     "pages_anchor_text",
+    "mm_image_phash",
 ]
 
 

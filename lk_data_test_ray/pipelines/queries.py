@@ -5341,6 +5341,89 @@ def j_follow_within(sf_dir: str) -> rd.Dataset:
     return hash_repartition_map(ev, "user_id", followers)
 
 
+def mm_image_phash(sf_dir: str) -> rd.Dataset:
+    """Perceptual image hashing (dHash) + exact-hash near-duplicate
+    grouping — the LAION-style image dedup first pass: each payload is
+    decoded, grayscaled, and hashed by the 64 horizontal
+    adjacent-pixel comparisons of a 9x8 grid (bit y*8+x set iff
+    px[y,x+1] > px[y,x]); images sharing a phash form a near-dup group.
+
+    Fixture: each embeddings row renders a deterministic 9x8 P6 PPM
+    built so its TRUE dHash equals ``vec_id // 4`` (each row's pixels
+    random-walk ±14 according to the group id's bits — groups of ≤4
+    variants, zero cross-group collisions), plus a variant-specific ±3
+    pixel jitter BELOW the ±14 step, so dHash must be invariant to it.
+    That makes the hash SQL-expressible, so this gets a FULL-VALUE
+    DuckDB oracle: values match only if encode → decode → grayscale →
+    comparisons → bit packing all agree AND the jitter never flips a
+    comparison (the invariance property, proven end-to-end).
+
+    Scale shape: decode is per-payload (inherent; real sizes go through
+    the same block-mean pool ``mm_decode_ppm`` exercises), the
+    comparisons/bit-pack are one vectorized numpy pass over the stacked
+    batch, grouping ships 16-byte (vec_id, phash) rows through ONE hash
+    exchange. Hamming-distance ≤ k matching (rather than exact) would
+    reuse the MinHash band machinery: 4x16-bit bands of the phash as
+    bucket keys."""
+    from ..relational import hash_repartition_map
+    from .multimodal import ppm_decode, ppm_encode
+
+    emb = read(sf_dir, "embeddings", ["vec_id"])
+    xs = np.arange(9, dtype=np.int64)
+    ys = np.arange(8, dtype=np.int64)
+    bitpos = 8 * ys[:, None] + np.arange(8, dtype=np.int64)[None, :]
+    parity = (xs[None, :] + ys[:, None]) % 4
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for v in ids:
+            base = int(v) // 4
+            steps = np.where((base >> bitpos) & 1 == 1, 1, -1)
+            walk = np.concatenate(
+                [np.zeros((8, 1), np.int64), np.cumsum(steps, axis=1)], 1)
+            img = (128 + 14 * walk
+                   + (parity == int(v) % 4) * (int(v) % 4)).astype(np.uint8)
+            payloads.append(ppm_encode(np.repeat(img[:, :, None], 3, 2)))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    def phash(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if not batch.num_rows:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "phash": pa.array([], pa.int64())})
+        gray = np.stack([ppm_decode(p).mean(axis=2)
+                         for p in batch["payload"].to_pylist()])
+        bits = gray[:, :, 1:] > gray[:, :, :-1]
+        w = np.uint64(1) << (8 * np.arange(8, dtype=np.uint64)[:, None]
+                             + np.arange(8, dtype=np.uint64)[None, :])
+        h = (bits.astype(np.uint64) * w).sum(axis=(1, 2)).astype(np.uint64)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(h.view(np.int64), pa.int64())})
+
+    rows = emb.map_batches(render, batch_format="pyarrow") \
+        .map_batches(phash, batch_format="pyarrow")
+    out_schema = pa.schema([("vec_id", pa.int64()), ("phash", pa.int64()),
+                            ("n", pa.int64())])
+
+    def grp(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("phash", "ascending"), ("vec_id", "ascending")])
+        t = tbl.take(idx)
+        h = t["phash"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], h[1:] != h[:-1]])
+        seg = np.cumsum(first) - 1
+        sizes = np.bincount(seg)
+        return pa.table({"vec_id": t["vec_id"], "phash": t["phash"],
+                         "n": pa.array(sizes[seg], pa.int64())},
+                        schema=out_schema)
+
+    return hash_repartition_map(rows, "phash", grp)
+
+
 def mm_decode_ppm(sf_dir: str) -> rd.Dataset:
     """REAL image decode end-to-end (no codec library): each embedding row
     renders a deterministic 16x16 RGB P6 PPM payload (first 48 dims →
