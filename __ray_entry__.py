@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_canon": q.pages_url_canon,
         "pages_blocklist": q.pages_blocklist,
         "pages_anchor_text": q.pages_anchor_text,
+        "pages_fetch_gaps": q.pages_fetch_gaps,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
         "m_lang_remap": q.m_lang_remap,
@@ -1584,6 +1585,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages
             FROM read_parquet('{_pages_fixture_glob()}')
             GROUP BY 1
+        """,
+        "pages_fetch_gaps": f"""
+            WITH p AS (
+                SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                       epoch_us(warc_ts) AS tus
+                FROM read_parquet('{_pages_fixture_glob()}')
+            ),
+            g AS (
+                SELECT host,
+                       tus - lag(tus) OVER (PARTITION BY host
+                                            ORDER BY tus) AS gap
+                FROM p
+            )
+            SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   min(gap) AS min_gap_us, sum(gap) AS sum_gap_us
+            FROM g GROUP BY host
         """,
         # blocklist literals mirror queries.BLOCK_HOSTS / BLOCK_DOMAINS
         "pages_blocklist": f"""

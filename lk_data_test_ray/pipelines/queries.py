@@ -1382,6 +1382,78 @@ def pages_host_counts(sf_dir: str) -> rd.Dataset:
     return salted_groupby_count(hosts, "host", out_name="n_pages")
 
 
+def pages_fetch_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-host crawl-politeness profile: the gaps between successive
+    fetches of the same host (the number a crawl scheduler tunes and an
+    abuse auditor reads) — per host, the fetch count, gap count, minimum
+    gap and exact gap sum in microseconds. Single-fetch hosts report
+    null min/sum (no gap), matching SQL aggregate semantics.
+
+    Scale shape: (host, ts) pairs only on the wire (16 bytes/row — url
+    path and html never leave the scan), ONE hash exchange on host, then
+    per partition one sort + segmented ``np.diff`` +
+    ``minimum/add.reduceat`` — no per-host Python. Hot Zipf hosts are
+    fine: the per-host work is O(n log n) vectorized, and a genuinely
+    pathological host would shard under the salted-groupby machinery
+    (``relational.salted_groupby_count``) at the cost of exact min only."""
+    import os
+
+    from ..relational import hash_repartition_map
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "warc_ts"])
+
+    def host_ts(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"].combine_chunks(),
+                             r"^https://(?P<h>[^/]+)/"), "h")
+        return pa.table({"host": host,
+                         "ts": batch["warc_ts"].cast(pa.int64())})
+
+    out_schema = pa.schema([
+        ("host", pa.string()), ("n_fetches", pa.int64()),
+        ("n_gaps", pa.int64()), ("min_gap_us", pa.int64()),
+        ("sum_gap_us", pa.int64())])
+
+    def agg(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("host", "ascending"), ("ts", "ascending")])
+        t = tbl.take(idx)
+        codes = t["host"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(first)
+        n_seg = len(starts)
+        n_fetches = np.diff(np.append(starts, len(ts)))
+        # within-host gaps: every adjacent diff except host boundaries;
+        # per host they form a contiguous run, so reduceat finishes it
+        gap_mask = np.ones(max(len(ts) - 1, 0), dtype=bool)
+        gap_mask[starts[1:] - 1] = False
+        gaps = np.diff(ts)[gap_mask]
+        gcnt = n_fetches - 1
+        has_gap = gcnt > 0
+        gstarts = np.concatenate([[0], np.cumsum(gcnt)])[:-1][has_gap]
+        min_gap = np.zeros(n_seg, np.int64)
+        sum_gap = np.zeros(n_seg, np.int64)
+        if gaps.size:
+            min_gap[has_gap] = np.minimum.reduceat(gaps, gstarts)
+            sum_gap[has_gap] = np.add.reduceat(gaps, gstarts)
+        return pa.table({
+            "host": t["host"].filter(pa.array(first)),
+            "n_fetches": pa.array(n_fetches, pa.int64()),
+            "n_gaps": pa.array(n_fetches - 1, pa.int64()),
+            "min_gap_us": pa.array(min_gap, pa.int64(), mask=~has_gap),
+            "sum_gap_us": pa.array(sum_gap, pa.int64(), mask=~has_gap),
+        }, schema=out_schema)
+
+    rows = pages.map_batches(host_ts, batch_format="pyarrow")
+    return hash_repartition_map(rows, "host", agg)
+
+
 def m_parse_props(sf_dir: str) -> rd.Dataset:
     """Semi-structured field extraction (M2-adjacent): pull the numeric ``k``
     out of the JSON ``props`` column with a vectorized Arrow regex (flat
