@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_blocklist": q.pages_blocklist,
         "pages_anchor_text": q.pages_anchor_text,
         "pages_fetch_gaps": q.pages_fetch_gaps,
+        "g_host_graph": q.g_host_graph,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
         "m_lang_remap": q.m_lang_remap,
@@ -1585,6 +1586,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages
             FROM read_parquet('{_pages_fixture_glob()}')
             GROUP BY 1
+        """,
+        # host edges over the same regex link extraction as pages_links
+        # (self-host edges dropped; n_pages = distinct linking pages)
+        "g_host_graph": f"""
+            WITH docs AS (
+                SELECT url AS src_url, decode(html) AS h
+                FROM read_parquet('{_pages_fixture_glob()}')
+                WHERE html IS NOT NULL
+            ), m AS (
+                SELECT src_url,
+                       regexp_extract_all(h,
+                           '<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a\\s*>',
+                           1, 'is') AS hrefs
+                FROM docs
+            ), links AS (
+                SELECT src_url, hrefs[i] AS dst_url
+                FROM m, unnest(generate_series(1, len(hrefs))) AS t(i)
+            ), he AS (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1)
+                           AS src_host,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1)
+                           AS dst_host,
+                       src_url
+                FROM links
+            )
+            SELECT src_host, dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT src_url) AS BIGINT) AS n_pages
+            FROM he WHERE src_host <> dst_host
+            GROUP BY src_host, dst_host
         """,
         "pages_fetch_gaps": f"""
             WITH p AS (

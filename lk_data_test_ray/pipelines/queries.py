@@ -1382,6 +1382,64 @@ def pages_host_counts(sf_dir: str) -> rd.Dataset:
     return salted_groupby_count(hosts, "host", out_name="n_pages")
 
 
+def g_host_graph(sf_dir: str) -> rd.Dataset:
+    """Host-level link graph — the compressed web graph a crawl
+    scheduler and host-rank (host-PageRank / harmonic-centrality)
+    pipelines actually run on: page links collapsed to weighted
+    host→host edges (n_links = link multiplicity, n_pages = distinct
+    linking pages), self-host edges dropped.
+
+    Scale shape: hosts are regex-extracted from the fused-scan link
+    rows; each batch pre-aggregates (src_host, dst_host, src_url) →
+    multiplicity map-side, so the 10⁹-page graph collapses toward the
+    ~10⁶-host edge list BEFORE the wire; ONE hash exchange on src_host
+    then finishes both aggregates per partition with two Arrow
+    group_bys (sum of multiplicities = n_links, count of distinct
+    pages = n_pages) — no joins, no per-edge Python."""
+    from ..relational import hash_repartition_map
+
+    links = pages_links(sf_dir)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        sh = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        dh = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": sh, "dst_host": dh,
+                      "src_url": batch["src_url"]})
+        t = t.filter(pc.invert(pc.equal(sh, dh)))
+        g = t.group_by(["src_host", "dst_host", "src_url"]) \
+            .aggregate([("src_url", "count")])
+        return pa.table({
+            "src_host": g["src_host"], "dst_host": g["dst_host"],
+            "src_url": g["src_url"],
+            "n": g["src_url_count"].cast(pa.int64())})
+
+    e = links.map_batches(edges, batch_format="pyarrow")
+    out_schema = pa.schema([
+        ("src_host", pa.string()), ("dst_host", pa.string()),
+        ("n_links", pa.int64()), ("n_pages", pa.int64())])
+
+    def agg(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        # finish the map-side partials: collapse (edge, page) across
+        # batches first, then reduce to the edge level
+        p = tbl.group_by(["src_host", "dst_host", "src_url"]) \
+            .aggregate([("n", "sum")])
+        g = p.group_by(["src_host", "dst_host"]) \
+            .aggregate([("n_sum", "sum"), ("src_url", "count")])
+        return pa.table({
+            "src_host": g["src_host"], "dst_host": g["dst_host"],
+            "n_links": g["n_sum_sum"].cast(pa.int64()),
+            "n_pages": g["src_url_count"].cast(pa.int64())},
+            schema=out_schema)
+
+    return hash_repartition_map(e, "src_host", agg)
+
+
 def pages_fetch_gaps(sf_dir: str) -> rd.Dataset:
     """Per-host crawl-politeness profile: the gaps between successive
     fetches of the same host (the number a crawl scheduler tunes and an
