@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_blocklist": q.pages_blocklist,
         "pages_anchor_text": q.pages_anchor_text,
         "pages_fetch_gaps": q.pages_fetch_gaps,
+        "pages_robots": q.pages_robots,
         "g_host_graph": q.g_host_graph,
         # best-match / key-rewrite / inverse edges / sampling / rule table
         "j_best_match_lineitem": q.j_best_match_lineitem,
@@ -381,6 +382,16 @@ def _pages_fixture_glob() -> str:
 
     fix = ensure_pages(pages_nrows_for_sf("/root/testdata/sf0.01"))
     return os.path.join(fix, "pages", "*.parquet")
+
+
+def _robots_rules_path() -> str:
+    """The robots fixture's rules parquet (pages_robots oracle input) —
+    generated here if absent so the DuckDB side can read it."""
+    import os
+
+    from lk_data_test_ray.sources.robots import ensure_robots
+
+    return os.path.join(ensure_robots(), "rules.parquet")
 
 
 def _pages_links_path() -> str:
@@ -1633,6 +1644,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(gap) AS BIGINT) AS n_gaps,
                    min(gap) AS min_gap_us, sum(gap) AS sum_gap_us
             FROM g GROUP BY host
+        """,
+        # RFC-9309 longest-match over the rules parquet the robots fixture
+        # wrote (the engine parses the raw robots.txt bytes instead — a
+        # match proves the parser). max(2*len+allow) odd ⇒ allowed; the +1
+        # encodes Allow-wins-ties.
+        "pages_robots": f"""
+            WITH p AS (
+                SELECT url, lang,
+                       regexp_extract(url, '^https://([^/]+)(/.*)$', 1)
+                           AS host,
+                       regexp_extract(url, '^https://([^/]+)(/.*)$', 2)
+                           AS path
+                FROM read_parquet('{_pages_fixture_glob()}')
+            ),
+            m AS (
+                SELECT p.url,
+                       max(2 * length(r.rule_path)
+                           + CAST(r.allow AS INT)) AS s
+                FROM p JOIN read_parquet('{_robots_rules_path()}') r
+                  ON p.host = r.host AND starts_with(p.path, r.rule_path)
+                GROUP BY p.url
+            )
+            SELECT p.url, p.lang FROM p LEFT JOIN m ON p.url = m.url
+            WHERE m.s IS NULL OR m.s % 2 = 1
         """,
         # blocklist literals mirror queries.BLOCK_HOSTS / BLOCK_DOMAINS
         "pages_blocklist": f"""

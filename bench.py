@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "pages_blocklist",
     "pages_anchor_text",
     "mm_image_phash",
+    "pages_robots",
 ]
 
 
