@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_scd2_history": q.j_scd2_history,
         "td_decontaminate_embed": q.td_decontaminate_embed,
         "mm_audio_wav": q.mm_audio_wav,
+        "mm_audio_spectrum": q.mm_audio_spectrum,
         "e_cum_new_users": q.e_cum_new_users,
         "v_ship_before_order": q.v_ship_before_order,
         "e_dedup_consecutive": q.e_dedup_consecutive,
@@ -755,6 +756,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS zcr
             FROM w GROUP BY vec_id
+        """,
+        # ground truths are integer formulas of vec_id — the engine must
+        # recover them from the rendered bytes via rfft (leakage-free
+        # integer-cycle tones make the FFT peak exactly checkable; the
+        # amplitude estimate's quantization error bound <1 makes
+        # round-to-10 exact for multiples of 10)
+        "mm_audio_spectrum": """
+            SELECT CAST(vec_id AS VARCHAR) AS url,
+                   CAST(8000 AS INTEGER) AS sr,
+                   CAST(800 AS BIGINT) AS n_samples,
+                   CAST((5 + vec_id % 350) * 10 AS BIGINT) AS dom_freq_hz,
+                   CAST(6000 + 10 * (vec_id % 200) AS BIGINT) AS amp10
+            FROM embeddings
         """,
         "td_decontaminate_embed": """
             WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e

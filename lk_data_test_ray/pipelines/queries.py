@@ -5934,6 +5934,48 @@ def mm_audio_wav(sf_dir: str) -> rd.Dataset:
                              batch_size=256)
 
 
+def mm_audio_spectrum(sf_dir: str) -> rd.Dataset:
+    """REAL spectral analysis end-to-end (no audio/DSP library): each
+    embedding row renders a two-tone 800-sample 8 kHz int16 wave —
+    dominant tone at bin ``k1 = 5 + vec_id % 350`` with amplitude
+    ``A = 6000 + 10·(vec_id % 200)``, plus a quarter-amplitude distractor
+    at an unrelated bin — serialized as RIFF/WAVE, decoded BACK from the
+    bytes, and analyzed with ONE batched ``np.fft.rfft``: the argmax bin
+    must recover ``k1`` and the amplitude estimate must land within the
+    int16 quantization bound (<1) of ``A``, so rounding to 10 is exact.
+    Both ground truths are pure integer formulas of ``vec_id`` → a
+    FULL-VALUE DuckDB oracle over the peak-find AND the amplitude path
+    (integer-cycle tones are leakage-free, which is what makes the FFT
+    output exactly checkable). The distractor tone proves the argmax is
+    doing work; the DC bin is masked (a constant offset is not a tone)."""
+    from .multimodal import spectrum_feature_table, wav_encode
+
+    SR, N = 8000, 800
+    emb = read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        i = np.arange(N, dtype=np.float64)
+        payloads = []
+        for v in ids:
+            k1 = 5 + int(v) % 350
+            k2 = 5 + (int(v) * 7 + 13) % 350
+            if k2 == k1:
+                k2 = k1 + 1 if k1 < 354 else k1 - 1
+            amp = 6000.0 + 10.0 * (int(v) % 200)
+            s = np.round(amp * np.sin(2 * np.pi * k1 * i / N)
+                         + (amp / 4) * np.sin(2 * np.pi * k2 * i / N))
+            payloads.append(wav_encode(s.astype(np.int16), SR))
+        return pa.table({
+            "url": pa.array([str(v) for v in ids], pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    waves = emb.map_batches(render, batch_format="pyarrow")
+    return waves.map_batches(spectrum_feature_table, batch_format="pyarrow",
+                             batch_size=256)
+
+
 def e_cum_new_users(sf_dir: str) -> rd.Dataset:
     """Cumulative-distinct growth curve (new users per day + running
     total): COUNT(DISTINCT) OVER a cumulative window is not directly
