@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint_extra": q.t_fingerprint_extra,
         "t_lang_id": q.t_lang_id,
         "t_top_tokens": q.t_top_tokens,
+        "t_inverted_index": q.t_inverted_index,
         "t_quantiles_sketch": q.t_quantiles_sketch,
         # validation checks over testdata tables
         "v_events_ts_range": q.v_events_ts_range,
@@ -1252,6 +1253,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "t_inverted_index": f"""
+            WITH pairs AS (
+                SELECT DISTINCT token, doc_id
+                FROM (SELECT doc_id, unnest({_TOKS}) AS token
+                      FROM documents)
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY token
         """,
         "t_top_tokens": f"""
             SELECT token, count(*) AS n

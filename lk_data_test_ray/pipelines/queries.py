@@ -1760,6 +1760,68 @@ def t_top_tokens(sf_dir: str) -> rd.Dataset:
     return topk(counts, [("n", True), ("token", False)], 20)
 
 
+def t_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Distributed inverted-index construction — the IR/search-side
+    operator a web corpus feeds (per token: document frequency + the
+    sorted posting list of doc_ids): vectorized token explode with
+    map-side ``(token, doc_id)`` distinct (a token repeated in one doc
+    collapses BEFORE the wire — the same boilerplate-collapse rationale
+    as ``pages_anchor_text``), ONE token hash exchange, then per
+    partition one sort + segmented numpy dedup + ``binary_join`` turn
+    each token's rows into its posting string. No per-group Python.
+
+    Partitioning note for 10¹²-doc scale: posting lists of stop-word
+    tokens are corpus-sized — a real deployment shards a token's
+    postings by doc-range (token, doc_id>>k) and stores list blocks,
+    same exchange, narrower values; df stays exact as a count partial.
+    Here lists are strings so the oracle can compare them byte-for-byte
+    (``string_agg ORDER BY``)."""
+    from ..relational import hash_repartition_map
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    out_schema = pa.schema([("token", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            batch["text"].combine_chunks(), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                        lens.astype(np.int64))
+        t = pa.table({"token": pc.list_flatten(toks),
+                      "doc_id": pa.array(ids, pa.int64())})
+        return t.group_by(["token", "doc_id"]).aggregate([])
+
+    def build(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("token", "ascending"), ("doc_id", "ascending")])
+        t = tbl.take(idx)
+        codes = t["token"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # cross-batch duplicates of one (token, doc) pair collapse here
+        keep = np.concatenate(
+            [[True], (codes[1:] != codes[:-1]) | (ids[1:] != ids[:-1])])
+        t = t.filter(pa.array(keep))
+        codes = codes[keep]
+        first = np.concatenate([[True], codes[1:] != codes[:-1]])
+        df = np.bincount(np.cumsum(first) - 1).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(df)])
+        id_str = pc.cast(t["doc_id"], pa.string()).combine_chunks()
+        postings = pc.binary_join(pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), id_str), ",")
+        return pa.table({
+            "token": t["token"].combine_chunks().filter(pa.array(first)),
+            "df": pa.array(df),
+            "postings": postings,
+        })
+
+    ex = docs.map_batches(pairs, batch_format="pyarrow")
+    return hash_repartition_map(ex, "token", build)
+
+
 def a_median_nchars(sf_dir: str) -> rd.Dataset:
     """Exact grouped median (per-group quantile; groups are few, rows per
     group arbitrary — the one aggregate that genuinely needs the group's
