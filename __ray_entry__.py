@@ -123,6 +123,15 @@ def _s_ann_pq(sf_dir: str):
         _sim.load_queries(sf_dir, 10), k=5)
 
 
+def _s_ann_refine(sf_dir: str):
+    # PQ shortlist → exact rerank; recall-1 on the fixture makes the
+    # exact-top-k SQL a hard oracle (recall under adversarial shortlist
+    # pressure is asserted in tests/test_similarity_text.py)
+    return _sim.ann_refine(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _sim.load_queries(sf_dir, 10), k=5)
+
+
 def _s_ann_ivfpq(sf_dir: str):
     return _sim.ann_ivfpq(
         read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -179,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_lsh": _s_ann_lsh,
         "s_ann_pq": _s_ann_pq,
         "s_ann_ivfpq": _s_ann_ivfpq,
+        "s_ann_refine": _s_ann_refine,
         # skew-aware join, CUBE lattice, blocklist filter, domain mixing,
         # first-class set ops
         "j_skew_user_events": q.j_skew_user_events,
@@ -1375,6 +1385,26 @@ def oracle_sql() -> dict[str, str]:
                   >= {q.COSINE_THRESHOLD}
         """,
         "s_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 10)),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM s) t
+            WHERE rank <= 5
+        """,
+        # PQ-shortlist + exact rerank recovers exact top-k at recall 1
+        # (deterministic seeded codebooks on the fixed fixture) — same
+        # exact top-k SQL as s_ann_topk
+        "s_ann_refine": """
             WITH q AS (SELECT vec_id AS query_id,
                               CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings

@@ -337,6 +337,70 @@ def ann_pq(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
         _final_topk(k), batch_format="pyarrow")
 
 
+def ann_refine(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 5, shortlist: int = 32, m: int = 8,
+               codes: int = 16, train_sample: int = 2048,
+               seed: int = 13) -> rd.Dataset:
+    """Two-stage ANN: PQ shortlist → EXACT rerank (the standard
+    recall-restoring pattern every production vector index runs —
+    FAISS's ``IndexRefineFlat`` shape): per batch, asymmetric-distance
+    tables rank all rows cheaply, the top-``shortlist`` per query are
+    rescored with the TRUE float cosine (the batch's vectors are still
+    in hand, so the rerank costs ``shortlist`` dot products instead of
+    a second fetch), and only exact-scored candidates reach the global
+    top-k merge. Exact top-k is recovered whenever every true neighbor
+    ranks within ``shortlist`` of its own batch under PQ — recall-1 on
+    the fixture is pytest-asserted and the driver entry carries the
+    same exact-top-k oracle as ``s_ann_topk``.
+
+    At 10¹²-vector scale the shortlist bound is what matters: exact
+    math touches ``shortlist × n_queries`` vectors per batch, not the
+    batch — the ADC scan stays the only full pass."""
+    qids, qmat = queries
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = _normalize(np.asarray(list(sample_rows[vec_col]),
+                                   dtype=np.float64))
+    books = _pq_train(sample, m, codes, seed=seed)
+    qnorm = _normalize(qmat.astype(np.float64))
+    sub = books.shape[2]
+    tables = np.empty((len(qnorm), m, codes), dtype=np.float64)
+    for j in range(m):
+        Q = qnorm[:, j * sub:(j + 1) * sub]
+        C = books[j]
+        tables[:, j, :] = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T)
+                           + (C * C).sum(1)[None, :])
+    state = ray.put((books, tables, qids, qnorm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bks, tbls, qq, qn = ray.get(state)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(np.asarray(batch[vec_col].to_pylist(),
+                                    dtype=np.float64))
+        code = pq_encode(mat, bks)
+        d2 = np.zeros((len(qq), len(ids)), dtype=np.float64)
+        for j in range(bks.shape[0]):
+            d2 += tbls[:, j, code[:, j]]
+        out_q, out_n, out_c = [], [], []
+        r = min(shortlist, len(ids))
+        for qi in range(len(qq)):
+            cand = np.flatnonzero(ids != qq[qi])
+            short = cand[np.argsort(d2[qi, cand], kind="stable")[:r]]
+            exact = mat[short] @ qn[qi]          # the rerank: true cosine
+            out_q.extend([qq[qi]] * len(short))
+            out_n.extend(ids[short])
+            out_c.extend(exact)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
+
+
 def ann_ivfpq(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
               id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
               n_cells: int = 16, nprobe: int = 4, m: int = 8, codes: int = 16,

@@ -232,6 +232,28 @@ def test_ann_pq_recall_and_codes():
     assert (c1 == c2).all()
 
 
+def test_ann_refine_exact_and_under_pressure():
+    ds, mat = _emb_ds()
+    qids = np.arange(10, dtype=np.int64)
+    exact = _numpy_topk(mat, list(range(10)), 5)
+    # default shortlist: the rerank must recover the EXACT top-5
+    res = similarity.ann_refine(ds, (qids, mat[qids]), k=5).to_pandas()
+    for qi in range(10):
+        got = res[res["query_id"] == qi].sort_values("rank")
+        assert list(got["neighbor_id"]) == list(exact[qi]), qi
+    # adversarial shortlist (=k): recall degrades to raw-PQ territory but
+    # every returned score is still the TRUE cosine, so ranks among the
+    # returned candidates must agree with exact cosine ordering
+    tight = similarity.ann_refine(ds, (qids, mat[qids]), k=5,
+                                  shortlist=5).to_pandas()
+    nmat = similarity._normalize(mat.astype(np.float64))
+    for qi in range(10):
+        got = tight[tight["query_id"] == qi].sort_values("rank")
+        ids = got["neighbor_id"].to_numpy()
+        cos = nmat[ids] @ nmat[qi]
+        assert (np.diff(cos) <= 1e-12).all(), qi
+
+
 def test_ann_ivfpq_recall():
     ds, mat = _emb_ds()
     qids = np.arange(10, dtype=np.int64)
