@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_unique_doc_ids": q.v_unique_doc_ids,
         "v_profile_orders": q.v_profile_orders,
         "v_daily_lang_drift": q.v_daily_lang_drift,
+        "v_zorder_prune": q.v_zorder_prune,
         # dedup family
         "dd_exact": _dd_exact,
         "dd_first_wins": _dd_first_wins,
@@ -1263,6 +1264,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        # the same integer-arithmetic corner predicate the engine derives
+        # from its distributed min/max pass; the engine answers it from
+        # the zone-map-pruned z-ordered copy — equality proves the
+        # clustered rewrite is lossless AND the pruning is sound
+        "v_zorder_prune": """
+            WITH b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                              min(epoch_us(ts)) AS tlo,
+                              max(epoch_us(ts)) AS thi
+                       FROM events)
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events, b
+            WHERE user_id BETWEEN b.ulo AND b.ulo + (b.uhi - b.ulo) // 10
+              AND epoch_us(ts) BETWEEN b.tlo
+                  AND b.tlo + (b.thi - b.tlo) // 10
         """,
         "t_inverted_index": f"""
             WITH pairs AS (

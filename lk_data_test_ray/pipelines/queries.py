@@ -1220,6 +1220,47 @@ def v_profile_orders(sf_dir: str) -> pa.Table:
     })
 
 
+def v_zorder_prune(sf_dir: str) -> rd.Dataset:
+    """Z-order clustered storage + two-dimensional zone-map pruning (the
+    lakehouse OPTIMIZE ZORDER read path): events are rewritten ONCE
+    clustered by morton(user_id, ts) (`pipelines/zorder.py` — one
+    distributed min/max pass for quantization bounds, vectorized bit
+    interleave, one global sort, 16 files whose parquet footers are the
+    zone map), then a corner predicate (lowest 10% of BOTH dims, integer
+    arithmetic so the oracle expression matches exactly) reads ONLY the
+    files whose footer stats overlap — a linear sort could prune one
+    dimension; the z-curve prunes both (file survival fraction asserted
+    in pytest). Output = the filtered rows, plain-SQL oracle."""
+    import os
+
+    from .zorder import minmax2, overlapping_files, zorder_write
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = read(sf_dir, "events", cols)
+    a_lo, a_hi, b_lo, b_hi = minmax2(ev, "user_id", "ts")
+    out = os.path.join("/tmp/lk_zorder",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.isdir(out):
+        zorder_write(ev, "user_id", "ts", out,
+                     (a_lo, a_hi, b_lo, b_hi))
+    u_rng = (a_lo, a_lo + (a_hi - a_lo) // 10)
+    t_rng = (b_lo, b_lo + (b_hi - b_lo) // 10)
+    survivors, _total = overlapping_files(out, "user_id", "ts",
+                                          u_rng, t_rng)
+    ds = rd.read_parquet(survivors)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        tus = pc.cast(batch["ts"], pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch["user_id"], u_rng[0]),
+                    pc.less_equal(batch["user_id"], u_rng[1])),
+            pc.and_(pc.greater_equal(tus, t_rng[0]),
+                    pc.less_equal(tus, t_rng[1])))
+        return batch.filter(mask).select(cols)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def v_daily_lang_drift(sf_dir: str) -> pa.Table:
     """Windowed distribution drift (C5 per time bucket, ≙ the reference's
     histogram reports ``check_fackel_references.py:32-37`` sliced by date):
