@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": q.t_repetition,
         "td_split": q.td_split,
         "g_pagerank": q.g_pagerank,
+        "g_hits": q.g_hits,
         "td_decontaminate": q.td_decontaminate,
         "dd_ngram_coverage": q.dd_ngram_coverage,
         "dd_semantic": q.dd_semantic,
@@ -448,6 +449,58 @@ def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
         prev = f"r{i}"
     sql += f"""
         SELECT u AS node, round(r, 6) AS rank FROM {prev}
+    """
+    return sql
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled HITS (one CTE layer per half-step) over the host edges
+    derived from the links table exactly as ``g_hits`` derives them —
+    compared on 6-decimal rounding (the ``_pagerank_sql`` convention).
+
+    Every CTE layer is MATERIALIZED: each normalization layer references
+    its predecessor twice (sum + join), so DuckDB's default CTE inlining
+    re-evaluates the chain 4^iters times — materialization keeps the
+    oracle linear in iters."""
+    import os
+
+    links = os.path.normpath(os.path.join(
+        os.path.dirname(_pages_fixture_glob()), "..", "links.parquet"))
+    sql = f"""
+        WITH l0 AS MATERIALIZED (
+            SELECT DISTINCT
+                   regexp_extract(src_url, '^https://([^/]+)/', 1) AS s,
+                   regexp_extract(dst_url, '^https://([^/]+)/', 1) AS t
+            FROM read_parquet('{links}')),
+        l AS MATERIALIZED (SELECT s, t FROM l0 WHERE s <> t),
+        nodes AS MATERIALIZED (SELECT DISTINCT u FROM
+                  (SELECT s AS u FROM l UNION ALL SELECT t FROM l)),
+        h0 AS MATERIALIZED (SELECT u, 1.0 AS v FROM nodes)"""
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        a{i}r AS MATERIALIZED (SELECT l.t AS u, sum({prev_h}.v) AS v
+                  FROM l JOIN {prev_h} ON l.s = {prev_h}.u GROUP BY 1),
+        a{i}n AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS nrm FROM a{i}r),
+        a{i} AS MATERIALIZED (SELECT nodes.u,
+                        COALESCE(a{i}r.v, 0) /
+                        (CASE WHEN nrm IS NULL OR nrm = 0
+                              THEN 1 ELSE nrm END) AS v
+                 FROM nodes LEFT JOIN a{i}r USING (u) CROSS JOIN a{i}n),
+        h{i}r AS MATERIALIZED (SELECT l.s AS u, sum(a{i}.v) AS v
+                  FROM l JOIN a{i} ON l.t = a{i}.u GROUP BY 1),
+        h{i}n AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS nrm FROM h{i}r),
+        h{i} AS MATERIALIZED (SELECT nodes.u,
+                        COALESCE(h{i}r.v, 0) /
+                        (CASE WHEN nrm IS NULL OR nrm = 0
+                              THEN 1 ELSE nrm END) AS v
+                 FROM nodes LEFT JOIN h{i}r USING (u) CROSS JOIN h{i}n)"""
+        prev_h = f"h{i}"
+    sql += f"""
+        SELECT nodes.u AS node, round(h{iters}.v, 6) AS hub,
+               round(a{iters}.v, 6) AS auth
+        FROM nodes JOIN h{iters} ON nodes.u = h{iters}.u
+                   JOIN a{iters} ON nodes.u = a{iters}.u
     """
     return sql
 
@@ -2003,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "g_pagerank": _pagerank_sql(),
+        "g_hits": _hits_sql(),
         "td_decontaminate": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
             grams AS (

@@ -205,6 +205,106 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
     })
 
 
+def hits(edges: rd.Dataset, src_col: str, dst_col: str, iters: int = 5,
+         mode: str = "auto", local_max_edges: int = 5_000_000,
+         round_digits: int = 6) -> pa.Table:
+    """HITS hubs & authorities (Kleinberg 1999) — PageRank's bipartite
+    sibling and the other classic web-graph ranking signal: per
+    iteration ``a = Aᵀh`` then ``h = A·a``, each L2-normalized. Returns
+    (node, hub, auth) for every node, rounded.
+
+    Same two execution shapes as ``pagerank``: ``local`` collects the
+    edge list once and iterates with np.bincount; ``broadcast`` keeps
+    the score vectors driver-side (node table fits a worker) and runs
+    per iteration TWO streaming passes over the edge Dataset — one per
+    direction — with map-side-combined partial sums. Property-tested
+    equal (tests/test_graph.py); the shuffle generalization would
+    mirror pagerank's rank-Dataset joins edge-for-edge."""
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    def iterate(si, di, n, n_local_iters):
+        h = np.ones(n, np.float64)
+        a = np.zeros(n, np.float64)
+        for _ in range(n_local_iters):
+            a = np.bincount(di, weights=h[si], minlength=n)
+            norm = np.sqrt((a * a).sum())
+            a = a / (norm or 1.0)
+            h = np.bincount(si, weights=a[di], minlength=n)
+            norm = np.sqrt((h * h).sum())
+            h = h / (norm or 1.0)
+        return h, a
+
+    if mode == "auto":
+        mode = "local" if edges.count() <= local_max_edges else "broadcast"
+    if mode == "local":
+        et = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=None))
+        n_edges = et.num_rows
+        combined = pa.chunked_array(
+            [et[src_col].combine_chunks(), et[dst_col].combine_chunks()])
+        denc = combined.combine_chunks().dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        node_arr = denc.dictionary
+        n = len(node_arr)
+        h, a = iterate(codes[:n_edges], codes[n_edges:], n, iters)
+        return pa.table({
+            "node": pa.array(node_arr, node_arr.type),
+            "hub": pa.array(round_half_away(h, round_digits), pa.float64()),
+            "auth": pa.array(round_half_away(a, round_digits), pa.float64()),
+        })
+
+    # broadcast path: node index driver-side, two passes per iteration
+    import pandas as pd
+
+    srcs = edges.map_batches(
+        lambda b: pa.table({"node": b[src_col]}), batch_format="pyarrow")
+    dsts = edges.map_batches(
+        lambda b: pa.table({"node": b[dst_col]}), batch_format="pyarrow")
+    nodes_ds = partial_groupby_agg(
+        srcs.union(dsts).map_batches(
+            lambda b: b.append_column("one", pa.array(
+                np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["node"], [("one", "count", "c")])
+    nodes = pa.concat_tables(
+        list(nodes_ds.select_columns(["node"])
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    node_idx = pd.Index(nodes["node"].to_pandas())
+    n = len(node_idx)
+    h = np.ones(n, np.float64)
+    a = np.zeros(n, np.float64)
+
+    def one_pass(w, key_col, val_col):
+        # Σ over edges of w[key] grouped by val — one streaming pass
+        def contribs(batch: pa.Table, w=w) -> pa.Table:
+            ki = node_idx.get_indexer(batch[key_col].to_pandas())
+            return pa.table({"node": batch[val_col],
+                             "c": pa.array(w[ki], pa.float64())})
+
+        agg = partial_groupby_agg(
+            edges.map_batches(contribs, batch_format="pyarrow"),
+            ["node"], [("c", "sum", "c")])
+        out = np.zeros(n, np.float64)
+        bts = [bt for bt in agg.iter_batches(batch_format="pyarrow",
+                                             batch_size=None) if bt.num_rows]
+        if bts:
+            t = pa.concat_tables(bts)
+            out[node_idx.get_indexer(t["node"].to_pandas())] = \
+                t["c"].to_numpy(zero_copy_only=False)
+        return out
+
+    for _ in range(iters):
+        a = one_pass(h, src_col, dst_col)
+        a = a / (np.sqrt((a * a).sum()) or 1.0)
+        h = one_pass(a, dst_col, src_col)
+        h = h / (np.sqrt((h * h).sum()) or 1.0)
+    return pa.table({
+        "node": nodes["node"],
+        "hub": pa.array(round_half_away(h, round_digits), pa.float64()),
+        "auth": pa.array(round_half_away(a, round_digits), pa.float64()),
+    })
+
+
 def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                    broadcast_max_nodes: int = 5_000_000) -> dict:
     """Exact triangle count by DEGREE-ORDERED ORIENTATION — the skew-proof

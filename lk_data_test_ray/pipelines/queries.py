@@ -1544,6 +1544,45 @@ def g_host_graph(sf_dir: str) -> rd.Dataset:
     return hash_repartition_map(e, "src_host", agg)
 
 
+def g_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs & authorities over the host graph (Kleinberg 1999 —
+    the other classic web ranking signal next to ``g_pagerank``): page
+    links collapse to DISTINCT host→host edges (self-host edges
+    dropped; HITS on a multigraph would count multiplicity, so the
+    global edge dedup is part of the semantics), then 5 alternating
+    L2-normalized a=Aᵀh / h=Aa iterations (`pipelines/graph.py:hits` —
+    local np.bincount fast path at driver scale, broadcast two-pass
+    shape property-tested equal). Oracle: the iteration UNROLLED into
+    one CTE layer per half-step, compared on 6-decimal rounding (the
+    ``g_pagerank`` convention). Reads the links table (the ``g_pagerank``
+    input convention); ``pages_anchor_text`` covers the html-extraction
+    path."""
+    import os
+
+    from .graph import hits
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def host_edges(batch: pa.Table) -> pa.Table:
+        sh = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        dh = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": sh, "dst_host": dh})
+        t = t.filter(pc.invert(pc.equal(sh, dh)))
+        return t.group_by(["src_host", "dst_host"]).aggregate([])
+
+    e = links.map_batches(host_edges, batch_format="pyarrow")
+    dedup = partial_groupby_agg(e, ["src_host", "dst_host"],
+                                [("src_host", "count", "c")])
+    return hits(dedup.select_columns(["src_host", "dst_host"]),
+                "src_host", "dst_host", iters=5)
+
+
 def pages_fetch_gaps(sf_dir: str) -> rd.Dataset:
     """Per-host crawl-politeness profile: the gaps between successive
     fetches of the same host (the number a crawl scheduler tunes and an

@@ -151,3 +151,42 @@ def test_triangle_count_exchange_path_matches_broadcast(ray_session):
     r2 = triangle_count(rd.from_arrow(tbl), "a", "b",
                         broadcast_max_nodes=0)
     assert r1["n_triangles"] == r2["n_triangles"] == 2
+
+
+def _dense_hits(edges, n, iters=5):
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[t] += h[s]
+        a = a / (np.sqrt((a * a).sum()) or 1.0)
+        h = np.zeros(n)
+        for s, t in edges:
+            h[s] += a[t]
+        h = h / (np.sqrt((h * h).sum()) or 1.0)
+    return h, a
+
+
+def test_hits_modes_agree(ray_session):
+    from lk_data_test_ray.pipelines.graph import hits
+
+    tbl = _edges()
+    loc = hits(rd.from_arrow(tbl), "src", "dst", iters=5,
+               mode="local", round_digits=9)
+    bc = hits(rd.from_arrow(tbl), "src", "dst", iters=5,
+              mode="broadcast", round_digits=9)
+    lh = dict(zip(loc["node"].to_pylist(), loc["hub"].to_pylist()))
+    la = dict(zip(loc["node"].to_pylist(), loc["auth"].to_pylist()))
+    bh = dict(zip(bc["node"].to_pylist(), bc["hub"].to_pylist()))
+    ba = dict(zip(bc["node"].to_pylist(), bc["auth"].to_pylist()))
+    assert set(lh) == set(bh) == {0, 1, 2, 3, 4}
+    for u in lh:
+        assert abs(lh[u] - bh[u]) < 1e-8, (u, lh[u], bh[u])
+        assert abs(la[u] - ba[u]) < 1e-8, (u, la[u], ba[u])
+
+    edges = list(zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()))
+    wh, wa = _dense_hits(edges, 5)
+    for u in lh:
+        assert abs(lh[u] - wh[u]) < 1e-8, (u, lh[u], wh[u])
+        assert abs(la[u] - wa[u]) < 1e-8, (u, la[u], wa[u])
