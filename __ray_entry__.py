@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_split": q.td_split,
         "g_pagerank": q.g_pagerank,
         "g_hits": q.g_hits,
+        "pages_recrawl_delta": q.pages_recrawl_delta,
         "td_decontaminate": q.td_decontaminate,
         "dd_ngram_coverage": q.dd_ngram_coverage,
         "dd_semantic": q.dd_semantic,
@@ -384,6 +385,19 @@ def _lines_fixture_glob() -> str:
     from lk_data_test_ray.sources.lines import ensure_lines, lines_ndocs_for_sf
 
     fix = ensure_lines(lines_ndocs_for_sf("/root/testdata/sf0.01"))
+    return os.path.join(fix, "*.parquet")
+
+
+def _recrawl_fixture_glob() -> str:
+    """Parquet glob of the sf0.01 multi-capture corpus
+    (pages_recrawl_delta input) — generated here if absent so the DuckDB
+    side can read it."""
+    import os
+
+    from lk_data_test_ray.sources.recrawl import (ensure_recrawl,
+                                                  recrawl_nurls_for_sf)
+
+    fix = ensure_recrawl(recrawl_nurls_for_sf("/root/testdata/sf0.01"))
     return os.path.join(fix, "*.parquet")
 
 
@@ -2057,6 +2071,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g_pagerank": _pagerank_sql(),
         "g_hits": _hits_sql(),
+        "pages_recrawl_delta": f"""
+            WITH c AS (
+                SELECT url,
+                       CASE WHEN lag(text) OVER w IS NOT NULL
+                                 AND text <> lag(text) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM read_parquet('{_recrawl_fixture_glob()}')
+                WINDOW w AS (PARTITION BY url ORDER BY capture_ts)
+            )
+            SELECT url,
+                   count(*)::BIGINT AS n_captures,
+                   sum(chg)::BIGINT AS n_changes,
+                   round(sum(chg)::DOUBLE /
+                         greatest(count(*) - 1, 1), 6) AS churn
+            FROM c GROUP BY 1
+        """,
         "td_decontaminate": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
             grams AS (

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "pages_anchor_text",
     "mm_image_phash",
     "pages_robots",
+    "pages_recrawl_delta",
 ]
 
 

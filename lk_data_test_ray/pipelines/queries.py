@@ -1583,6 +1583,76 @@ def g_hits(sf_dir: str) -> pa.Table:
                 "src_host", "dst_host", iters=5)
 
 
+def pages_recrawl_delta(sf_dir: str) -> rd.Dataset:
+    """Per-URL recrawl churn over a multi-capture web archive (the CDX /
+    wayback shape; ≙ the reference's per-entity time-span derivation,
+    ``scripts/make_listwork.py:236-243`` — one entity, many dated
+    states): for every url, how many
+    captures exist and how often the content actually changed between
+    consecutive captures — the signal a recrawl scheduler and a
+    snapshot-dedup policy both feed on.
+
+    Shape: the scan projects (url, capture_ts, 64-bit text hash) so only
+    24-byte rows cross the wire — the body NEVER leaves the read task
+    (at 100 TB the captures dominate corpus bytes; a content-equality
+    lag needs only the hash). ONE hash exchange on url co-locates each
+    url's captures (``hash_repartition_map`` — no global sort), then a
+    per-partition vectorized sort + shifted-compare computes the lag in
+    Arrow/numpy, and a ``group_by`` C++ aggregate emits one row per url.
+    The oracle compares lag(text) STRINGS — equal on the fixture; a
+    64-bit hash collision (p ≈ n·2⁻⁶⁴) is the documented trade.
+    Input is the deterministic capture corpus (``sources/recrawl.py``;
+    the pages fixture is capture-unique by construction)."""
+    import os
+
+    from ..functions.hashing import hash_strings64
+    from ..relational import hash_repartition_map, round_half_away
+    from ..sources.recrawl import ensure_recrawl, recrawl_nurls_for_sf
+
+    fix = ensure_recrawl(recrawl_nurls_for_sf(sf_dir))
+    caps = rd.read_parquet(fix, columns=["url", "capture_ts", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        th = hash_strings64(
+            pc.fill_null(batch["text"], "").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "url": batch["url"],
+            "capture_ts": batch["capture_ts"],
+            "th": pa.array(th.view(np.int64), pa.int64()),
+        })
+
+    def churn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "n_captures": pa.array([], pa.int64()),
+                             "n_changes": pa.array([], pa.int64()),
+                             "churn": pa.array([], pa.float64())})
+        tbl = tbl.sort_by([("url", "ascending"),
+                           ("capture_ts", "ascending")])
+        urls = tbl["url"].combine_chunks()
+        th = tbl["th"].to_numpy(zero_copy_only=False)
+        same_url = pc.equal(urls.slice(1), urls.slice(0, len(urls) - 1)) \
+            .to_numpy(zero_copy_only=False)
+        chg = np.zeros(tbl.num_rows, np.int64)
+        chg[1:] = (same_url & (th[1:] != th[:-1])).astype(np.int64)
+        g = pa.table({"url": urls, "chg": pa.array(chg)}) \
+            .group_by("url").aggregate([("chg", "sum"), ("chg", "count")])
+        n_caps = g["chg_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chg = g["chg_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = round_half_away(
+            n_chg / np.maximum(n_caps - 1, 1).astype(np.float64), 6)
+        return pa.table({
+            "url": g["url"],
+            "n_captures": pa.array(n_caps, pa.int64()),
+            "n_changes": pa.array(n_chg, pa.int64()),
+            "churn": pa.array(ratio, pa.float64()),
+        })
+
+    proj = caps.map_batches(project, batch_format="pyarrow")
+    return hash_repartition_map(proj, "url", churn)
+
+
 def pages_fetch_gaps(sf_dir: str) -> rd.Dataset:
     """Per-host crawl-politeness profile: the gaps between successive
     fetches of the same host (the number a crawl scheduler tunes and an

@@ -26,7 +26,7 @@ def pinned_to_sf001(oracles: dict) -> set:
     detected from the SQL text so new fixture-backed queries are never
     silently compared against the wrong scale."""
     return {name for name, sql in oracles.items()
-            if "/lk_pages/" in sql or "/lk_lines/" in sql}
+            if any(p in sql for p in ("/lk_pages/", "/lk_lines/", "/lk_recrawl/"))}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
