@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_churned_customers": q.a_churned_customers,
         "e_dau_mau": q.e_dau_mau,
         "m_normalize_text": q.m_normalize_text,
+        "m_nfc_normalize": q.m_nfc_normalize,
         "a_lang_fractions": q.a_lang_fractions,
         "a_median_nchars": q.a_median_nchars,
         "pages_url_canon": q.pages_url_canon,
@@ -1538,6 +1539,16 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
                        AS norm_text
             FROM documents
+        """,
+        "m_nfc_normalize": """
+            WITH dec AS (
+                SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS d
+                FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(d) AS text_nfc,
+                   length(d) AS len_decomposed,
+                   length(nfc_normalize(d)) AS len_nfc
+            FROM dec
         """,
         "j_best_match_lineitem": """
             SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -1040,6 +1040,43 @@ def m_normalize_text(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(norm, batch_format="pyarrow")
 
 
+def m_nfc_normalize(sf_dir: str) -> rd.Dataset:
+    """Unicode NFC normalization (M3/M4 family — the first cleaning pass
+    any multilingual crawl needs; web text arrives in mixed NFC/NFD and
+    string equality, dedup hashes and tokenizers all assume one form;
+    ≙ the reference's string canonicalization, ``scripts/make_texts.py:
+    293``). The testdata corpus is ASCII (NFC-invariant), so the stage
+    first DECOMPOSES deterministically — every ``a`` becomes
+    ``a + U+0301`` (combining acute) — giving the normalizer real work
+    that both sides reproduce exactly; the oracle is DuckDB's own
+    ``nfc_normalize``.
+
+    Shape: embarrassingly parallel map_batches; the decompose and the
+    codepoint counts are Arrow kernels. The compose step is
+    ``unicodedata.normalize`` per string — normalization is intrinsically
+    a per-string scalar kernel in stdlib Python (a 100-TB deployment
+    swaps in a vectorized ICU transliterator behind the same batch
+    seam); strings are processed once per batch, no shuffle."""
+    import unicodedata
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        dec = pc.replace_substring(
+            batch["text"].combine_chunks(), "a", "a\u0301")
+        nfc = pa.array(
+            [unicodedata.normalize("NFC", s) if s is not None else None
+             for s in dec.to_pylist()], pa.string())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_nfc": nfc,
+            "len_decomposed": pc.utf8_length(dec),
+            "len_nfc": pc.utf8_length(nfc),
+        })
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
 def pages_url_canon(sf_dir: str) -> rd.Dataset:
     """Url canonicalization stage (M4 key-canonicalization before any
     shuffle/join; rows-only): per-host counts of canonicalized urls."""
