@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_dow_hour_heatmap": q.e_dow_hour_heatmap,
         "v_jsonl_source": q.v_jsonl_source,
         "v_jsonl_gz_source": q.v_jsonl_gz_source,
+        "v_parquet_zstd_source": q.v_parquet_zstd_source,
         "v_csv_source": q.v_csv_source,
         "v_warc_source": q.v_warc_source,
         "v_warc_gz_source": q.v_warc_gz_source,
@@ -2185,6 +2186,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "v_jsonl_gz_source": """
+            SELECT event_type, round(sum(value), 2) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "v_parquet_zstd_source": """
             SELECT event_type, round(sum(value), 2) AS sum_value,
                    count(*) AS n
             FROM events GROUP BY 1
