@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_csv_source": q.v_csv_source,
         "v_warc_source": q.v_warc_source,
         "v_warc_gz_source": q.v_warc_gz_source,
+        "v_wet_roundtrip": q.v_wet_roundtrip,
         "v_warc_fetch": q.v_warc_fetch,
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
@@ -2224,6 +2225,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts,
                    CAST(octet_length(html) AS BIGINT) AS n_bytes,
                    md5(decode(html)) AS payload_md5
+            FROM read_parquet('{_pages_fixture_glob()}')
+        """,
+        # WET sink roundtrip: extracted text through conversion segments —
+        # the oracle is the original parquet text column
+        "v_wet_roundtrip": f"""
+            SELECT url, warc_ts,
+                   length(text) AS n_chars,
+                   md5(text) AS text_md5
             FROM read_parquet('{_pages_fixture_glob()}')
         """,
         "a_corr_qty_price": """

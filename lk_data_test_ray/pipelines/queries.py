@@ -3159,6 +3159,36 @@ def _warc_digest_table(recs: pa.Table) -> pa.Table:
     })
 
 
+def v_wet_roundtrip(sf_dir: str) -> rd.Dataset:
+    """WET sink + source parity (S3 sink family at the web shape — the
+    Common-Crawl WET product: extracted TEXT as conversion-record
+    payloads, member-per-record gzip segments): the fixture's pages are
+    written as ``wet/*.warc.wet.gz`` inside the read tasks (one segment
+    per scan item, payload bytes never cross the object store — the sink
+    a 100-TB text-extraction job actually emits), parsed back one task
+    per segment, and digested to (url, warc_ts, n_chars, text_md5). The
+    oracle reads the ORIGINAL parquet — a hash match proves the text
+    round-tripped byte-identically through the WET container, NULL text
+    (unextractable pages) included."""
+    from ..functions.hashing import md5_hex
+    from ..sources.warc import ensure_warc_segments, read_warc
+
+    fix = _pages_fixture(sf_dir)
+    wet = ensure_warc_segments(fix, payload="text")
+    ds = read_warc(wet)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        txt = batch["html"].cast(pa.string())  # payload = utf-8 text bytes
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "text_md5": pa.array(md5_hex(txt), pa.string()),
+        })
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
 def v_warc_gz_source(sf_dir: str) -> rd.Dataset:
     """S1 over COMPRESSED web-archive bytes: the fixture serialized as
     ``.warc.gz`` segments with each record its OWN gzip member (the actual

@@ -232,9 +232,15 @@ def parse_segment(data: bytes) -> pa.Table:
 
 
 def ensure_warc_segments(pages_fixture_dir: str,
-                         compress: bool = False) -> str:
+                         compress: bool = False,
+                         payload: str = "html") -> str:
     """Idempotent: serialize the fixture's pages into ``warc/*.warc``
     (or ``warc_gz/*.warc.gz`` member-per-record gzip when ``compress``).
+
+    ``payload="text"`` writes WET-style conversion segments instead
+    (``wet/*.warc.wet.gz``, always member-per-record gzip): the EXTRACTED
+    text as each record's payload — the Common-Crawl WET product shape,
+    and the sink a 100-TB text-extraction job actually emits.
 
     Distributed: one segment per (parquet file, row-group range) scan item,
     named after its item so the layout is deterministic and a rerun
@@ -242,8 +248,12 @@ def ensure_warc_segments(pages_fixture_dir: str,
     """
     from .scan import fused_parquet_map
 
-    out_dir = os.path.join(pages_fixture_dir,
-                           "warc_gz" if compress else "warc")
+    if payload == "text":
+        compress = True
+        out_dir = os.path.join(pages_fixture_dir, "wet")
+    else:
+        out_dir = os.path.join(pages_fixture_dir,
+                               "warc_gz" if compress else "warc")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
@@ -268,16 +278,22 @@ def ensure_warc_segments(pages_fixture_dir: str,
                              batch["rg_hi"].to_pylist()):
             pf = pq.ParquetFile(p)
             tbl = (pf.read_row_groups(list(range(lo, hi)),
-                                      columns=["url", "warc_ts", "html"])
+                                      columns=["url", "warc_ts", payload])
                    if hi > lo else None)
+            if tbl is not None and payload == "text":
+                # WET conversion records: utf-8 text bytes as payload
+                tbl = tbl.set_column(tbl.schema.get_field_index("text"),
+                                     "text", tbl["text"].cast(pa.binary()))
             stem = os.path.splitext(os.path.basename(p))[0]
-            ext = ".warc.gz" if compress else ".warc"
+            ext = (".warc.wet.gz" if payload == "text"
+                   else ".warc.gz" if compress else ".warc")
             name = os.path.join(out_dir, f"{stem}_rg{lo:05d}-{hi:05d}{ext}")
             tmp = name + ".tmp"
             with open(tmp, "wb") as fh:
                 if tbl is not None:
-                    fh.write(segment_table_gz(tbl) if compress
-                             else segment_table(tbl))
+                    fh.write(segment_table_gz(tbl, payload_col=payload)
+                             if compress
+                             else segment_table(tbl, payload_col=payload))
             os.replace(tmp, name)
             names.append(name)
         return pa.table({"segment": pa.array(names, pa.string())})
@@ -300,7 +316,8 @@ def read_warc(warc_dir: str) -> rd.Dataset:
     Common-Crawl layout); each member inflates independently, so the plain
     parser runs on the rejoined record stream."""
     segs = sorted(glob.glob(os.path.join(warc_dir, "*.warc"))
-                  + glob.glob(os.path.join(warc_dir, "*.warc.gz")))
+                  + glob.glob(os.path.join(warc_dir, "*.warc.gz"))
+                  + glob.glob(os.path.join(warc_dir, "*.warc.wet.gz")))
     if not segs:
         raise FileNotFoundError(f"no .warc[.gz] segments under {warc_dir}")
 

@@ -154,3 +154,38 @@ def test_zone_map_pruning_skips_row_groups(sf_dir):
                               pydt.datetime(1990, 1, 2),
                               columns=["event_id", "ts"])
     assert empty.count() == 0
+
+
+def test_wet_segments_roundtrip_with_null_text(ray_session, tmp_path):
+    """WET conversion segments: text payloads (incl. NULL for
+    unextractable pages) survive the member-per-record gzip container."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.sources.warc import (ensure_warc_segments,
+                                               read_warc)
+
+    fix = tmp_path / "fix"
+    (fix / "pages").mkdir(parents=True)
+    tbl = pa.table({
+        "url": pa.array([f"https://x.org/{i}" for i in range(7)]),
+        "warc_ts": pa.array(
+            np.datetime64("2025-01-01T00:00:00.123456", "us")
+            + np.arange(7) * np.timedelta64(1, "us"), pa.timestamp("us")),
+        "text": pa.array(["hello", None, "wörld ünïcode", "", "a" * 5000,
+                          "tab\tnl\n", "emoji \U0001F600"], pa.string()),
+    })
+    pq.write_table(tbl, str(fix / "pages" / "pages-000.parquet"))
+    wet = ensure_warc_segments(str(fix), payload="text")
+    assert all(f.endswith((".warc.wet.gz", "_SUCCESS"))
+               for f in os.listdir(wet))
+    back = read_warc(wet).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    orig = tbl.to_pandas().sort_values("url").reset_index(drop=True)
+    got_text = back["html"].map(
+        lambda b: None if b is None else b.decode("utf-8"))
+    assert got_text.tolist() == orig["text"].tolist()
+    assert back["warc_ts"].tolist() == orig["warc_ts"].tolist()
