@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_distinct_users_hll": q.a_distinct_users_hll,
         "o_stratified_sample": q.o_stratified_sample,
         "s_embed_dim_stats": q.s_embed_dim_stats,
+        "s_dim_covar": q.s_dim_covar,
         "dd_paragraphs": _dd_paragraphs,
         "td_pack": q.td_pack,
         "pages_redact": q.pages_redact,
@@ -468,6 +469,17 @@ def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
         SELECT u AS node, round(r, 6) AS rank FROM {prev}
     """
     return sql
+
+
+def _dim_covar_sql(k: int = 8) -> str:
+    """One covar_samp SELECT per (i ≤ j) pair of the first k embedding
+    dims, unioned — mirrors s_dim_covar's moment-partial computation."""
+    parts = [
+        f"SELECT {i}::BIGINT AS dim_i, {j}::BIGINT AS dim_j, "
+        f"round(covar_samp(embedding[{i + 1}], embedding[{j + 1}]), 6) "
+        f"AS covar FROM embeddings"
+        for i in range(k) for j in range(i, k)]
+    return " UNION ALL ".join(parts)
 
 
 def _hits_sql(iters: int = 5) -> str:
@@ -2084,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g_pagerank": _pagerank_sql(),
         "g_hits": _hits_sql(),
+        "s_dim_covar": _dim_covar_sql(),
         "pages_recrawl_delta": f"""
             WITH c AS (
                 SELECT url,

@@ -127,6 +127,11 @@ def train_bpe(words: rd.Dataset, n_merges: int = 8) -> pa.Table:
     def step_task(tbl, merge):
         if not isinstance(tbl, pa.Table):
             tbl = pa.Table.from_batches([tbl])
+        if "syms" not in tbl.schema.names:
+            # a zero-row block can bypass the to_syms UDF entirely and
+            # arrive with the upstream (word, n) schema — normalize it
+            tbl = pa.table({"syms": pa.array([], pa.list_(pa.string())),
+                            "n": pa.array([], pa.int64())})
         if merge is not None:
             tbl = apply_merge_batch(tbl, *merge)
         return tbl, pair_counts_batch(tbl)

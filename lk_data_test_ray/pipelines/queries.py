@@ -3402,6 +3402,62 @@ def s_embed_dim_stats(sf_dir: str) -> rd.Dataset:
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def s_dim_covar(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """Sample covariance matrix of the first ``k`` embedding dimensions —
+    the second-moment input a PCA / whitening / Mahalanobis stage starts
+    from, computed as DISTRIBUTED MOMENT PARTIALS (the only shape that
+    works when the corpus is 10¹² vectors): each batch emits one row per
+    (i ≤ j) pair carrying its batch-local Σxᵢxⱼ, Σxᵢ, Σxⱼ and n from ONE
+    ``mᵀm`` matmul over the zero-copy flat value buffer — k(k+1)/2 rows
+    per block cross the wire, never a vector — then a tiny groupby-sum
+    and the closed form cov = (Σxy − ΣxΣy/n)/(n−1). Same partial shape
+    as ``s_embed_dim_stats``; oracle is DuckDB ``covar_samp`` per pair."""
+    from ray.data.aggregate import Sum
+
+    emb = read(sf_dir, "embeddings", ["embedding"])
+    iu = np.triu_indices(k)
+    out_schema = pa.schema([
+        ("dim_i", pa.int64()), ("dim_j", pa.int64()),
+        ("sxy", pa.float64()), ("sx", pa.float64()),
+        ("sy", pa.float64()), ("n", pa.int64())])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        arr = batch["embedding"].combine_chunks()
+        ndim = len(arr[0])
+        m = np.asarray(arr.values, dtype=np.float64).reshape(-1, ndim)[:, :k]
+        xtx = m.T @ m
+        sx = m.sum(axis=0)
+        return pa.table({
+            "dim_i": pa.array(iu[0].astype(np.int64)),
+            "dim_j": pa.array(iu[1].astype(np.int64)),
+            "sxy": pa.array(xtx[iu]),
+            "sx": pa.array(sx[iu[0]]),
+            "sy": pa.array(sx[iu[1]]),
+            "n": pa.array(np.full(len(iu[0]), m.shape[0], np.int64)),
+        }, schema=out_schema)
+
+    merged = emb.map_batches(partials, batch_format="pyarrow") \
+        .groupby(["dim_i", "dim_j"]).aggregate(
+            Sum("sxy", alias_name="sxy"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = (sxy - sx * sy / n) / (n - 1.0)
+        return pa.table({
+            "dim_i": batch["dim_i"],
+            "dim_j": batch["dim_j"],
+            "covar": pa.array(round_half_away(cov, 6), pa.float64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def td_pack(sf_dir: str) -> rd.Dataset:
     """Sequence packing (GPT-style pretraining batch assembly): lay all
     documents end-to-end in doc_id order and cut fixed 512-token training

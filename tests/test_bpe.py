@@ -97,3 +97,23 @@ def test_bpe_encode_matches_reference(sf_dir):
         assert int(g["n_bpe_tokens"]) == n_bpe, row["doc_id"]
         checked += 1
     assert checked == 40
+
+
+def test_train_bpe_survives_empty_block(ray_session):
+    """A zero-row block can bypass the to_syms UDF inside train_bpe and
+    reach step_task with the upstream (word, n) schema — regression for
+    the KeyError('syms') seen in a long-session sweep."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from lk_data_test_ray.functions.bpe import train_bpe
+
+    live = pa.table({"word": pa.array(["abab", "ab"], pa.string()),
+                     "n": pa.array([3, 2], pa.int64())})
+    empty = live.slice(0, 0)
+    ds = rd.from_arrow_refs([ray.put(empty), ray.put(live)])
+    got = train_bpe(ds, n_merges=2).to_pydict()
+    want = train_bpe(rd.from_arrow(live), n_merges=2).to_pydict()
+    assert got == want
+    assert got["merged"][0] == "ab"
