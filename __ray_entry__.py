@@ -228,7 +228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cum_new_users": q.e_cum_new_users,
         "v_ship_before_order": q.v_ship_before_order,
         "e_dedup_consecutive": q.e_dedup_consecutive,
-        "e_transition_counts": q.e_transition_counts,
         "j_nearest_event": q.j_nearest_event,
         "j_interval_overlap": q.j_interval_overlap,
         "t_char_ngrams": q.t_char_ngrams,
@@ -610,17 +609,6 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY ts, event_id) AS prev
                 FROM events)
             WHERE prev IS NULL OR prev <> event_type
-        """,
-        "e_transition_counts": """
-            SELECT prev_type, event_type AS next_type,
-                   count(*)::BIGINT AS n
-            FROM (
-                SELECT user_id, event_type,
-                       lag(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id) AS prev_type
-                FROM events)
-            WHERE prev_type IS NOT NULL
-            GROUP BY 1, 2
         """,
         "j_nearest_event": """
             SELECT o_orderkey, user_id, o_orderdate, event_id, ts FROM (

@@ -6431,48 +6431,6 @@ def e_dedup_consecutive(sf_dir: str) -> rd.Dataset:
     return hash_repartition_map(ev, "user_id", keep_first_of_run)
 
 
-def e_transition_counts(sf_dir: str) -> rd.Dataset:
-    """First-order Markov transition counts over per-user event
-    sequences — the (prev_type → next_type) matrix a session-flow /
-    next-action model trains on. Hash exchange on user_id, one sort per
-    partition, a shifted vectorized pair extraction (the
-    ``e_dedup_consecutive`` shape), then a local C++ group_by per
-    partition — each partition emits at most |types|² partial rows, and
-    a final tiny groupby-sum merges them (the map-side-combine A4 shape:
-    the second exchange moves ~25 rows per partition, never an event)."""
-    from ..relational import hash_repartition_map
-
-    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    out_schema = pa.schema([("prev_type", pa.string()),
-                            ("next_type", pa.string()),
-                            ("n", pa.int64())])
-
-    def transitions(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return out_schema.empty_table()
-        idx = pc.sort_indices(tbl, sort_keys=[
-            ("user_id", "ascending"), ("ts", "ascending"),
-            ("event_id", "ascending")])
-        tbl = tbl.take(idx)
-        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
-        et = tbl["event_type"].combine_chunks()
-        same = pa.array(uid[1:] == uid[:-1])
-        pairs = pa.table({
-            "prev_type": et.slice(0, len(et) - 1).filter(same),
-            "next_type": et.slice(1).filter(same),
-        })
-        g = pairs.group_by(["prev_type", "next_type"]) \
-            .aggregate([("prev_type", "count")])
-        return pa.table({
-            "prev_type": g["prev_type"], "next_type": g["next_type"],
-            "n": g["prev_type_count"].cast(pa.int64()),
-        }, schema=out_schema)
-
-    partials = hash_repartition_map(ev, "user_id", transitions)
-    return partial_groupby_agg(partials, ["prev_type", "next_type"],
-                               [("n", "sum", "n")])
-
-
 def j_nearest_event(sf_dir: str) -> rd.Dataset:
     """Nearest-match temporal join (bidirectional as-of): for each order,
     the customer's event closest in time to the order date — ties broken by
