@@ -111,6 +111,12 @@ def _s_ann_ivf(sf_dir: str):
         _sim.load_queries(sf_dir, 10), k=5, n_cells=16, nprobe=16)
 
 
+def _s_ann_filtered(sf_dir: str):
+    return _sim.ann_filtered(
+        read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        _sim.load_queries_with_labels(sf_dir, 10), k=5)
+
+
 def _s_ann_lsh(sf_dir: str):
     return _sim.ann_lsh(
         read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -190,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_pq": _s_ann_pq,
         "s_ann_ivfpq": _s_ann_ivfpq,
         "s_ann_refine": _s_ann_refine,
+        "s_ann_filtered": _s_ann_filtered,
         # skew-aware join, CUBE lattice, blocklist filter, domain mixing,
         # first-class set ops
         "j_skew_user_events": q.j_skew_user_events,
@@ -1492,6 +1499,25 @@ def oracle_sql() -> dict[str, str]:
                          list_cosine_similarity(q.qe,
                              CAST(e.embedding AS DOUBLE[])) AS cos
                   FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM s) t
+            WHERE rank <= 5
+        """,
+        # filtered search: same exact top-k, restricted to the query's label
+        "s_ann_filtered": """
+            WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 10)),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q, embeddings e
+                  WHERE e.vec_id <> q.query_id AND e.label = q.qlabel)
             SELECT query_id, neighbor_id, rank
             FROM (SELECT query_id, neighbor_id,
                          row_number() OVER (PARTITION BY query_id

@@ -103,6 +103,75 @@ def ann_brute_force(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
         _final_topk(k), batch_format="pyarrow")
 
 
+def ann_filtered(ds: rd.Dataset, queries, id_col: str = "vec_id",
+                 vec_col: str = "embedding", label_col: str = "label",
+                 k: int = 5) -> rd.Dataset:
+    """Metadata-FILTERED exact top-k (the filtered-search mode every
+    modern vector store exposes — 'nearest neighbors WHERE label = X'):
+    per query, top-k cosine among rows whose label equals the query's
+    own. The predicate mask is applied INSIDE the batch scorer (post-
+    filtering on the score matrix: one vectorized compare per batch, no
+    second pass, no re-scan at lower selectivity), so the data layout
+    and the scan cost are identical to ``ann_brute_force`` — at 10¹²
+    vectors the same mask composes with the IVF/PQ shortlist stages.
+
+    ``queries`` is (qids, qmat, qlabels)."""
+    ref = ray.put(queries)
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = ("filt", ref.hex())
+        st = _SCORER_CACHE.get(key)
+        if st is None:
+            qids, qmat, qlabels = ray.get(ref)
+            st = (qids, _normalize(qmat.astype(np.float64)),
+                  np.asarray(qlabels))
+            _SCORER_CACHE[key] = st
+        qids, qmat, qlabels = st
+        ids = np.asarray(batch[id_col].to_pylist())
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        cos = qmat @ _normalize(mat).T
+        drop = (ids[None, :] == qids[:, None]) \
+            | (labels[None, :] != qlabels[:, None])
+        cos[drop] = -np.inf
+        kk = min(k, cos.shape[1])
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_c = [], [], []
+        for qi in range(cos.shape[0]):
+            sel = part[qi]
+            keep = np.isfinite(cos[qi, sel])
+            out_q.extend([qids[qi]] * int(keep.sum()))
+            out_n.extend(ids[sel[keep]])
+            out_c.extend(cos[qi, sel[keep]])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
+
+
+def load_queries_with_labels(sf_dir: str, n_queries: int = 10,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str = "label"):
+    """First n_queries embeddings (by id) plus their labels."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=[id_col, vec_col, label_col])
+    ids = np.asarray(t[id_col].to_pylist())
+    order = np.argsort(ids)[:n_queries]
+    qids = ids[order]
+    qmat = np.asarray([t[vec_col][int(i)].as_py() for i in order],
+                      dtype=np.float64)
+    qlabels = np.asarray([t[label_col][int(i)].as_py() for i in order])
+    return qids, qmat, qlabels
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------

@@ -391,3 +391,39 @@ def test_image_header_dims_parsers():
     extra = (b"\xff\xd8" + b"\xff\xfe\x00\x04ab"        # COM segment
              + mm.jpeg_header(123, 45)[2:])
     assert mm.jpeg_dims(extra) == (123, 45)
+
+
+def test_ann_filtered_matches_numpy_reference(ray_session):
+    """Filtered exact search equals a dense numpy reference restricted to
+    the query's label, and never returns a cross-label neighbor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.similarity import ann_filtered
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    mat = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, n)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        "label": pa.array(labels.astype(np.int32)),
+    })
+    qsel = np.arange(6)
+    queries = (ids[qsel], mat[qsel], labels[qsel])
+    got = ann_filtered(rd.from_arrow(tbl), queries, k=4).to_pandas()
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qsel:
+        cos = norm @ norm[qi]
+        cos[qi] = -np.inf
+        cos[labels != labels[qi]] = -np.inf
+        order = np.lexsort((ids, -cos))[:4]
+        want = [int(ids[j]) for j in order if np.isfinite(cos[j])]
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == want
+        assert (labels[sub["neighbor_id"].to_numpy()]
+                == labels[qi]).all()
