@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     "mm_image_phash",
     "pages_robots",
     "pages_recrawl_delta",
+    "g_hits",
+    "m_nfc_normalize",
+    "v_wet_roundtrip",
+    "s_dim_covar",
+    "s_ann_filtered",
 ]
 
 
