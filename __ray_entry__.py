@@ -181,7 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_doc_suite": q.v_doc_suite,
         "v_unique_doc_ids": q.v_unique_doc_ids,
         "v_profile_orders": q.v_profile_orders,
+        "v_profile_suggest": q.v_profile_suggest,
         "v_daily_lang_drift": q.v_daily_lang_drift,
+        "v_daily_lang_psi": q.v_daily_lang_psi,
         "v_zorder_prune": q.v_zorder_prune,
         # dedup family
         "dd_exact": _dd_exact,
@@ -1430,6 +1432,47 @@ def oracle_sql() -> dict[str, str]:
             FROM orders"""
             for c in ["o_orderkey", "o_custkey", "o_orderstatus",
                       "o_totalprice", "o_orderdate", "o_orderpriority"]),
+        "v_profile_suggest": """
+            WITH p AS (""" + "\nUNION ALL".join(
+            f"""
+                SELECT '{c}' AS col, count(*) AS n_rows,
+                       count(*) - count({c}) AS n_null,
+                       count(DISTINCT {c}) AS n_distinct
+                FROM documents"""
+            for c in ["doc_id", "lang", "source", "n_chars"]) + """
+            )
+            SELECT col, n_rows, n_null, n_distinct,
+                   concat_ws(',',
+                       CASE WHEN n_null = 0 THEN 'not_null' END,
+                       CASE WHEN n_distinct = n_rows THEN 'unique' END,
+                       CASE WHEN n_distinct <= 16 THEN 'vocabulary' END)
+                       AS suggested
+            FROM p
+        """,
+        # PSI vs the corpus mixture; add-1/2 smoothing on both sides of the
+        # log-ratio mirrors the engine exactly (PSI undefined at zero bins)
+        "v_daily_lang_psi": f"""
+            WITH c AS (
+                SELECT strftime(warc_ts, '%Y-%m-%d') AS day, lang,
+                       count(*) AS n
+                FROM read_parquet('{_pages_fixture_glob()}')
+                GROUP BY 1, 2
+            ),
+            lt AS (SELECT lang, sum(n) AS ln FROM c GROUP BY 1),
+            dt AS (SELECT day, sum(n) AS dn FROM c GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+                           count(DISTINCT lang) AS nl FROM c),
+            j AS (
+                SELECT d.day, d.dn, l.lang,
+                       (coalesce(c.n, 0) + 0.5) / (d.dn + 0.5 * t.nl) AS p,
+                       (l.ln + 0.5) / (t.t + 0.5 * t.nl) AS q
+                FROM dt d CROSS JOIN lt l CROSS JOIN tot t
+                LEFT JOIN c ON c.day = d.day AND c.lang = l.lang
+            )
+            SELECT day, CAST(max(dn) AS BIGINT) AS n,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM j GROUP BY 1
+        """,
         # zero-count (day, lang) cells enter the chi2 sum via the grid join
         "v_daily_lang_drift": f"""
             WITH c AS (

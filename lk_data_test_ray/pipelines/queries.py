@@ -1213,10 +1213,15 @@ def v_profile_orders(sf_dir: str) -> pa.Table:
     map-side-combine groupbys finish. The 100-TB path swaps the exact
     distinct for the HLL sidecar (``approx_stats``); this is the exact,
     oracle-checked variant."""
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderdate", "o_orderpriority"]
-    orders = read(sf_dir, "orders", cols)
-    n_rows = read(sf_dir, "orders", [cols[0]]).count()
+    return _profile_exact(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_orderstatus",
+                           "o_totalprice", "o_orderdate", "o_orderpriority"])
+
+
+def _profile_exact(sf_dir: str, table: str, cols: list[str]) -> pa.Table:
+    """Shared exact column profiler (see ``v_profile_orders``)."""
+    orders = read(sf_dir, table, cols)
+    n_rows = read(sf_dir, table, [cols[0]]).count()
 
     def pairs(batch: pa.Table) -> pa.Table:
         out_c, out_v, out_n = [], [], []
@@ -1255,6 +1260,37 @@ def v_profile_orders(sf_dir: str) -> pa.Table:
         "n_null": pa.array(merged["n_null"].astype("int64")),
         "n_distinct": pa.array(merged["n_distinct"].astype("int64")),
     })
+
+
+def v_profile_suggest(sf_dir: str) -> pa.Table:
+    """Constraint SUGGESTION from the column profile (the Deequ /
+    Great-Expectations 'suggest' pass — the step that turns a profiling
+    scan into the constraint suite a validation engine then enforces;
+    the machine form of how the reference's curation checks were
+    authored by eyeballing set sizes,
+    ``curation/check_authors_exist_in_listperson.py:12-21``): per
+    column, the exact profile (one scan, map-side-deduped distincts)
+    plus derived rules — ``not_null`` when no null was seen, ``unique``
+    when distinct == rows, ``vocabulary`` when the distinct set is small
+    enough to enforce as a broadcast membership check (≤16). The
+    suggestion logic is mirrored in SQL, so the oracle checks profile
+    AND derivation."""
+    prof = _profile_exact(sf_dir, "documents",
+                          ["doc_id", "lang", "source", "n_chars"])
+    n_rows = prof["n_rows"].to_numpy(zero_copy_only=False)
+    n_null = prof["n_null"].to_numpy(zero_copy_only=False)
+    n_dist = prof["n_distinct"].to_numpy(zero_copy_only=False)
+    sugg = []
+    for r, nn, nd in zip(n_rows, n_null, n_dist):
+        rules = []
+        if nn == 0:
+            rules.append("not_null")
+        if nd == r:
+            rules.append("unique")
+        if nd <= 16:
+            rules.append("vocabulary")
+        sugg.append(",".join(rules))
+    return prof.append_column("suggested", pa.array(sugg, pa.string()))
 
 
 def v_zorder_prune(sf_dir: str) -> rd.Dataset:
@@ -1333,6 +1369,48 @@ def v_daily_lang_drift(sf_dir: str) -> pa.Table:
         "day": pa.array(pivot.index.to_list(), pa.string()),
         "n": pa.array(day_tot.astype(np.int64)),
         "chi2": pa.array(round_half_away(chi2, 4), pa.float64()),
+    })
+
+
+def v_daily_lang_psi(sf_dir: str) -> pa.Table:
+    """Population Stability Index per day vs the corpus-wide lang mixture
+    — the OTHER industry drift metric next to C5's chi-square (model-
+    monitoring convention: PSI < 0.1 stable, > 0.25 shifted). Same
+    map-side-combine (day, lang) partial-count exchange as
+    ``v_daily_lang_drift``; the PSI sum runs on the tiny day×lang grid.
+    Zero cells are handled by add-½ smoothing on BOTH distributions
+    (PSI is undefined at empty bins; the smoothing is mirrored exactly
+    in the SQL oracle)."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts", "lang"])
+
+    def day_lang(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(batch["warc_ts"], format="%Y-%m-%d"),
+            "lang": batch["lang"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = partial_groupby_agg(
+        pages.map_batches(day_lang, batch_format="pyarrow"),
+        ["day", "lang"], [("one", "sum", "n")]).to_pandas()
+    pivot = counts.pivot_table(index="day", columns="lang", values="n",
+                               aggfunc="sum", fill_value=0).sort_index()
+    obs = pivot.to_numpy(dtype=np.float64)
+    day_tot = obs.sum(axis=1)
+    lang_tot = obs.sum(axis=0)
+    total = obs.sum()
+    L = obs.shape[1]
+    p = (obs + 0.5) / (day_tot + 0.5 * L)[:, None]
+    q = (lang_tot + 0.5) / (total + 0.5 * L)
+    psi = ((p - q) * np.log(p / q[None, :])).sum(axis=1)
+    return pa.table({
+        "day": pa.array(pivot.index.to_list(), pa.string()),
+        "n": pa.array(day_tot.astype(np.int64)),
+        "psi": pa.array(round_half_away(psi, 6), pa.float64()),
     })
 
 
