@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_recrawl_delta": q.pages_recrawl_delta,
         "td_decontaminate": q.td_decontaminate,
         "dd_ngram_coverage": q.dd_ngram_coverage,
+        "t_gram_novelty_daily": q.t_gram_novelty_daily,
         "dd_semantic": q.dd_semantic,
         "t_bpe_merges": q.t_bpe_merges,
         "t_bpe_encode": q.t_bpe_encode,
@@ -2181,6 +2182,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(chg)::DOUBLE /
                          greatest(count(*) - 1, 1), 6) AS churn
             FROM c GROUP BY 1
+        """,
+        "t_gram_novelty_daily": f"""
+            WITH tok AS (
+                SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+                       regexp_split_to_array(text, '\\s+') AS arr
+                FROM read_parquet('{_pages_fixture_glob()}')
+                WHERE text IS NOT NULL),
+            grams AS (
+                SELECT DISTINCT day,
+                       arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' '
+                       || arr[i+3] || ' ' || arr[i+4] AS g
+                FROM tok,
+                     unnest(generate_series(1, greatest(len(arr) - 4, 0)))
+                         AS t(i)),
+            first AS (SELECT g, min(day) AS d0 FROM grams GROUP BY 1)
+            SELECT day, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN day = d0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_novel,
+                   round(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS novelty
+            FROM grams JOIN first USING (g) GROUP BY 1
         """,
         "td_decontaminate": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS arr FROM documents),

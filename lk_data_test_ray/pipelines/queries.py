@@ -2714,6 +2714,91 @@ def dd_ngram_coverage(sf_dir: str, wire: str = "hash") -> rd.Dataset:
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def t_gram_novelty_daily(sf_dir: str) -> rd.Dataset:
+    """Daily n-gram NOVELTY over the crawl (the content-freshness decay
+    curve a crawl operator monitors — as boilerplate saturates, the
+    fraction of never-seen-before 5-grams per day falls): per day, the
+    share of that day's DISTINCT word 5-grams whose global FIRST day of
+    appearance is that day.
+
+    Shape: the scan emits per-batch-distinct (gram-hash₁₂₈, day) rows —
+    the ``dd_ngram_coverage`` hash wire, 16 constant bytes per key, no
+    gram strings — then ONE gram hash exchange; each partition owns
+    every (gram, day) occurrence of its grams, so the global
+    (gram, day) dedup, the per-gram min-day, and the novel-flag all
+    resolve locally with C++ group_bys, emitting per-day partials; a
+    tiny day-keyed sum finishes. The SQL oracle runs on gram STRINGS
+    (the collision-free form; both folds colliding ≈ 2⁻¹²⁸/pair)."""
+    K = 5
+    import os
+
+    from ..functions.hashing import gram_hash_pairs
+    from ..functions.text import TOKEN_SPLIT
+    from ..relational import hash_repartition_map
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        days = pc.strftime(batch["warc_ts"], format="%Y-%m-%d")
+        toks = pc.split_pattern_regex(
+            batch["text"].combine_chunks(), TOKEN_SPLIT)
+        counts = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.list_flatten(toks).dictionary_encode()
+        uniq = np.asarray(enc.dictionary, dtype=object)
+        th = (pd.util.hash_array(uniq, categorize=False)
+              [enc.indices.to_numpy(zero_copy_only=False)]
+              if len(uniq) else np.empty(0, np.uint64))
+        h1, h2, grow = gram_hash_pairs(th, counts, K)
+        tbl = pa.table({
+            "g": pa.array(h1.view(np.int64), pa.int64()),
+            "g2": pa.array(h2.view(np.int64), pa.int64()),
+            "day": pc.take(days, pa.array(grow)),
+        })
+        return tbl.group_by(["g", "g2", "day"]).aggregate([])
+
+    pairs = pages.map_batches(gram_rows, batch_format="pyarrow")
+    out_schema = pa.schema([("day", pa.string()),
+                            ("n_grams", pa.int64()),
+                            ("n_novel", pa.int64())])
+
+    def per_gram_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        d = tbl.group_by(["g", "g2", "day"]).aggregate([])
+        mins = d.group_by(["g", "g2"]).aggregate([("day", "min")])
+        joined = d.join(mins, keys=["g", "g2"], join_type="inner")
+        part = pa.table({
+            "day": joined["day"],
+            "novel": pc.equal(joined["day"],
+                              joined["day_min"]).cast(pa.int64()),
+        })
+        agg = part.group_by(["day"]).aggregate(
+            [("novel", "sum"), ("novel", "count")])
+        return pa.table({
+            "day": agg["day"],
+            "n_grams": agg["novel_count"].cast(pa.int64()),
+            "n_novel": agg["novel_sum"].cast(pa.int64()),
+        }, schema=out_schema)
+
+    partials = hash_repartition_map(pairs, "g", per_gram_partition)
+    per_day = partial_groupby_agg(
+        partials, ["day"],
+        [("n_grams", "sum", "n_grams"), ("n_novel", "sum", "n_novel")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        frac = (batch["n_novel"].to_numpy(zero_copy_only=False)
+                / batch["n_grams"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "novelty", pa.array(round_half_away(frac, 6), pa.float64()))
+
+    return per_day.map_batches(finish, batch_format="pyarrow")
+
+
 def t_bpe_merges(sf_dir: str) -> pa.Table:
     """Tokenizer training: learn the corpus's top-8 BPE merge rules
     (``functions/bpe.py``) from a distributed word-type frequency table —
