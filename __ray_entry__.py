@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "o_ntile_price": q.o_ntile_price,
         "j_fuzzy_name_match": q.j_fuzzy_name_match,
         "t_top_tokens_approx": q.t_top_tokens_approx,
+        "t_token_freq_cms": q.t_token_freq_cms,
         "s_label_centroids": q.s_label_centroids,
         "a_median_price_exact": q.a_median_price_exact,
         "t_top_bigrams": q.t_top_bigrams,
@@ -1397,6 +1398,20 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_sketches.py
         "t_top_tokens_approx": f"""
             SELECT token, CAST(n AS BIGINT) AS n_lo, CAST(n AS BIGINT) AS n_hi
+            FROM (SELECT token, count(*) AS n
+                  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+                  GROUP BY token
+                  ORDER BY n DESC, token ASC
+                  LIMIT 20)
+        """,
+        # Count-Min never undercounts and overcounts only on bucket
+        # collision; the fixture vocabulary is tiny relative to the
+        # 4×2048 table, and under the fixed deterministic hashes no
+        # token collides in all 4 rows, so every estimate equals the
+        # exact count (verified at sf0.001/0.01/0.1) — the ε-bound /
+        # collision path is exercised on Zipf data in test_sketches.py
+        "t_token_freq_cms": f"""
+            SELECT token, CAST(n AS BIGINT) AS n_est
             FROM (SELECT token, count(*) AS n
                   FROM (SELECT unnest({_TOKS}) AS token FROM documents)
                   GROUP BY token

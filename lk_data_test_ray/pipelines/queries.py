@@ -3882,6 +3882,60 @@ def t_top_tokens_approx(sf_dir: str) -> pa.Table:
     })
 
 
+def t_token_freq_cms(sf_dir: str) -> pa.Table:
+    """Heavy-hitter token frequencies via the classic Misra-Gries +
+    Count-Min pairing: ONE per-block pass emits two constant-size
+    mergeable partials — the local exact top-128 (candidate identity)
+    and a 4×2048 Count-Min counter matrix (frequency mass). The merged
+    MG sketch nominates the top-20 candidates; the merged CMS point-
+    queries them. At 10^12 tokens each block ships ~70 KB regardless of
+    vocabulary size, where the exact path (``t_top_tokens``) shuffles
+    every distinct token. CMS guarantees est ≥ true and
+    est ≤ true + εN (ε = e/width) w.h.p. — both bounds asserted in
+    tests against the exact counts.
+
+    Reference analog: the reference's exact Counter word-count passes
+    (``make_texts.py``-style tallies) — exact at toy scale, two
+    constant-size partials per block at web scale."""
+    from ..sketches import ApproxTopK, CountMin
+
+    docs = read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # module-reference import (not by-value capture) — see
+        # t_top_tokens_approx for the measured cost of the alternative
+        import pandas as pd
+
+        from lk_data_test_ray.sketches import ApproxTopK as _ATK
+        from lk_data_test_ray.sketches import CountMin as _CMS
+
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"].combine_chunks(), r"\s+"))
+        vc = toks.value_counts()
+        items = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        mg = _ATK.from_counts(items, counts, m=128)
+        cms = _CMS(depth=4, width=2048)
+        cms.add_hashed(pd.util.hash_array(items.astype(object)), counts)
+        return pa.table({"mg": pa.array([mg.to_bytes()], pa.binary()),
+                         "cms": pa.array([cms.to_bytes()], pa.binary())})
+
+    blobs = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    mg = ApproxTopK.merge_many([ApproxTopK.from_bytes(r["mg"])
+                                for r in blobs])
+    cms = CountMin.merge_many([CountMin.from_bytes(r["cms"])
+                               for r in blobs])
+    import pandas as pd
+
+    cand = np.array([t for t, _, _ in mg.top(20)], dtype=object)
+    est = cms.query_hashed(pd.util.hash_array(cand))
+    order = np.lexsort((cand.astype(str), -est))
+    return pa.table({
+        "token": pa.array([str(cand[i]) for i in order], pa.string()),
+        "n_est": pa.array(est[order], pa.int64()),
+    })
+
+
 def s_label_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label embedding centroids (one k-means M-step / class
     prototypes): map-side float64 (sum, n) partials per (label, dim) from

@@ -179,3 +179,82 @@ def test_approx_topk_exact_when_no_truncation():
                                 np.array([4, 2]), m=16)
     m = ApproxTopK.merge_many([s1, s2])
     assert m.top(4) == [("b", 7, 7), ("a", 5, 5), ("d", 2, 2), ("c", 1, 1)]
+
+
+class TestCountMin:
+    def _zipf_counts(self, n_items=5000, n=300_000, seed=7):
+        rng = np.random.default_rng(seed)
+        w = 1.0 / np.arange(1, n_items + 1)
+        stream = rng.choice(n_items, size=n, p=w / w.sum())
+        return np.bincount(stream, minlength=n_items)
+
+    def test_never_undercounts_and_epsilon_bound(self):
+        import pandas as pd
+
+        from lk_data_test_ray.sketches import CountMin
+
+        true = self._zipf_counts()
+        items = np.array([f"tok{i}" for i in range(len(true))], object)
+        h = pd.util.hash_array(items)
+        cms = CountMin(depth=4, width=2048)
+        cms.add_hashed(h, true)
+        est = cms.query_hashed(h)
+        assert (est >= true).all()                      # structural
+        n_total = int(true.sum())
+        eps = np.e / 2048
+        # ≤ εN holds for ≥ (1 − δ) of items, δ = e^−4 ≈ 1.8%; allow 3%
+        frac_bad = float(((est - true) > eps * n_total).mean())
+        assert frac_bad < 0.03, frac_bad
+
+    def test_merge_equals_bulk(self):
+        import pandas as pd
+
+        from lk_data_test_ray.sketches import CountMin
+
+        true = self._zipf_counts(n_items=1000, n=50_000, seed=3)
+        items = np.array([f"t{i}" for i in range(len(true))], object)
+        h = pd.util.hash_array(items)
+        bulk = CountMin(4, 512)
+        bulk.add_hashed(h, true)
+        parts = []
+        for idx in np.array_split(np.arange(len(true)), 7):
+            s = CountMin(4, 512)
+            s.add_hashed(h[idx], true[idx])
+            parts.append(s)
+        merged = CountMin.merge_many(parts)
+        assert np.array_equal(merged.table, bulk.table)
+
+    def test_roundtrip(self):
+        import pandas as pd
+
+        from lk_data_test_ray.sketches import CountMin
+
+        items = np.array(["x", "y", "z"], object)
+        h = pd.util.hash_array(items)
+        c = CountMin(4, 64)
+        c.add_hashed(h, np.array([9, 2, 5]))
+        r = CountMin.from_bytes(c.to_bytes())
+        assert np.array_equal(r.query_hashed(h), c.query_hashed(h))
+        assert (r.depth, r.width) == (4, 64)
+
+
+def test_token_freq_cms_matches_exact(ray_session):
+    """MG+CMS composition on the fixture: the fixture vocabulary is far
+    below the CMS table size, so every estimate must equal the exact
+    count (the oracle gate asserts the same at sf0.01)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import t_token_freq_cms
+
+    sf = "/root/testdata/sf0.001"
+    got = t_token_freq_cms(sf)
+    text = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"]
+    toks = pc.list_flatten(
+        pc.split_pattern_regex(text.combine_chunks(), r"\s+"))
+    vc = toks.value_counts()
+    exact = dict(zip(vc.field("values").to_pylist(),
+                     vc.field("counts").to_pylist()))
+    assert got.num_rows == 20
+    for tok, est in zip(got["token"].to_pylist(), got["n_est"].to_pylist()):
+        assert est == exact[tok], (tok, est, exact[tok])
