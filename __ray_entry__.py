@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_profile_suggest": q.v_profile_suggest,
         "v_daily_lang_drift": q.v_daily_lang_drift,
         "v_daily_lang_psi": q.v_daily_lang_psi,
+        "v_count_anomaly": q.v_count_anomaly,
         "v_zorder_prune": q.v_zorder_prune,
         # dedup family
         "dd_exact": _dd_exact,
@@ -1467,6 +1468,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PSI vs the corpus mixture; add-1/2 smoothing on both sides of the
         # log-ratio mirrors the engine exactly (PSI undefined at zero bins)
+        "v_count_anomaly": f"""
+            WITH c AS (
+                SELECT strftime(warc_ts, '%Y-%m-%d') AS day, count(*) AS n
+                FROM read_parquet('{_pages_fixture_glob()}')
+                GROUP BY 1
+            ),
+            m AS (SELECT median(n * 1.0) AS med FROM c),
+            s AS (SELECT median(abs(n * 1.0 - (SELECT med FROM m))) AS mad
+                  FROM c)
+            SELECT day, CAST(n AS BIGINT) AS n,
+                   round((SELECT med FROM m), 6) AS med,
+                   round(abs(n * 1.0 - (SELECT med FROM m)), 6) AS dev,
+                   abs(n * 1.0 - (SELECT med FROM m))
+                       > 3 * 1.4826 * (SELECT mad FROM s) AS is_anomaly
+            FROM c
+        """,
         "v_daily_lang_psi": f"""
             WITH c AS (
                 SELECT strftime(warc_ts, '%Y-%m-%d') AS day, lang,

@@ -1414,6 +1414,46 @@ def v_daily_lang_psi(sf_dir: str) -> pa.Table:
     })
 
 
+def v_count_anomaly(sf_dir: str) -> pa.Table:
+    """Metric anomaly detection over the crawl's daily-volume time series
+    (the Deequ/monitoring-suite check next to the drift family: "did a
+    feed break or double-send on some day?"). Robust statistics — a day
+    is anomalous when its row count deviates from the all-days MEDIAN by
+    more than 3 × 1.4826 × MAD (the normal-consistent scaled median
+    absolute deviation), which a single broken day cannot poison the way
+    a mean/stddev rule can. Distributed shape: map-side day-count
+    partials → one tiny exchange (≤ n_days rows per block); the median /
+    MAD run driver-side on the n_days-row series. ≙ the reference's
+    expected-triple-count assertions (``check_fackel_references.py``) as
+    a per-day volume invariant."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts"])
+
+    def day_one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(batch["warc_ts"], format="%Y-%m-%d"),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = partial_groupby_agg(
+        pages.map_batches(day_one, batch_format="pyarrow"),
+        ["day"], [("one", "sum", "n")]).to_pandas().sort_values("day")
+    n = counts["n"].to_numpy(np.float64)
+    med = float(np.median(n))
+    mad = float(np.median(np.abs(n - med)))
+    thr = 3.0 * 1.4826 * mad
+    return pa.table({
+        "day": pa.array(counts["day"].to_list(), pa.string()),
+        "n": pa.array(n.astype(np.int64)),
+        "med": pa.array(round_half_away(np.full(len(n), med), 6)),
+        "dev": pa.array(round_half_away(np.abs(n - med), 6)),
+        "is_anomaly": pa.array(np.abs(n - med) > thr),
+    })
+
+
 def a_lang_fractions(sf_dir: str) -> rd.Dataset:
     """Distribution check input (A7/C5, ≙ histogram reports
     ``check_fackel_references.py:32-37``): per-lang counts + fraction of
