@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_skew_report": q.v_skew_report,
         "t_pmi_top": q.t_pmi_top,
         "g_components": q.g_components,
+        "g_bfs_depth": q.g_bfs_depth,
         "dd_substr_cut": q.dd_substr_cut,
         "td_pretrain_corpus": q.td_pretrain_corpus,
         "o_weighted_sample": q.o_weighted_sample,
@@ -1056,6 +1057,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_keys,
                    CAST(sum(n) AS BIGINT) AS n_rows
             FROM pk GROUP BY 1
+        """,
+        "g_bfs_depth": f"""
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT a, b FROM (
+                    SELECT regexp_extract(src_url,
+                               '^https://([^/]+)/', 1) AS a,
+                           regexp_extract(dst_url,
+                               '^https://([^/]+)/', 1) AS b
+                    FROM read_parquet('{_pages_links_path()}'))
+                  WHERE a <> '' AND b <> ''),
+            nodes AS MATERIALIZED (SELECT DISTINCT n FROM
+                (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+            -- DISTINCT is load-bearing: under WITH RECURSIVE, DuckDB
+            -- returns duplicate rows from the ORDER BY+LIMIT over the
+            -- deduped CTE (observed: the min host 3x)
+            seeds AS MATERIALIZED (SELECT DISTINCT n FROM nodes
+                                   ORDER BY n LIMIT 3),
+            walk AS (
+                SELECT n AS node, 0 AS d FROM seeds
+                UNION
+                SELECT e.b, walk.d + 1 FROM walk JOIN e ON walk.node = e.a
+                WHERE walk.d < 30
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS depth
+            FROM walk GROUP BY node
         """,
         "g_components": """
             WITH RECURSIVE

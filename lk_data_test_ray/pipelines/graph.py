@@ -461,3 +461,81 @@ def components_min_label(edges: rd.Dataset, src_col: str, dst_col: str,
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "cluster": b["lbl"]}),
         batch_format="pyarrow")
+
+
+def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
+              n_seeds: int = 3, max_rounds: int = 30) -> rd.Dataset:
+    """Multi-source BFS over a DIRECTED graph: min hop distance from the
+    seed set (the ``n_seeds`` lexicographically smallest nodes — a
+    deterministic, oracle-expressible stand-in for a crawl's seed list).
+    This is the crawl-depth operator: "how many link hops from the seeds
+    does each host sit?", the frontier metric a scheduler prioritizes by.
+
+    Distributed shape, per round: ONE hash join ships ONLY the frontier
+    (nodes whose distance improved last round) to its out-neighbors —
+    unlike label propagation over all labels, BFS message volume is one
+    edge-visit total across ALL rounds — then a grouped int-min adopts
+    the best proposal; a second join against the previous distances
+    yields the next frontier AND the convergence scalar in one pass.
+    Rounds = eccentricity of the seed set (web host graphs: shallow).
+    Unreachable nodes never enter the distance table (matching the
+    recursive-CTE oracle's closure semantics).
+
+    Returns (node, depth) for reachable nodes only.
+    """
+    from ..relational import exchange_join, partial_groupby_agg
+
+    def orient(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "a": batch[src_col].cast(pa.string()).combine_chunks(),
+            "b": batch[dst_col].cast(pa.string()).combine_chunks()})
+        return t.group_by(["a", "b"]).aggregate([])  # per-batch distinct
+
+    e = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # seed selection: per-block k-smallest node partials → driver min
+    # over ≤ k·n_blocks candidates (the top-k-partial pattern; node set
+    # spans BOTH endpoints so sink-only hosts can seed too)
+    def smallest(batch: pa.Table) -> pa.Table:
+        arr = pc.unique(pa.concat_arrays(
+            [batch["a"].combine_chunks(), batch["b"].combine_chunks()]))
+        idx = pc.array_sort_indices(arr)[:min(n_seeds, len(arr))]
+        return pa.table({"node": pc.take(arr, idx)})
+
+    cand = e.map_batches(smallest, batch_format="pyarrow").take_all()
+    seeds = sorted({r["node"] for r in cand})[:n_seeds]
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(seeds, pa.string()),
+        "d": pa.array(np.zeros(len(seeds), np.int64))})).materialize()
+    frontier = dist
+
+    for _ in range(max_rounds):
+        msgs = exchange_join(e, frontier, "a", "node").map_batches(
+            lambda b: pa.table({"node": b["b"],
+                                "d": pc.add(b["d"], 1)}),
+            batch_format="pyarrow")
+        new = partial_groupby_agg(msgs.union(dist), ["node"],
+                                  [("d", "min", "d")]).materialize()
+        old = dist.map_batches(
+            lambda b: pa.table({"node2": b["node"], "d_old": b["d"]}),
+            batch_format="pyarrow")
+        j = exchange_join(new, old, "node", "node2", "left_outer",
+                          coalesce_keys=False)
+
+        def improved(b: pa.Table) -> pa.Table:
+            keep = pc.or_kleene(
+                pc.is_null(b["d_old"]),
+                pc.less(b["d"], pc.fill_null(b["d_old"], 0)))
+            t = b.filter(pc.fill_null(keep, True))
+            return pa.table({"node": t["node"], "d": t["d"]})
+
+        frontier = j.map_batches(improved,
+                                 batch_format="pyarrow").materialize()
+        dist = new
+        if frontier.count() == 0:
+            break
+
+    return dist.map_batches(
+        lambda b: pa.table({"node": b["node"], "depth": b["d"]}),
+        batch_format="pyarrow")

@@ -5925,6 +5925,35 @@ def g_components(sf_dir: str) -> rd.Dataset:
     return components_min_label(e, "src_host", "dst_host")
 
 
+def g_bfs_depth(sf_dir: str) -> rd.Dataset:
+    """Crawl depth per host: multi-source BFS over the directed host
+    link graph from the 3 lexicographically smallest hosts (the
+    deterministic seed-list stand-in). Frontier-only propagation — see
+    ``graph.bfs_depth`` — so total message volume is one edge-visit
+    across all rounds; unreachable hosts are absent, matching the
+    recursive-CTE closure oracle."""
+    import os
+
+    from .graph import bfs_depth
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": h1, "dst_host": h2})
+        return t.filter(pc.and_(pc.is_valid(h1), pc.is_valid(h2)))
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    return bfs_depth(e, "src_host", "dst_host", n_seeds=3)
+
+
 def td_pretrain_corpus(sf_dir: str) -> rd.Dataset:
     """End-to-end pretraining-corpus build over the documents table — the
     composition a corpus engineer actually runs, every stage an operator

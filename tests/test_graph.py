@@ -190,3 +190,22 @@ def test_hits_modes_agree(ray_session):
     for u in lh:
         assert abs(lh[u] - wh[u]) < 1e-8, (u, lh[u], wh[u])
         assert abs(la[u] - wa[u]) < 1e-8, (u, la[u], wa[u])
+
+
+def test_bfs_depth_min_distance_and_reachability(ray_session):
+    """Frontier BFS: exact min hop distances from the k smallest nodes,
+    directed edges only, unreachable nodes absent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.graph import bfs_depth
+
+    # seeds will be a0, a1 (2 smallest); z is reachable only via the
+    # longer a1 path; 'x' -> 'y' is a component unreachable from seeds
+    edges = pa.table({
+        "s": ["a0", "b", "a1", "c", "d", "x", "b"],
+        "t": ["b", "c", "d", "z", "z", "y", "a1"],
+    })
+    out = bfs_depth(rd.from_arrow(edges), "s", "t", n_seeds=2)
+    got = {r["node"]: r["depth"] for r in out.take_all()}
+    assert got == {"a0": 0, "a1": 0, "b": 1, "c": 2, "d": 1, "z": 2}
