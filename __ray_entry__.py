@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_daily_lang_drift": q.v_daily_lang_drift,
         "v_daily_lang_psi": q.v_daily_lang_psi,
         "v_count_anomaly": q.v_count_anomaly,
+        "pages_rolling_distinct_7d": q.pages_rolling_distinct_7d,
         "v_zorder_prune": q.v_zorder_prune,
         # dedup family
         "dd_exact": _dd_exact,
@@ -1494,6 +1495,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PSI vs the corpus mixture; add-1/2 smoothing on both sides of the
         # log-ratio mirrors the engine exactly (PSI undefined at zero bins)
+        "pages_rolling_distinct_7d": f"""
+            WITH p AS (SELECT DISTINCT url, CAST(warc_ts AS DATE) AS day
+                       FROM read_parquet('{_pages_fixture_glob()}')),
+            l AS (SELECT url, day,
+                         lag(day) OVER (PARTITION BY url ORDER BY day)
+                             AS prev
+                  FROM p),
+            days AS (SELECT DISTINCT day FROM p)
+            SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                   count(*) AS n_distinct_7d
+            FROM days d JOIN l
+              ON l.day BETWEEN d.day - 6 AND d.day
+             AND (l.prev IS NULL OR l.prev < d.day - 6)
+            GROUP BY 1
+        """,
         "v_count_anomaly": f"""
             WITH c AS (
                 SELECT strftime(warc_ts, '%Y-%m-%d') AS day, count(*) AS n
