@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_daily_lang_psi": q.v_daily_lang_psi,
         "v_count_anomaly": q.v_count_anomaly,
         "pages_rolling_distinct_7d": q.pages_rolling_distinct_7d,
+        # approximate (HLL) — no SQL oracle by nature; ε-tested against
+        # the exact rolling series in tests/test_sketches.py
+        "pages_rolling_distinct_7d_hll": q.pages_rolling_distinct_7d_hll,
         "v_zorder_prune": q.v_zorder_prune,
         # dedup family
         "dd_exact": _dd_exact,

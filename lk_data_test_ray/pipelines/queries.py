@@ -1538,6 +1538,68 @@ def pages_rolling_distinct_7d(sf_dir: str) -> rd.Dataset:
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+def pages_rolling_distinct_7d_hll(sf_dir: str) -> pa.Table:
+    """Approximate rolling 7-day distinct-URL series via HyperLogLog —
+    the 100-TB path next to the exact ``pages_rolling_distinct_7d``:
+    instead of exchanging (url, day) pairs, each block reduces to one
+    4 KB HLL per day it touches; per-day sketches OR-merge in one tiny
+    groupby, and the 7-day window union is a register-wise max over 7
+    shifted rows of the (n_days × m) register matrix — sketch
+    mergeability doing the window, zero re-reads of the data. ε ≈ 1.6%
+    at p=12; tests assert the series tracks the exact one within 5%."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "warc_ts"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from lk_data_test_ray.sketches import HyperLogLog as _HLL
+
+        day = pc.cast(pc.cast(batch["warc_ts"], pa.date32()), pa.int32())
+        t = pa.table({"day": day, "url": batch["url"]})
+        g = t.group_by(["day"]).aggregate([("url", "list")])
+        days, blobs = [], []
+        for i in range(g.num_rows):
+            h = _HLL(12)
+            h.update_strings(g["url_list"][i].as_py())
+            days.append(g["day"][i].as_py())
+            blobs.append(h.to_bytes())
+        return pa.table({"day": pa.array(days, pa.int32()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    def merge_day(group: pa.Table) -> pa.Table:
+        from lk_data_test_ray.sketches import HyperLogLog as _HLL
+
+        h = _HLL.from_bytes(group["sketch"][0].as_py())
+        for b in group["sketch"].to_pylist()[1:]:
+            h = h.merge(_HLL.from_bytes(b))
+        return pa.table({"day": group["day"][:1],
+                         "sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    rows = pages.map_batches(partials, batch_format="pyarrow") \
+                .groupby("day").map_groups(merge_day,
+                                           batch_format="pyarrow") \
+                .take_all()                      # one 4 KB sketch per day
+    from ..sketches import HyperLogLog
+
+    rows.sort(key=lambda r: r["day"])
+    days = np.array([r["day"] for r in rows], np.int32)
+    regs = np.stack([np.frombuffer(r["sketch"], np.uint8, offset=1)
+                     for r in rows])
+    ests = []
+    for i in range(len(days)):
+        # union = register max over the days inside [day-6, day]
+        in_win = (days >= days[i] - 6) & (days <= days[i])
+        ests.append(HyperLogLog(
+            12, regs[in_win].max(axis=0)).estimate())
+    return pa.table({
+        "day": pc.strftime(pa.array(days, pa.int32()).cast(pa.date32()),
+                           format="%Y-%m-%d"),
+        "n_est": pa.array(round_half_away(np.array(ests), 1), pa.float64()),
+    })
+
+
 def a_lang_fractions(sf_dir: str) -> rd.Dataset:
     """Distribution check input (A7/C5, ≙ histogram reports
     ``check_fackel_references.py:32-37``): per-lang counts + fraction of

@@ -258,3 +258,21 @@ def test_token_freq_cms_matches_exact(ray_session):
     assert got.num_rows == 20
     for tok, est in zip(got["token"].to_pylist(), got["n_est"].to_pylist()):
         assert est == exact[tok], (tok, est, exact[tok])
+
+
+def test_rolling_distinct_hll_tracks_exact(ray_session):
+    """The HLL rolling 7-day distinct series stays within the sketch's
+    error band of the exact first-in-window series, day by day."""
+    from lk_data_test_ray.pipelines.queries import (
+        pages_rolling_distinct_7d, pages_rolling_distinct_7d_hll)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["day"]: r["n_distinct_7d"]
+             for r in pages_rolling_distinct_7d(sf).take_all()}
+    est = pages_rolling_distinct_7d_hll(sf)
+    assert est.num_rows == len(exact)
+    for day, e in zip(est["day"].to_pylist(), est["n_est"].to_pylist()):
+        x = exact[day]
+        # ±5% relative, with ±2 absolute slack for the tiny sf0.001
+        # windows (hash collisions dominate below ~50 distinct)
+        assert abs(e - x) <= max(0.05 * x, 2.0), (day, e, x)
