@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_daily_lang_drift": q.v_daily_lang_drift,
         "v_daily_lang_psi": q.v_daily_lang_psi,
         "v_count_anomaly": q.v_count_anomaly,
+        "v_ts_monotonic": q.v_ts_monotonic,
         "pages_rolling_distinct_7d": q.pages_rolling_distinct_7d,
         # approximate (HLL) — no SQL oracle by nature; ε-tested against
         # the exact rolling series in tests/test_sketches.py
@@ -1498,6 +1499,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PSI vs the corpus mixture; add-1/2 smoothing on both sides of the
         # log-ratio mirrors the engine exactly (PSI undefined at zero bins)
+        "v_ts_monotonic": f"""
+            WITH t AS (
+                SELECT url, warc_ts,
+                       regexp_extract(filename, '([^/]+)$', 1) AS file,
+                       file_row_number AS rn
+                FROM read_parquet('{_pages_fixture_glob()}',
+                                  filename=true, file_row_number=true)),
+            w AS (
+                SELECT file, url, warc_ts,
+                       max(warc_ts) OVER (
+                           PARTITION BY file ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+                FROM t)
+            SELECT file, url, warc_ts, prev_max
+            FROM w WHERE warc_ts < prev_max
+        """,
         "pages_rolling_distinct_7d": f"""
             WITH p AS (SELECT DISTINCT url, CAST(warc_ts AS DATE) AS day
                        FROM read_parquet('{_pages_fixture_glob()}')),

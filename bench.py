@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "v_wet_roundtrip",
     "s_dim_covar",
     "s_ann_filtered",
+    # round-4 fourth-session additions
+    "g_bfs_depth",
+    "pages_rolling_distinct_7d",
+    "v_count_anomaly",
+    "t_token_freq_cms",
 ]
 
 

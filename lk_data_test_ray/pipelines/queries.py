@@ -1600,6 +1600,58 @@ def pages_rolling_distinct_7d_hll(sf_dir: str) -> pa.Table:
     })
 
 
+def v_ts_monotonic(sf_dir: str) -> rd.Dataset:
+    """Per-file warc_ts monotonicity violations — the "monotonic-range"
+    half of the C4 constraint as first-class violation rows: within each
+    input file, IN ROW ORDER, flag every record whose warc_ts is older
+    than the running max of the records before it (an out-of-order fetch
+    in the segment). Order is a per-FILE property, so the plan is one
+    scan task per file (not per row-group slab): each task reads ONLY the
+    (url, warc_ts) columns of its file, runs one vectorized
+    ``np.maximum.accumulate``, and emits violation rows — no exchange at
+    all; 10^5 segment files = 10^5 independent tasks."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sources.scan import _parquet_files
+
+    fix = _pages_fixture(sf_dir)
+    files = _parquet_files(os.path.join(fix, "pages"))
+    ds = rd.from_arrow_refs([
+        ray.put(pa.table({"path": [f]})) for f in files])
+
+    out_schema = pa.schema([("file", pa.string()), ("url", pa.string()),
+                            ("warc_ts", pa.timestamp("us")),
+                            ("prev_max", pa.timestamp("us"))])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = [out_schema.empty_table()]
+        for p in batch["path"].to_pylist():
+            tbl = pq.ParquetFile(p).read(columns=["url", "warc_ts"])
+            ts = tbl["warc_ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            if len(ts) < 2:
+                continue
+            runmax = np.maximum.accumulate(ts)
+            bad = np.zeros(len(ts), bool)
+            bad[1:] = ts[1:] < runmax[:-1]
+            if not bad.any():
+                continue
+            idx = pa.array(np.flatnonzero(bad), pa.int64())
+            out.append(pa.table({
+                "file": pa.array([os.path.basename(p)] * len(idx)),
+                "url": tbl["url"].take(idx),
+                "warc_ts": tbl["warc_ts"].take(idx),
+                "prev_max": pa.array(
+                    runmax[:-1][bad[1:]], pa.timestamp("us")),
+            }, schema=out_schema))
+        return pa.concat_tables(out)
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=1)
+
+
 def a_lang_fractions(sf_dir: str) -> rd.Dataset:
     """Distribution check input (A7/C5, ≙ histogram reports
     ``check_fackel_references.py:32-37``): per-lang counts + fraction of
