@@ -539,3 +539,126 @@ def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
     return dist.map_batches(
         lambda b: pa.table({"node": b["node"], "depth": b["d"]}),
         batch_format="pyarrow")
+
+
+def hyperball_harmonic(edges: rd.Dataset, src_col: str, dst_col: str,
+                       p: int = 10, max_rounds: int = 30) -> rd.Dataset:
+    """HyperBall (Boldi & Vigna 2013): harmonic centrality of every node
+    of a DIRECTED graph from HyperLogLog ball counters — the all-pairs-
+    distance family made tractable at web scale, where exact harmonic
+    centrality is |V| BFS runs. Node v's counter estimates
+    |{u : d(u,v) ≤ t}| after round t (counters propagate ALONG edge
+    direction: whoever reaches w within t−1 reaches v=w→v within t);
+    harmonic centrality accumulates Σ_t (|B_t| − |B_{t−1}|)/t.
+
+    Distributed shape, per round: ONE hash join ships each node's 2^p-
+    byte counter to its out-neighbors, one grouped register-max merges
+    proposals with the node's own counter (sketch mergeability is what
+    makes the ball union associative), and the per-node harmonic
+    accumulator rides in the same dataset — state per node is 2^p bytes
+    + two floats, nothing driver-sized. Rounds = graph diameter.
+    Estimates are ε ≈ 1.04/√2^p; exactness is property-tested against
+    per-node BFS on small graphs.
+
+    Returns (node, harmonic) — reachability-weighted closeness, the
+    centrality Boldi & Vigna recommend for web graphs.
+    """
+    from ..relational import exchange_join, partial_groupby_agg
+    from ..sketches import HyperLogLog
+
+    m = 1 << p
+
+    def orient(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "a": batch[src_col].cast(pa.string()).combine_chunks(),
+            "b": batch[dst_col].cast(pa.string()).combine_chunks()})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    e = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        nodes = pc.unique(pa.concat_arrays(
+            [batch["a"].combine_chunks(), batch["b"].combine_chunks()]))
+        return pa.table({"node": nodes,
+                         "one": pa.array(np.ones(len(nodes), np.int64))})
+
+    nodes = partial_groupby_agg(
+        e.map_batches(node_rows, batch_format="pyarrow"),
+        ["node"], [("one", "sum", "_n")])
+
+    def init_counters(batch: pa.Table) -> pa.Table:
+        # vectorized singleton init: one scratch HLL yields (idx, rank)
+        # per node, scattered into an (n, m) zero register matrix
+        import pandas as pd
+
+        n = batch.num_rows
+        regs = np.zeros((n, m), np.uint8)
+        if n:
+            h = pd.util.hash_array(
+                batch["node"].to_numpy(zero_copy_only=False).astype(object),
+                categorize=False).astype(np.uint64)
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+            # same rank math as HyperLogLog.update_hashes, vectorized
+            # across rows (loop is over bit positions, not nodes)
+            lz = np.zeros(n, np.uint8)
+            mask = np.uint64(1) << np.uint64(63)
+            cur, alive = rest.copy(), np.ones(n, bool)
+            for _ in range(64 - p + 1):
+                alive &= (cur & mask) == 0
+                if not alive.any():
+                    break
+                lz[alive] += 1
+                cur = cur << np.uint64(1)
+            regs[np.arange(n), idx] = lz + 1
+        return pa.table({
+            "node": batch["node"],
+            "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+            "est_prev": pa.array(np.ones(n, np.float64)),
+            "h": pa.array(np.zeros(n, np.float64))})
+
+    state = nodes.map_batches(init_counters,
+                              batch_format="pyarrow").materialize()
+
+    for t in range(1, max_rounds + 1):
+        msgs = exchange_join(e, state, "a", "node").map_batches(
+            lambda b: pa.table({"node": b["b"], "regs": b["regs"],
+                                "est_prev": pa.nulls(b.num_rows,
+                                                     pa.float64()),
+                                "h": pa.nulls(b.num_rows, pa.float64())}),
+            batch_format="pyarrow")
+
+        def merge(group: pa.Table, _t=t) -> pa.Table:
+            regs = np.stack([np.frombuffer(x, np.uint8)
+                             for x in group["regs"].to_pylist()])
+            mx = regs.max(axis=0)
+            own = pc.is_valid(group["h"])
+            i = int(np.flatnonzero(own.to_numpy(zero_copy_only=False))[0])
+            est_prev = group["est_prev"][i].as_py()
+            h_acc = group["h"][i].as_py()
+            est = HyperLogLog(int(np.log2(len(mx))), mx).estimate()
+            h_acc += max(est - est_prev, 0.0) / _t
+            return pa.table({
+                "node": group["node"][:1],
+                "regs": pa.array([mx.tobytes()], pa.binary()),
+                "est_prev": pa.array([est], pa.float64()),
+                "h": pa.array([h_acc], pa.float64())})
+
+        new = msgs.union(state).groupby("node").map_groups(
+            merge, batch_format="pyarrow").materialize()
+        # convergence: total ball mass stopped growing
+        delta = new.map_batches(
+            lambda b: pa.table({"d": pa.array(
+                [float(np.sum(b["est_prev"].to_numpy(
+                    zero_copy_only=False)))], pa.float64())}),
+            batch_format="pyarrow").take_all()
+        grew = sum(r["d"] for r in delta)
+        prev_mass = sum(r["est_prev"] for r in state.select_columns(
+            ["est_prev"]).take_all())
+        state = new
+        if abs(grew - prev_mass) < 1e-9:
+            break
+
+    return state.map_batches(
+        lambda b: pa.table({"node": b["node"], "harmonic": b["h"]}),
+        batch_format="pyarrow")

@@ -1354,7 +1354,9 @@ def v_daily_lang_drift(sf_dir: str) -> pa.Table:
             "one": pa.array(np.ones(batch.num_rows, np.int64)),
         })
 
-    counts = partial_groupby_agg(
+    from ..relational import small_groupby_agg
+
+    counts = small_groupby_agg(
         pages.map_batches(day_lang, batch_format="pyarrow"),
         ["day", "lang"], [("one", "sum", "n")]).to_pandas()
     pivot = counts.pivot_table(index="day", columns="lang", values="n",
@@ -1394,7 +1396,9 @@ def v_daily_lang_psi(sf_dir: str) -> pa.Table:
             "one": pa.array(np.ones(batch.num_rows, np.int64)),
         })
 
-    counts = partial_groupby_agg(
+    from ..relational import small_groupby_agg
+
+    counts = small_groupby_agg(
         pages.map_batches(day_lang, batch_format="pyarrow"),
         ["day", "lang"], [("one", "sum", "n")]).to_pandas()
     pivot = counts.pivot_table(index="day", columns="lang", values="n",
@@ -1438,7 +1442,9 @@ def v_count_anomaly(sf_dir: str) -> pa.Table:
             "one": pa.array(np.ones(batch.num_rows, np.int64)),
         })
 
-    counts = partial_groupby_agg(
+    from ..relational import small_groupby_agg
+
+    counts = small_groupby_agg(
         pages.map_batches(day_one, batch_format="pyarrow"),
         ["day"], [("one", "sum", "n")]).to_pandas().sort_values("day")
     n = counts["n"].to_numpy(np.float64)
@@ -1454,7 +1460,7 @@ def v_count_anomaly(sf_dir: str) -> pa.Table:
     })
 
 
-def pages_rolling_distinct_7d(sf_dir: str) -> rd.Dataset:
+def pages_rolling_distinct_7d(sf_dir: str) -> pa.Table:
     """EXACT rolling 7-day distinct-URL count per day — the crawl
     novelty/coverage series ("how many unique pages did the last week
     touch?"). The naive plan runs one COUNT(DISTINCT) shuffle per window
@@ -1481,7 +1487,9 @@ def pages_rolling_distinct_7d(sf_dir: str) -> rd.Dataset:
         return pa.table({"url": batch["url"], "day": d}) \
             .group_by(["url", "day"]).aggregate([])  # per-batch distinct
 
-    ud = pages.map_batches(url_day, batch_format="pyarrow")
+    # materialized once: consumed by both the window counts and the
+    # days-present filter (per-batch-deduped pairs, far below input size)
+    ud = pages.map_batches(url_day, batch_format="pyarrow").materialize()
 
     part_schema = pa.schema([("d", pa.int32()), ("one", pa.int64())])
 
@@ -1511,31 +1519,30 @@ def pages_rolling_distinct_7d(sf_dir: str) -> rd.Dataset:
                          "one": pa.array(np.ones(len(d), np.int64))},
                         schema=part_schema)
 
-    counts = partial_groupby_agg(
+    from ..relational import small_groupby_agg
+
+    counts = small_groupby_agg(
         hash_repartition_map(ud, "url", contrib),
         ["d"], [("one", "sum", "n_distinct_7d")])
 
     # windows whose end day has no crawl rows are not reported: filter
-    # by the (tiny) set of days present, broadcast once
-    days_present = partial_groupby_agg(
+    # by the (tiny, driver-merged) set of days present
+    days_present = small_groupby_agg(
         ud.map_batches(lambda b: pa.table(
             {"day": b["day"],
              "one": pa.array(np.ones(b.num_rows, np.int64))}),
             batch_format="pyarrow"),
-        ["day"], [("one", "sum", "_n")]).take_all()
-    present = np.sort(np.array([r["day"] for r in days_present],
-                               np.int32))
+        ["day"], [("one", "sum", "_n")])
+    present = np.sort(days_present["day"].to_numpy(
+        zero_copy_only=False).astype(np.int32))
 
-    def finish(batch: pa.Table) -> pa.Table:
-        d32 = batch["d"].cast(pa.int32())      # groupby key may widen
-        keep = pc.is_in(d32, value_set=pa.array(present, pa.int32()))
-        t = pa.table({"d": d32, "n": batch["n_distinct_7d"]}).filter(keep)
-        return pa.table({
-            "day": pc.strftime(t["d"].cast(pa.date32()), format="%Y-%m-%d"),
-            "n_distinct_7d": t["n"],
-        })
-
-    return counts.map_batches(finish, batch_format="pyarrow")
+    d32 = counts["d"].cast(pa.int32())
+    keep = pc.is_in(d32, value_set=pa.array(present, pa.int32()))
+    t = pa.table({"d": d32, "n": counts["n_distinct_7d"]}).filter(keep)
+    return pa.table({
+        "day": pc.strftime(t["d"].cast(pa.date32()), format="%Y-%m-%d"),
+        "n_distinct_7d": t["n"],
+    })
 
 
 def pages_rolling_distinct_7d_hll(sf_dir: str) -> pa.Table:

@@ -268,7 +268,7 @@ def test_rolling_distinct_hll_tracks_exact(ray_session):
 
     sf = "/root/testdata/sf0.001"
     exact = {r["day"]: r["n_distinct_7d"]
-             for r in pages_rolling_distinct_7d(sf).take_all()}
+             for r in pages_rolling_distinct_7d(sf).to_pylist()}
     est = pages_rolling_distinct_7d_hll(sf)
     assert est.num_rows == len(exact)
     for day, e in zip(est["day"].to_pylist(), est["n_est"].to_pylist()):
