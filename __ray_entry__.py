@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pmi_top": q.t_pmi_top,
         "g_components": q.g_components,
         "g_bfs_depth": q.g_bfs_depth,
+        # approximate (HyperBall ball counters) — no SQL oracle by
+        # nature; small-graph exactness pytest-asserted
+        "g_harmonic_hyperball": q.g_harmonic_hyperball,
         "dd_substr_cut": q.dd_substr_cut,
         "td_pretrain_corpus": q.td_pretrain_corpus,
         "o_weighted_sample": q.o_weighted_sample,

@@ -611,15 +611,76 @@ def hyperball_harmonic(edges: rd.Dataset, src_col: str, dst_col: str,
                 lz[alive] += 1
                 cur = cur << np.uint64(1)
             regs[np.arange(n), idx] = lz + 1
+        # singleton estimate (linear counting, zeros = m−1) so round 1
+        # adds exactly the ball GROWTH, not the estimator's self bias
+        est0 = float(m) * np.log(m / (m - 1.0))
         return pa.table({
             "node": batch["node"],
             "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
-            "est_prev": pa.array(np.ones(n, np.float64)),
+            "est_prev": pa.array(np.full(n, est0, np.float64)),
             "h": pa.array(np.zeros(n, np.float64))})
 
     state = nodes.map_batches(init_counters,
                               batch_format="pyarrow").materialize()
 
+    out_schema = pa.schema([("node", pa.string()), ("regs", pa.binary()),
+                            ("est_prev", pa.float64()),
+                            ("h", pa.float64())])
+
+    def _regs_matrix(col: pa.ChunkedArray, n: int) -> np.ndarray:
+        """(n, m) uint8 view of a fixed-width binary column, zero-copy."""
+        arr = col.combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], np.int32,
+                            count=n + 1, offset=arr.offset * 4)
+        flat = np.frombuffer(arr.buffers()[2], np.uint8)
+        return flat[off[0]:off[n]].reshape(n, m)
+
+    def _estimates(regs: np.ndarray) -> np.ndarray:
+        """Row-wise HyperLogLog.estimate (identical math, vectorized)."""
+        fm = float(m)
+        alpha = 0.7213 / (1 + 1.079 / fm)
+        inv = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+        e = alpha * fm * fm / inv
+        zeros = (regs == 0).sum(axis=1)
+        small = (e <= 2.5 * fm) & (zeros > 0)
+        e[small] = fm * np.log(fm / zeros[small])
+        return e
+
+    def make_merge(t: int):
+        def merge_partition(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return out_schema.empty_table()
+            idx = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
+            tbl = tbl.take(idx)
+            n = tbl.num_rows
+            node = tbl["node"].to_numpy(zero_copy_only=False)
+            regs = _regs_matrix(tbl["regs"], n)
+            first = np.ones(n, bool)
+            first[1:] = node[1:] != node[:-1]
+            starts = np.flatnonzero(first)
+            grp = np.cumsum(first) - 1
+            mx = np.maximum.reduceat(regs, starts, axis=0)
+            g = len(starts)
+            h_arr = tbl["h"].to_numpy(zero_copy_only=False)
+            ep_arr = tbl["est_prev"].to_numpy(zero_copy_only=False)
+            own = ~np.isnan(h_arr)           # exactly one own row per node
+            h_g = np.zeros(g, np.float64)
+            ep_g = np.ones(g, np.float64)
+            h_g[grp[own]] = h_arr[own]
+            ep_g[grp[own]] = ep_arr[own]
+            est = _estimates(mx)
+            h_g += np.maximum(est - ep_g, 0.0) / t
+            return pa.table({
+                "node": pa.array(node[starts], pa.string()),
+                "regs": pa.array([r.tobytes() for r in mx], pa.binary()),
+                "est_prev": pa.array(est, pa.float64()),
+                "h": pa.array(h_g, pa.float64())}, schema=out_schema)
+        return merge_partition
+
+    from ..relational import hash_repartition_map
+
+    prev_mass = float(sum(r["est_prev"] for r in state.select_columns(
+        ["est_prev"]).take_all()))
     for t in range(1, max_rounds + 1):
         msgs = exchange_join(e, state, "a", "node").map_batches(
             lambda b: pa.table({"node": b["b"], "regs": b["regs"],
@@ -627,37 +688,18 @@ def hyperball_harmonic(edges: rd.Dataset, src_col: str, dst_col: str,
                                                      pa.float64()),
                                 "h": pa.nulls(b.num_rows, pa.float64())}),
             batch_format="pyarrow")
-
-        def merge(group: pa.Table, _t=t) -> pa.Table:
-            regs = np.stack([np.frombuffer(x, np.uint8)
-                             for x in group["regs"].to_pylist()])
-            mx = regs.max(axis=0)
-            own = pc.is_valid(group["h"])
-            i = int(np.flatnonzero(own.to_numpy(zero_copy_only=False))[0])
-            est_prev = group["est_prev"][i].as_py()
-            h_acc = group["h"][i].as_py()
-            est = HyperLogLog(int(np.log2(len(mx))), mx).estimate()
-            h_acc += max(est - est_prev, 0.0) / _t
-            return pa.table({
-                "node": group["node"][:1],
-                "regs": pa.array([mx.tobytes()], pa.binary()),
-                "est_prev": pa.array([est], pa.float64()),
-                "h": pa.array([h_acc], pa.float64())})
-
-        new = msgs.union(state).groupby("node").map_groups(
-            merge, batch_format="pyarrow").materialize()
+        new = hash_repartition_map(msgs.union(state), "node",
+                                   make_merge(t)).materialize()
         # convergence: total ball mass stopped growing
-        delta = new.map_batches(
+        mass = float(sum(r["d"] for r in new.map_batches(
             lambda b: pa.table({"d": pa.array(
-                [float(np.sum(b["est_prev"].to_numpy(
+                [float(np.nansum(b["est_prev"].to_numpy(
                     zero_copy_only=False)))], pa.float64())}),
-            batch_format="pyarrow").take_all()
-        grew = sum(r["d"] for r in delta)
-        prev_mass = sum(r["est_prev"] for r in state.select_columns(
-            ["est_prev"]).take_all())
+            batch_format="pyarrow").take_all()))
         state = new
-        if abs(grew - prev_mass) < 1e-9:
+        if abs(mass - prev_mass) < 1e-9:
             break
+        prev_mass = mass
 
     return state.map_batches(
         lambda b: pa.table({"node": b["node"], "harmonic": b["h"]}),

@@ -6159,6 +6159,41 @@ def g_bfs_depth(sf_dir: str) -> rd.Dataset:
     return bfs_depth(e, "src_host", "dst_host", n_seeds=3)
 
 
+def g_harmonic_hyperball(sf_dir: str) -> rd.Dataset:
+    """Harmonic centrality of every host via HyperBall (Boldi & Vigna
+    2013) — the web-graph centrality that is |V| BFS runs exactly, made
+    one-join-per-round with 2^p-byte HLL ball counters
+    (``graph.hyperball_harmonic``). Approximate by nature (ε ≈ 3% at
+    p=10) ⇒ no SQL oracle; exactness on small graphs and determinism
+    are pytest-asserted (tests/test_graph.py)."""
+    import os
+
+    from .graph import hyperball_harmonic
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": h1, "dst_host": h2})
+        return t.filter(pc.and_(pc.is_valid(h1), pc.is_valid(h2)))
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    out = hyperball_harmonic(e, "src_host", "dst_host", p=10)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "harmonic": pc.round(b["harmonic"], ndigits=4,
+                                 round_mode="half_towards_infinity")}),
+        batch_format="pyarrow")
+
+
 def td_pretrain_corpus(sf_dir: str) -> rd.Dataset:
     """End-to-end pretraining-corpus build over the documents table — the
     composition a corpus engineer actually runs, every stage an operator

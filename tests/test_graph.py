@@ -209,3 +209,39 @@ def test_bfs_depth_min_distance_and_reachability(ray_session):
     out = bfs_depth(rd.from_arrow(edges), "s", "t", n_seeds=2)
     got = {r["node"]: r["depth"] for r in out.take_all()}
     assert got == {"a0": 0, "a1": 0, "b": 1, "c": 2, "d": 1, "z": 2}
+
+
+def test_hyperball_harmonic_small_graph_exact(ray_session):
+    """At tiny cardinalities the HLL linear-counting range is exact, so
+    HyperBall must reproduce hand-computed harmonic centralities."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.graph import hyperball_harmonic
+
+    # a->b->c, a->c, d->a:  H(a)=1, H(b)=1.5, H(c)=2.5, H(d)=0
+    edges = pa.table({"s": ["a", "b", "a", "d"], "t": ["b", "c", "c", "a"]})
+    got = {r["node"]: r["harmonic"]
+           for r in hyperball_harmonic(rd.from_arrow(edges), "s", "t",
+                                       p=12).take_all()}
+    exact = {"a": 1.0, "b": 1.5, "c": 2.5, "d": 0.0}
+    for k, v in exact.items():
+        assert abs(got[k] - v) < 0.01, (k, got[k], v)
+
+
+def test_hyperball_harmonic_chain(ray_session):
+    """10-node directed chain: H(n_k) = sum_{i<=k} 1/i, and the round
+    loop must converge (diameter 9 < max_rounds)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.graph import hyperball_harmonic
+
+    edges = pa.table({"s": [f"n{i}" for i in range(9)],
+                      "t": [f"n{i+1}" for i in range(9)]})
+    got = {r["node"]: r["harmonic"]
+           for r in hyperball_harmonic(rd.from_arrow(edges), "s", "t",
+                                       p=12).take_all()}
+    for k in range(10):
+        exact = sum(1.0 / i for i in range(1, k + 1))
+        assert abs(got[f"n{k}"] - exact) < 0.02, (k, got[f"n{k}"], exact)
