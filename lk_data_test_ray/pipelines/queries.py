@@ -2959,7 +2959,7 @@ def dd_ngram_coverage(sf_dir: str, wire: str = "hash") -> rd.Dataset:
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
-def t_gram_novelty_daily(sf_dir: str) -> rd.Dataset:
+def t_gram_novelty_daily(sf_dir: str) -> pa.Table:
     """Daily n-gram NOVELTY over the crawl (the content-freshness decay
     curve a crawl operator monitors — as boilerplate saturates, the
     fraction of never-seen-before 5-grams per day falls): per day, the
@@ -3030,18 +3030,16 @@ def t_gram_novelty_daily(sf_dir: str) -> rd.Dataset:
             "n_novel": agg["novel_sum"].cast(pa.int64()),
         }, schema=out_schema)
 
+    from ..relational import small_groupby_agg
+
     partials = hash_repartition_map(pairs, "g", per_gram_partition)
-    per_day = partial_groupby_agg(
+    per_day = small_groupby_agg(       # day series: tree-fold, no exchange
         partials, ["day"],
         [("n_grams", "sum", "n_grams"), ("n_novel", "sum", "n_novel")])
-
-    def finish(batch: pa.Table) -> pa.Table:
-        frac = (batch["n_novel"].to_numpy(zero_copy_only=False)
-                / batch["n_grams"].to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "novelty", pa.array(round_half_away(frac, 6), pa.float64()))
-
-    return per_day.map_batches(finish, batch_format="pyarrow")
+    frac = (per_day["n_novel"].to_numpy(zero_copy_only=False)
+            / per_day["n_grams"].to_numpy(zero_copy_only=False))
+    return per_day.append_column(
+        "novelty", pa.array(round_half_away(frac, 6), pa.float64()))
 
 
 def t_bpe_merges(sf_dir: str) -> pa.Table:
