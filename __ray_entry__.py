@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_spectrum": q.mm_audio_spectrum,
         "e_cum_new_users": q.e_cum_new_users,
         "v_ship_before_order": q.v_ship_before_order,
+        "v_order_total_consistency": q.v_order_total_consistency,
         "e_dedup_consecutive": q.e_dedup_consecutive,
         "j_nearest_event": q.j_nearest_event,
         "j_interval_overlap": q.j_interval_overlap,
@@ -617,6 +618,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
                        AS cum_users
             FROM d
+        """,
+        "v_order_total_consistency": """
+            WITH s AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round((1.0 - l_discount) * 100) AS BIGINT)
+                           * CAST(round((1.0 + l_tax) * 100) AS BIGINT))
+                           AS computed_c6
+                FROM lineitem GROUP BY 1)
+            SELECT o.o_orderkey, o.o_totalprice, s.computed_c6,
+                   s.computed_c6
+                       - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+                       AS diff_c6
+            FROM orders o JOIN s ON o.o_orderkey = s.l_orderkey
+            WHERE s.computed_c6
+                  <> CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
         """,
         "v_ship_before_order": """
             SELECT l_orderkey, l_linenumber

@@ -6894,6 +6894,53 @@ def e_cum_new_users(sf_dir: str) -> rd.Dataset:
                                             batch_size=None)
 
 
+def v_order_total_consistency(sf_dir: str) -> rd.Dataset:
+    """Cross-TABLE aggregate consistency (the Deequ-style invariant one
+    step past FK integrity): every order's o_totalprice must equal the
+    sum over its lineitems of extendedprice·(1−discount)·(1+tax).
+    Exact fixed-point arithmetic end to end (micro-cents int64, the q1
+    convention — float64 partials drift ULPs at scale); the distributed
+    shape is map-side per-(batch, orderkey) partial sums → one hash
+    exchange keyed on orderkey joining the partials with orders →
+    violation rows where the exact integer diff ≠ 0. ≙ the reference's
+    expected-triple-count assertions, lifted to a per-entity invariant."""
+    from ..relational import exchange_join
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+        cents = np.round(price * 100.0).astype(np.int64)
+        amt = cents * np.round((1.0 - disc) * 100.0).astype(np.int64) \
+            * np.round((1.0 + tax) * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "amt_c6": pa.array(amt)})
+
+    sums = partial_groupby_agg(li, ["l_orderkey"],
+                               [("amt_c6", "sum", "computed_c6")], pre=pre)
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    j = exchange_join(orders, sums, "o_orderkey", "l_orderkey")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        total_c6 = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64) * 10_000
+        comp = batch["computed_c6"].to_numpy(zero_copy_only=False)
+        diff = comp - total_c6
+        bad = diff != 0
+        idx = pa.array(np.flatnonzero(bad), pa.int64())
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].take(idx),
+            "o_totalprice": batch["o_totalprice"].take(idx),
+            "computed_c6": batch["computed_c6"].take(idx),
+            "diff_c6": pa.array(diff[bad], pa.int64()),
+        })
+
+    return j.map_batches(flag, batch_format="pyarrow")
+
+
 def v_ship_before_order(sf_dir: str) -> rd.Dataset:
     """Cross-table temporal consistency check (the referential-integrity
     family of the flagship validator extended to a TEMPORAL invariant):
