@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_warc_source": q.v_warc_source,
         "v_warc_gz_source": q.v_warc_gz_source,
         "v_wet_roundtrip": q.v_wet_roundtrip,
+        "v_wat_roundtrip": q.v_wat_roundtrip,
         "v_warc_fetch": q.v_warc_fetch,
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
@@ -2452,6 +2453,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts,
                    length(text) AS n_chars,
                    md5(text) AS text_md5
+            FROM read_parquet('{_pages_fixture_glob()}')
+        """,
+        "v_wat_roundtrip": f"""
+            SELECT url, warc_ts,
+                   octet_length(html) AS content_length,
+                   length(text) AS text_len,
+                   lang
             FROM read_parquet('{_pages_fixture_glob()}')
         """,
         "a_corr_qty_price": """

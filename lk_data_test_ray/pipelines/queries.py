@@ -3595,6 +3595,42 @@ def v_wet_roundtrip(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(digest, batch_format="pyarrow")
 
 
+def v_wat_roundtrip(sf_dir: str) -> rd.Dataset:
+    """WAT sink + source parity — the METADATA member of the Common-
+    Crawl WARC/WAT/WET product trio: per-record JSON documents
+    (content_length of the raw html — JSON null for payload-missing
+    fetches — extracted-text length, lang) written as
+    ``wat/*.warc.wat.gz`` member-per-record gzip segments inside the
+    read tasks, parsed back one task per segment with VECTORIZED regex
+    field extraction (the JSON shape is fixed by the writer; no per-row
+    json.loads). The oracle recomputes every field from the original
+    parquet — a hash match proves the metadata round-tripped exactly,
+    nulls included."""
+    from ..sources.warc import ensure_warc_segments, read_warc
+
+    fix = _pages_fixture(sf_dir)
+    wat = ensure_warc_segments(fix, payload="wat")
+    ds = read_warc(wat)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        doc = batch["html"].cast(pa.string())   # payload = JSON bytes
+        cl = pc.struct_field(pc.extract_regex(
+            doc, r'"content_length":(?P<v>\d+)'), "v")
+        tl = pc.struct_field(pc.extract_regex(
+            doc, r'"text_len":(?P<v>\d+)'), "v")
+        lg = pc.struct_field(pc.extract_regex(
+            doc, r'"lang":"(?P<v>[^"]*)"'), "v")
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "content_length": cl.cast(pa.int64()),
+            "text_len": tl.cast(pa.int64()),
+            "lang": lg,
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def v_warc_gz_source(sf_dir: str) -> rd.Dataset:
     """S1 over COMPRESSED web-archive bytes: the fixture serialized as
     ``.warc.gz`` segments with each record its OWN gzip member (the actual

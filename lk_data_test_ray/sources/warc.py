@@ -242,6 +242,15 @@ def ensure_warc_segments(pages_fixture_dir: str,
     text as each record's payload — the Common-Crawl WET product shape,
     and the sink a 100-TB text-extraction job actually emits.
 
+    ``payload="wat"`` writes WAT-style metadata segments
+    (``wat/*.warc.wat.gz``): a small deterministic JSON document per
+    record — content_length of the raw html (JSON null when the fetch
+    had no payload), extracted-text length, and lang — the third member
+    of the Common-Crawl WARC/WAT/WET product trio. The JSON is built
+    VECTORIZED inside the write task (one binary_join_element_wise per
+    slab, no per-row Python), and payload bytes never cross the object
+    store.
+
     Distributed: one segment per (parquet file, row-group range) scan item,
     named after its item so the layout is deterministic and a rerun
     overwrites in place (S7's idempotent-reload contract).
@@ -251,6 +260,9 @@ def ensure_warc_segments(pages_fixture_dir: str,
     if payload == "text":
         compress = True
         out_dir = os.path.join(pages_fixture_dir, "wet")
+    elif payload == "wat":
+        compress = True
+        out_dir = os.path.join(pages_fixture_dir, "wat")
     else:
         out_dir = os.path.join(pages_fixture_dir,
                                "warc_gz" if compress else "warc")
@@ -277,15 +289,36 @@ def ensure_warc_segments(pages_fixture_dir: str,
                              batch["rg_lo"].to_pylist(),
                              batch["rg_hi"].to_pylist()):
             pf = pq.ParquetFile(p)
-            tbl = (pf.read_row_groups(list(range(lo, hi)),
-                                      columns=["url", "warc_ts", payload])
+            cols = (["url", "warc_ts", "html", "text", "lang"]
+                    if payload == "wat"
+                    else ["url", "warc_ts", payload])
+            tbl = (pf.read_row_groups(list(range(lo, hi)), columns=cols)
                    if hi > lo else None)
             if tbl is not None and payload == "text":
                 # WET conversion records: utf-8 text bytes as payload
                 tbl = tbl.set_column(tbl.schema.get_field_index("text"),
                                      "text", tbl["text"].cast(pa.binary()))
+            if tbl is not None and payload == "wat":
+                import pyarrow.compute as _pc
+                cl = _pc.fill_null(_pc.cast(_pc.binary_length(
+                    tbl["html"]), pa.string()), "null")
+                tl = _pc.fill_null(_pc.cast(_pc.utf8_length(
+                    tbl["text"]), pa.string()), "null")
+                lg = _pc.fill_null(_pc.binary_join_element_wise(
+                    pa.array(['"'] * tbl.num_rows),
+                    _pc.cast(tbl["lang"], pa.string()),
+                    pa.array(['"'] * tbl.num_rows), ""), "null")
+                doc = _pc.binary_join_element_wise(
+                    pa.array(['{"content_length":'] * tbl.num_rows),
+                    cl, pa.array([',"text_len":'] * tbl.num_rows), tl,
+                    pa.array([',"lang":'] * tbl.num_rows), lg,
+                    pa.array(["}"] * tbl.num_rows), "")
+                tbl = pa.table({"url": tbl["url"],
+                                "warc_ts": tbl["warc_ts"],
+                                "wat": doc.cast(pa.binary())})
             stem = os.path.splitext(os.path.basename(p))[0]
             ext = (".warc.wet.gz" if payload == "text"
+                   else ".warc.wat.gz" if payload == "wat"
                    else ".warc.gz" if compress else ".warc")
             name = os.path.join(out_dir, f"{stem}_rg{lo:05d}-{hi:05d}{ext}")
             tmp = name + ".tmp"
@@ -317,7 +350,8 @@ def read_warc(warc_dir: str) -> rd.Dataset:
     parser runs on the rejoined record stream."""
     segs = sorted(glob.glob(os.path.join(warc_dir, "*.warc"))
                   + glob.glob(os.path.join(warc_dir, "*.warc.gz"))
-                  + glob.glob(os.path.join(warc_dir, "*.warc.wet.gz")))
+                  + glob.glob(os.path.join(warc_dir, "*.warc.wet.gz"))
+                  + glob.glob(os.path.join(warc_dir, "*.warc.wat.gz")))
     if not segs:
         raise FileNotFoundError(f"no .warc[.gz] segments under {warc_dir}")
 
