@@ -510,29 +510,83 @@ def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
         "d": pa.array(np.zeros(len(seeds), np.int64))})).materialize()
     frontier = dist
 
+    from ..relational import hash_repartition_map
+
+    st_schema = pa.schema([("node", pa.string()), ("d", pa.int64()),
+                           ("improved", pa.bool_())])
+
+    def merge_round(tbl: pa.Table) -> pa.Table:
+        """min proposal per node + improved flag in ONE pass (old rows
+        carry is_old=1): saves the separate new↔old join per round."""
+        if tbl.num_rows == 0:
+            return st_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
+        tbl = tbl.take(idx)
+        node = tbl["node"].to_numpy(zero_copy_only=False)
+        d = tbl["d"].to_numpy(zero_copy_only=False)
+        is_old = tbl["is_old"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(node), bool)
+        first[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        dmin = np.minimum.reduceat(d, starts)
+        g = len(starts)
+        old_d = np.full(g, np.iinfo(np.int64).max)
+        om = is_old.astype(bool)
+        old_d[grp[om]] = d[om]
+        return pa.table({
+            "node": pa.array(node[starts], pa.string()),
+            "d": pa.array(dmin, pa.int64()),
+            "improved": pa.array(dmin < old_d),
+        }, schema=st_schema)
+
+    import ray
+
     for _ in range(max_rounds):
-        msgs = exchange_join(e, frontier, "a", "node").map_batches(
-            lambda b: pa.table({"node": b["b"],
-                                "d": pc.add(b["d"], 1)}),
-            batch_format="pyarrow")
-        new = partial_groupby_agg(msgs.union(dist), ["node"],
-                                  [("d", "min", "d")]).materialize()
-        old = dist.map_batches(
-            lambda b: pa.table({"node2": b["node"], "d_old": b["d"]}),
-            batch_format="pyarrow")
-        j = exchange_join(new, old, "node", "node2", "left_outer",
-                          coalesce_keys=False)
+        # frontier is one BFS LEVEL (≤ the widest level of the graph, KBs
+        # to a few MB on web host graphs) → broadcast it ONCE via ray.put
+        # and probe the materialized edge blocks IN PLACE with a local
+        # Acero join — the edge table never re-enters an exchange (the
+        # naive exchange_join(e, frontier) re-shipped all |E| rows every
+        # round: 495k edges × depth at sf0.1). A 10^10-node graph with
+        # billion-row levels would want the bucketed pre-partitioned-edge
+        # variant instead; noted as the escape hatch.
+        blks = [blk if isinstance(blk, pa.Table)
+                else pa.Table.from_batches([blk])
+                for blk in ray.get(frontier.to_arrow_refs())]
+        # zero-row blocks can surface with an EMPTY schema at raw
+        # to_arrow_refs consumers (see functions/bpe.py:step_task) —
+        # drop them before concat
+        blks = [b for b in blks if b.num_rows > 0]
+        if not blks:
+            break
+        fr_tbl = pa.concat_tables(blks).combine_chunks()
+        fr_ref = ray.put(fr_tbl.rename_columns(["fnode", "fd"]))
 
-        def improved(b: pa.Table) -> pa.Table:
-            keep = pc.or_kleene(
-                pc.is_null(b["d_old"]),
-                pc.less(b["d"], pc.fill_null(b["d_old"], 0)))
-            t = b.filter(pc.fill_null(keep, True))
-            return pa.table({"node": t["node"], "d": t["d"]})
+        def probe(batch: pa.Table, _ref=fr_ref) -> pa.Table:
+            fr = ray.get(_ref)
+            j = batch.join(fr, keys=["a"], right_keys=["fnode"],
+                           join_type="inner")
+            return pa.table({
+                "node": j["b"], "d": pc.add(j["fd"], 1),
+                "is_old": pa.array(np.zeros(j.num_rows, np.int8))})
 
-        frontier = j.map_batches(improved,
-                                 batch_format="pyarrow").materialize()
-        dist = new
+        msgs = e.map_batches(probe, batch_format="pyarrow")
+        tagged = dist.map_batches(
+            lambda b: pa.table({
+                "node": b["node"], "d": b["d"],
+                "is_old": pa.array(np.ones(b.num_rows, np.int8))}),
+            batch_format="pyarrow")
+        new = hash_repartition_map(msgs.union(tagged), "node",
+                                   merge_round).materialize()
+        frontier = new.map_batches(
+            lambda b: (lambda t: pa.table({"node": t["node"],
+                                           "d": t["d"]}))(
+                b.filter(b["improved"])),
+            batch_format="pyarrow").materialize()
+        dist = new.map_batches(
+            lambda b: pa.table({"node": b["node"], "d": b["d"]}),
+            batch_format="pyarrow").materialize()
         if frontier.count() == 0:
             break
 
