@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_tokens_approx": q.t_top_tokens_approx,
         "t_token_freq_cms": q.t_token_freq_cms,
         "s_label_centroids": q.s_label_centroids,
+        # eigendecomposition isn't SQL-expressible — rows-only driver
+        # check; equality to direct numpy PCA pytest-asserted
+        "s_pca_project": q.s_pca_project,
         "a_median_price_exact": q.a_median_price_exact,
         "t_top_bigrams": q.t_top_bigrams,
         "t_bigram_lm_score": q.t_bigram_lm_score,

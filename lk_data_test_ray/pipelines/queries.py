@@ -4215,6 +4215,67 @@ def t_token_freq_cms(sf_dir: str) -> pa.Table:
     })
 
 
+def s_pca_project(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """PCA projection of the embedding corpus onto its top-``k``
+    principal components — the whitening / dimensionality-reduction
+    stage an ANN or clustering pipeline runs before indexing. Pass 1:
+    one (ndim×ndim Σxxᵀ, Σx, n) moment partial per BLOCK (a single
+    mᵀm matmul over the zero-copy flat buffer; one ~33 KB row per block
+    crosses the wire, never a vector), summed on the driver. Driver:
+    eigendecomposition of the 64×64 covariance (O(ndim³), trivial),
+    deterministic eigenvector signs (largest-|entry| component made
+    positive). Pass 2: components broadcast once via the closure; each
+    batch projects with one centered matmul. Approximate-free but not
+    SQL-expressible (eigh) ⇒ rows-only driver check; equality to direct
+    numpy PCA is pytest-asserted."""
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    mom_schema = pa.schema([("sxx", pa.list_(pa.float64())),
+                            ("sx", pa.list_(pa.float64())),
+                            ("n", pa.int64())])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return mom_schema.empty_table()
+        arr = batch["embedding"].combine_chunks()
+        ndim = len(arr[0])
+        m = np.asarray(arr.values, dtype=np.float64).reshape(-1, ndim)
+        return pa.table({
+            "sxx": pa.array([(m.T @ m).ravel()]),
+            "sx": pa.array([m.sum(axis=0)]),
+            "n": pa.array([m.shape[0]], pa.int64()),
+        }, schema=mom_schema)
+
+    rows = emb.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    sx = np.sum([r["sx"] for r in rows], axis=0)
+    ndim = len(sx)
+    sxx = np.sum([r["sxx"] for r in rows], axis=0).reshape(ndim, ndim)
+    mean = sx / n
+    cov = (sxx - np.outer(sx, sx) / n) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, np.argsort(w)[::-1][:k]]          # (ndim, k), desc var
+    # deterministic signs: largest-|entry| coordinate made positive
+    flip = comp[np.abs(comp).argmax(axis=0), np.arange(k)] < 0
+    comp[:, flip] *= -1.0
+
+    def project(batch: pa.Table, _mean=mean, _comp=comp) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("proj", pa.list_(pa.float64()))]) \
+                .empty_table()
+        arr = batch["embedding"].combine_chunks()
+        m = np.asarray(arr.values, dtype=np.float64).reshape(-1, len(_mean))
+        p = (m - _mean) @ _comp
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "proj": pa.array(list(np.round(p, 6)),
+                             pa.list_(pa.float64())),
+        })
+
+    return emb.map_batches(project, batch_format="pyarrow")
+
+
 def s_label_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label embedding centroids (one k-means M-step / class
     prototypes): map-side float64 (sum, n) partials per (label, dim) from

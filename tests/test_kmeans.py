@@ -50,3 +50,29 @@ def test_kmeans_matches_numpy(ray_session):
     norms = np.sqrt((cents * cents).sum(1))
     assert np.allclose(out["centroid_norm"].to_numpy(), norms,
                        rtol=1e-9, atol=1e-6)
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed moment-partial PCA equals direct numpy PCA (same
+    sign convention) on the raw parquet."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.queries import s_pca_project
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: np.array(r["proj"])
+           for r in s_pca_project(sf, k=4).take_all()}
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_pylist()
+    cov = np.cov(m, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, np.argsort(w)[::-1][:4]]
+    flip = comp[np.abs(comp).argmax(axis=0), np.arange(4)] < 0
+    comp[:, flip] *= -1.0
+    exact = (m - m.mean(axis=0)) @ comp
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], exact[i], atol=1e-5), vid
