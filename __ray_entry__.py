@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate (HyperBall ball counters) — no SQL oracle by
         # nature; small-graph exactness pytest-asserted
         "g_harmonic_hyperball": q.g_harmonic_hyperball,
+        # iterative peeling — rows-only; cascade semantics pytest-asserted
+        "g_kcore": q.g_kcore,
         "dd_substr_cut": q.dd_substr_cut,
         "td_pretrain_corpus": q.td_pretrain_corpus,
         "o_weighted_sample": q.o_weighted_sample,

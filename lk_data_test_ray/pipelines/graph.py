@@ -758,3 +758,54 @@ def hyperball_harmonic(edges: rd.Dataset, src_col: str, dst_col: str,
     return state.map_batches(
         lambda b: pa.table({"node": b["node"], "harmonic": b["h"]}),
         batch_format="pyarrow")
+
+
+def kcore(edges: rd.Dataset, src_col: str, dst_col: str, k: int = 3,
+          max_rounds: int = 50) -> rd.Dataset:
+    """The k-core of an UNDIRECTED graph — iteratively peel every node
+    of degree < k until the survivor set is stable (Seidman 1983). The
+    dense backbone a crawl scheduler treats as the "established web";
+    spam farms and fringe hosts fall out in the first peels.
+
+    Distributed shape, per round: one grouped count (degrees from the
+    both-ways-oriented live edge list) + two hash-exchange SEMI-joins
+    (edges to surviving src, then surviving dst) — nodes and edges
+    stream as Datasets throughout, the driver sees only the live-edge
+    count scalar. Rounds = peeling depth (real graphs: shallow; each
+    round strictly shrinks the edge set or stops).
+
+    Returns (node, degree) of the k-core members with their in-core
+    degree.
+    """
+    from ..relational import exchange_join, partial_groupby_agg
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].cast(pa.string())
+        b = batch[dst_col].cast(pa.string())
+        t = pa.table({"a": pa.concat_arrays(
+            [a.combine_chunks(), b.combine_chunks()]),
+            "b": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+        t = t.filter(pc.invert(pc.equal(t["a"], t["b"])))  # no self-loops
+        return t.group_by(["a", "b"]).aggregate([])
+
+    live = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    n_live = live.count()
+
+    for _ in range(max_rounds):
+        deg = partial_groupby_agg(live, ["a"], [("b", "count", "deg")])
+        keep = deg.filter(expr=f"deg >= {k}").map_batches(
+            lambda b: pa.table({"node": b["a"]}), batch_format="pyarrow")
+        half = exchange_join(live, keep, "a", "node", "left_semi")
+        new = exchange_join(half, keep, "b", "node",
+                            "left_semi").materialize()
+        n_new = new.count()
+        if n_new == n_live:
+            break
+        live, n_live = new, n_new
+        if n_live == 0:
+            break
+
+    return partial_groupby_agg(live, ["a"], [("b", "count", "degree")]) \
+        .map_batches(lambda b: pa.table({"node": b["a"],
+                                         "degree": b["degree"]}),
+                     batch_format="pyarrow")

@@ -6289,6 +6289,34 @@ def g_harmonic_hyperball(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def g_kcore(sf_dir: str) -> rd.Dataset:
+    """3-core of the undirected host graph (iterative peeling,
+    ``graph.kcore``): the dense backbone left after every host with
+    fewer than 3 distinct neighbors is repeatedly removed. Iterative ⇒
+    rows-only driver check; the peeling-cascade semantics are
+    pytest-asserted on hand graphs (K4 + pendant chain, path→empty)."""
+    import os
+
+    from .graph import kcore
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": h1, "dst_host": h2})
+        return t.filter(pc.and_(pc.is_valid(h1), pc.is_valid(h2)))
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    return kcore(e, "src_host", "dst_host", k=3)
+
+
 def td_pretrain_corpus(sf_dir: str) -> rd.Dataset:
     """End-to-end pretraining-corpus build over the documents table — the
     composition a corpus engineer actually runs, every stage an operator

@@ -245,3 +245,33 @@ def test_hyperball_harmonic_chain(ray_session):
     for k in range(10):
         exact = sum(1.0 / i for i in range(1, k + 1))
         assert abs(got[f"n{k}"] - exact) < 0.02, (k, got[f"n{k}"], exact)
+
+
+def test_kcore_peeling_cascade(ray_session):
+    """K4 + a pendant chain: the 3-core is exactly the K4; the chain
+    peels away over multiple cascading rounds."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.graph import kcore
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    edges = pa.table({"s": [x for x, _ in k4 + chain],
+                      "t": [y for _, y in k4 + chain]})
+    got = {r["node"]: r["degree"]
+           for r in kcore(rd.from_arrow(edges), "s", "t", k=3).take_all()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_empty_when_k_too_high(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.graph import kcore
+
+    edges = pa.table({"s": ["a", "b"], "t": ["b", "c"]})
+    out = kcore(rd.from_arrow(edges), "s", "t", k=2)
+    # a path has no 2-core
+    assert out.count() == 0
