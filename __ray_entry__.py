@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate (HLL) — no SQL oracle by nature; ε-tested against
         # the exact rolling series in tests/test_sketches.py
         "pages_rolling_distinct_7d_hll": q.pages_rolling_distinct_7d_hll,
+        # approximate (t-digest window merge) — ε-tested vs exact
+        # per-window quantiles in tests/test_sketches.py
+        "pages_rolling_p95_len_7d": q.pages_rolling_p95_len_7d,
         "v_zorder_prune": q.v_zorder_prune,
         # dedup family
         "dd_exact": _dd_exact,

@@ -1659,6 +1659,67 @@ def v_ts_monotonic(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(scan, batch_format="pyarrow", batch_size=1)
 
 
+def pages_rolling_p95_len_7d(sf_dir: str) -> pa.Table:
+    """Rolling 7-day p95 of extracted-text length — the windowed
+    QUANTILE companion to ``pages_rolling_distinct_7d_hll``: one
+    mergeable t-digest per (block, day) partial, per-day merge in one
+    tiny groupby, then each window's digest is the MERGE of its ≤7 day
+    digests (t-digest mergeability doing the window — no second pass
+    over the data, constant bytes per day on the wire). Approximate by
+    construction ⇒ no SQL oracle; the series is ε-tested against exact
+    per-window quantiles in tests/test_sketches.py."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from lk_data_test_ray.sketches import TDigest as _TD
+
+        day = pc.cast(pc.cast(batch["warc_ts"], pa.date32()), pa.int32())
+        ln = pc.fill_null(pc.utf8_length(batch["text"]), 0)
+        t = pa.table({"day": day, "len": ln})
+        g = t.group_by(["day"]).aggregate([("len", "list")])
+        days, blobs = [], []
+        for i in range(g.num_rows):
+            d = _TD()
+            d.update(np.asarray(g["len_list"][i].as_py(), np.float64))
+            days.append(g["day"][i].as_py())
+            blobs.append(d.to_bytes())
+        return pa.table({"day": pa.array(days, pa.int32()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    def merge_day(group: pa.Table) -> pa.Table:
+        from lk_data_test_ray.sketches import TDigest as _TD
+
+        d = _TD.merge_many([_TD.from_bytes(b)
+                            for b in group["sketch"].to_pylist()])
+        return pa.table({"day": group["day"][:1],
+                         "sketch": pa.array([d.to_bytes()], pa.binary())})
+
+    rows = pages.map_batches(partials, batch_format="pyarrow") \
+                .groupby("day").map_groups(merge_day,
+                                           batch_format="pyarrow") \
+                .take_all()                    # one small digest per day
+    from ..sketches import TDigest
+
+    rows.sort(key=lambda r: r["day"])
+    days = np.array([r["day"] for r in rows], np.int32)
+    digs = [TDigest.from_bytes(r["sketch"]) for r in rows]
+    p95 = []
+    for i in range(len(days)):
+        win = [digs[j] for j in range(len(days))
+               if days[i] - 6 <= days[j] <= days[i]]
+        p95.append(TDigest.merge_many(win).quantile(0.95))
+    return pa.table({
+        "day": pc.strftime(pa.array(days, pa.int32()).cast(pa.date32()),
+                           format="%Y-%m-%d"),
+        "p95_len_est": pa.array(round_half_away(np.array(p95), 2),
+                                pa.float64()),
+    })
+
+
 def a_lang_fractions(sf_dir: str) -> rd.Dataset:
     """Distribution check input (A7/C5, ≙ histogram reports
     ``check_fackel_references.py:32-37``): per-lang counts + fraction of

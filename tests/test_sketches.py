@@ -276,3 +276,36 @@ def test_rolling_distinct_hll_tracks_exact(ray_session):
         # ±5% relative, with ±2 absolute slack for the tiny sf0.001
         # windows (hash collisions dominate below ~50 distinct)
         assert abs(e - x) <= max(0.05 * x, 2.0), (day, e, x)
+
+
+def test_rolling_p95_tracks_exact(ray_session):
+    """Windowed t-digest p95 stays within 10% of the exact per-window
+    quantile, day by day."""
+    import duckdb
+    import glob as _glob
+
+    from lk_data_test_ray.pipelines.queries import (_pages_fixture,
+                                                    pages_rolling_p95_len_7d)
+
+    # sf0.01: ~140 values per window — below that, interpolation
+    # conventions (centroid vs index) dominate the comparison
+    sf = "/root/testdata/sf0.01"
+    est = pages_rolling_p95_len_7d(sf)
+    fix = _pages_fixture(sf)
+    g = _glob.glob(f"{fix}/pages/*.parquet")
+    exact = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(f"""
+        WITH t AS (SELECT CAST(warc_ts AS DATE) AS day,
+                          coalesce(length(text), 0) AS ln
+                   FROM read_parquet({g!r})),
+        days AS (SELECT DISTINCT day FROM t)
+        SELECT strftime(d.day, '%Y-%m-%d'),
+               quantile_cont(t.ln, 0.90), quantile_cont(t.ln, 0.99)
+        FROM days d JOIN t ON t.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1""").fetchall()}
+    assert est.num_rows == len(exact)
+    for day, e in zip(est["day"].to_pylist(),
+                      est["p95_len_est"].to_pylist()):
+        lo, hi = exact[day]
+        # RANK tolerance (the honest bound for sparse upper tails):
+        # the p95 estimate must land inside the exact [p90, p99] band
+        assert lo - 1e-9 <= e <= hi + 1e-9, (day, e, lo, hi)
