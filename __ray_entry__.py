@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cum_new_users": q.e_cum_new_users,
         "v_ship_before_order": q.v_ship_before_order,
         "v_order_total_consistency": q.v_order_total_consistency,
+        "v_hive_partitioned_write": q.v_hive_partitioned_write,
         "e_dedup_consecutive": q.e_dedup_consecutive,
         "j_nearest_event": q.j_nearest_event,
         "j_interval_overlap": q.j_interval_overlap,
@@ -627,6 +628,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
                        AS cum_users
             FROM d
+        """,
+        "v_hive_partitioned_write": """
+            SELECT lang, count(doc_id) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
         """,
         "v_order_total_consistency": """
             WITH s AS (

@@ -7127,6 +7127,35 @@ def v_order_total_consistency(sf_dir: str) -> rd.Dataset:
     return j.map_batches(flag, batch_format="pyarrow")
 
 
+def v_hive_partitioned_write(sf_dir: str) -> rd.Dataset:
+    """Hive-partitioned parquet sink roundtrip (S3 family at the layout
+    real lakes use): documents written ``lang=<x>/...parquet`` via
+    ``write_parquet(partition_cols=["lang"])`` — one directory per
+    partition value, the layout that makes downstream lang-filtered
+    reads PRUNE AT THE LISTING (and failed runs resumable per
+    partition) — then read back with the partition value recovered from
+    the directory key, grouped and compared to the source table. The
+    write lands under /tmp keyed by (sf, row count) so reruns are
+    idempotent."""
+    import os
+
+    from ray.data.datasource.partitioning import Partitioning
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    n = docs.count()
+    out = f"/tmp/lk_hive/{os.path.basename(os.path.normpath(sf_dir))}_{n}"
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        docs.write_parquet(out, partition_cols=["lang"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    back = rd.read_parquet(out, partitioning=Partitioning("hive"))
+    return partial_groupby_agg(
+        back, ["lang"],
+        [("doc_id", "count", "n_docs"), ("n_chars", "sum", "sum_chars")])
+
+
 def v_ship_before_order(sf_dir: str) -> rd.Dataset:
     """Cross-table temporal consistency check (the referential-integrity
     family of the flagship validator extended to a TEMPORAL invariant):
