@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_fuzzy_name_match": q.j_fuzzy_name_match,
         "t_top_tokens_approx": q.t_top_tokens_approx,
         "t_token_freq_cms": q.t_token_freq_cms,
+        "t_top_tokens_per_lang": q.t_top_tokens_per_lang,
         "s_label_centroids": q.s_label_centroids,
         # eigendecomposition isn't SQL-expressible — rows-only driver
         # check; equality to direct numpy PCA pytest-asserted
@@ -1477,6 +1478,18 @@ def oracle_sql() -> dict[str, str]:
         # token collides in all 4 rows, so every estimate equals the
         # exact count (verified at sf0.001/0.01/0.1) — the ε-bound /
         # collision path is exercised on Zipf data in test_sketches.py
+        # fixture vocabulary << m=128 ⇒ MG bounds are tight (lo = exact),
+        # so the grouped heavy-hitter query is fully oracle-checkable;
+        # ties broken token-ascending in both engines
+        "t_top_tokens_per_lang": f"""
+            SELECT lang, token, n FROM (
+                SELECT lang, token, count(*) AS n,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY count(*) DESC, token ASC) AS rk
+                FROM (SELECT lang, unnest({_TOKS}) AS token FROM documents)
+                GROUP BY lang, token)
+            WHERE rk <= 5
+        """,
         "t_token_freq_cms": f"""
             SELECT token, CAST(n AS BIGINT) AS n_est
             FROM (SELECT token, count(*) AS n

@@ -4276,6 +4276,58 @@ def t_token_freq_cms(sf_dir: str) -> pa.Table:
     })
 
 
+def t_top_tokens_per_lang(sf_dir: str) -> rd.Dataset:
+    """GROUPED heavy hitters: each lang's top-5 tokens via per-(block,
+    lang) Misra-Gries partials OR-merged per lang — the grouped-sketch
+    shape next to the grouped HLL (``a_distinct_users_hll``) and grouped
+    t-digest (``t_quantiles_sketch``): at 10^12 tokens each block ships
+    one constant-size sketch PER LANG it touches, never a token table.
+    The fixture vocabulary is far below m=128, so bounds are tight
+    (lo = hi = exact) and the query is fully oracle-checkable; the
+    truncation path is Zipf-tested in test_sketches.py."""
+    from ..sketches import ApproxTopK
+
+    docs = read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from lk_data_test_ray.sketches import ApproxTopK as _ATK
+
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch["text"].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = batch["lang"].take(parent)
+        t = pa.table({"lang": lang, "tok": flat})
+        g = t.group_by(["lang", "tok"]).aggregate([("tok", "count")])
+        langs, blobs = [], []
+        lt = g.group_by(["lang"]).aggregate(
+            [("tok", "list"), ("tok_count", "list")])
+        for i in range(lt.num_rows):
+            sk = _ATK.from_counts(
+                np.asarray(lt["tok_list"][i].as_py(), object),
+                np.asarray(lt["tok_count_list"][i].as_py(), np.int64),
+                m=128)
+            langs.append(lt["lang"][i].as_py())
+            blobs.append(sk.to_bytes())
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        from lk_data_test_ray.sketches import ApproxTopK as _ATK
+
+        sk = _ATK.merge_many([_ATK.from_bytes(b)
+                              for b in group["sketch"].to_pylist()])
+        rows = sk.top(5)
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()] * len(rows)),
+            "token": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        })
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+               .groupby("lang").map_groups(merge, batch_format="pyarrow")
+
+
 def s_pca_project(sf_dir: str, k: int = 8) -> rd.Dataset:
     """PCA projection of the embedding corpus onto its top-``k``
     principal components — the whitening / dimensionality-reduction
