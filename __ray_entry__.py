@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ship_before_order": q.v_ship_before_order,
         "v_order_total_consistency": q.v_order_total_consistency,
         "v_hive_partitioned_write": q.v_hive_partitioned_write,
+        "v_gap_days": q.v_gap_days,
         "e_dedup_consecutive": q.e_dedup_consecutive,
         "j_nearest_event": q.j_nearest_event,
         "j_interval_overlap": q.j_interval_overlap,
@@ -629,6 +630,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
                        AS cum_users
             FROM d
+        """,
+        "v_gap_days": f"""
+            WITH obs AS (SELECT DISTINCT CAST(warc_ts AS DATE) AS day
+                         FROM read_parquet('{_pages_fixture_glob()}')),
+            span AS (SELECT unnest(generate_series(
+                         (SELECT min(day) FROM obs),
+                         (SELECT max(day) FROM obs),
+                         INTERVAL 1 DAY))::DATE AS day)
+            SELECT strftime(s.day, '%Y-%m-%d') AS day
+            FROM span s ANTI JOIN obs o ON s.day = o.day
         """,
         "v_hive_partitioned_write": """
             SELECT lang, count(doc_id) AS n_docs,

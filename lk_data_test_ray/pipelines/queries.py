@@ -7208,6 +7208,39 @@ def v_hive_partitioned_write(sf_dir: str) -> rd.Dataset:
         [("doc_id", "count", "n_docs"), ("n_chars", "sum", "sum_chars")])
 
 
+def v_gap_days(sf_dir: str) -> pa.Table:
+    """Calendar-gap detection (the feed-outage monitoring check next to
+    ``v_count_anomaly``'s volume rule): every day inside the crawl's
+    [min, max] date span with ZERO rows. Day-count partials tree-fold
+    to the driver (the series is driver-sized by definition); the gap
+    scan is one np.setdiff1d over epoch-day ints. Oracle:
+    generate_series over the span anti-joined to the observed days."""
+    import os
+
+    from ..relational import small_groupby_agg
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts"])
+
+    def day_one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.cast(pc.cast(batch["warc_ts"], pa.date32()),
+                           pa.int32()),
+            "one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    counts = small_groupby_agg(
+        pages.map_batches(day_one, batch_format="pyarrow"),
+        ["day"], [("one", "sum", "n")])
+    present = counts["day"].to_numpy(zero_copy_only=False).astype(np.int32)
+    span = np.arange(present.min(), present.max() + 1, dtype=np.int32)
+    gaps = np.setdiff1d(span, present)
+    return pa.table({
+        "day": pc.strftime(pa.array(gaps, pa.int32()).cast(pa.date32()),
+                           format="%Y-%m-%d"),
+    })
+
+
 def v_ship_before_order(sf_dir: str) -> rd.Dataset:
     """Cross-table temporal consistency check (the referential-integrity
     family of the flagship validator extended to a TEMPORAL invariant):
