@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_order_total_consistency": q.v_order_total_consistency,
         "v_hive_partitioned_write": q.v_hive_partitioned_write,
         "v_gap_days": q.v_gap_days,
+        "o_skyline_orders": q.o_skyline_orders,
         "e_dedup_consecutive": q.e_dedup_consecutive,
         "j_nearest_event": q.j_nearest_event,
         "j_interval_overlap": q.j_interval_overlap,
@@ -630,6 +631,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
                        AS cum_users
             FROM d
+        """,
+        "o_skyline_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders s
+                WHERE s.o_totalprice <= r.o_totalprice
+                  AND s.o_orderdate >= r.o_orderdate
+                  AND (s.o_totalprice < r.o_totalprice
+                       OR s.o_orderdate > r.o_orderdate))
         """,
         "v_gap_days": f"""
             WITH obs AS (SELECT DISTINCT CAST(warc_ts AS DATE) AS day

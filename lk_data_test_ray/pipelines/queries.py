@@ -7208,6 +7208,51 @@ def v_hive_partitioned_write(sf_dir: str) -> rd.Dataset:
         [("doc_id", "count", "n_docs"), ("n_chars", "sum", "sum_chars")])
 
 
+def o_skyline_orders(sf_dir: str) -> pa.Table:
+    """2-D skyline / Pareto frontier (the preference-query operator):
+    orders not DOMINATED by any other — dominator = lower-or-equal
+    price AND later-or-equal date, strict in at least one. The
+    distributed identity: skyline(S) = skyline(⋃ skyline(blockᵢ)) —
+    local skylines are tiny on real data (O(log n) expected for
+    independent dims), so each block reduces to a handful of frontier
+    rows before one final pass. The local kernel is fully vectorized:
+    sort by (price asc, date desc); a row survives iff its date exceeds
+    the running max date over all STRICTLY cheaper rows and equals its
+    own price group's max date (duplicate frontier points all kept, the
+    NOT EXISTS semantics)."""
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("o_totalprice", "ascending"), ("o_orderdate", "descending")])
+        t = batch.take(idx)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        date = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        new_grp = np.ones(len(price), bool)
+        new_grp[1:] = price[1:] != price[:-1]
+        starts = np.flatnonzero(new_grp)
+        grp = np.cumsum(new_grp) - 1
+        gmax = np.maximum.reduceat(date, starts)       # max date per price
+        # running max date over STRICTLY cheaper groups (exclusive)
+        prev = np.full(len(gmax), np.iinfo(np.int64).min)
+        if len(gmax) > 1:
+            prev[1:] = np.maximum.accumulate(gmax)[:-1]
+        keep = (date > prev[grp]) & (date == gmax[grp])
+        return t.filter(pa.array(keep))
+
+    partials = orders.map_batches(local_skyline,
+                                  batch_format="pyarrow").take_all()
+    cand = pa.Table.from_pylist(
+        partials, schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us"))]))
+    return local_skyline(cand)
+
+
 def v_gap_days(sf_dir: str) -> pa.Table:
     """Calendar-gap detection (the feed-outage monitoring check next to
     ``v_count_anomaly``'s volume rule): every day inside the crawl's
