@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_follow_within": q.j_follow_within,
         "mm_decode_ppm": q.mm_decode_ppm,
         "mm_image_phash": q.mm_image_phash,
+        "mm_phash_near_dup": q.mm_phash_near_dup,
         "mm_decode_png": q.mm_decode_png,
         "mm_decode_gif": q.mm_decode_gif,
         "mm_decode_jpeg": q.mm_decode_jpeg,
@@ -979,6 +980,20 @@ def oracle_sql() -> dict[str, str]:
         # dHash is vec_id // 4 (row pixels random-walk by the group id's
         # bits); matching proves decode → grayscale → 64 comparisons →
         # bit-pack agree AND the sub-threshold jitter never flips a bit
+        # banded recall is EXACT for hamming<=3 over 4x16-bit bands
+        # (pigeonhole), so the full dominance oracle is legitimate;
+        # fixture identity: true dHash == vec_id // 4
+        "mm_phash_near_dup": """
+            WITH ph AS (
+                SELECT vec_id, CAST(vec_id // 4 AS BIGINT) AS phash
+                FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM ph a JOIN ph b ON a.vec_id < b.vec_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
         "mm_image_phash": """
             WITH ph AS (
                 SELECT vec_id, CAST(vec_id // 4 AS BIGINT) AS phash

@@ -6658,31 +6658,11 @@ def j_follow_within(sf_dir: str) -> rd.Dataset:
     return hash_repartition_map(ev, "user_id", followers)
 
 
-def mm_image_phash(sf_dir: str) -> rd.Dataset:
-    """Perceptual image hashing (dHash) + exact-hash near-duplicate
-    grouping — the LAION-style image dedup first pass: each payload is
-    decoded, grayscaled, and hashed by the 64 horizontal
-    adjacent-pixel comparisons of a 9x8 grid (bit y*8+x set iff
-    px[y,x+1] > px[y,x]); images sharing a phash form a near-dup group.
-
-    Fixture: each embeddings row renders a deterministic 9x8 P6 PPM
-    built so its TRUE dHash equals ``vec_id // 4`` (each row's pixels
-    random-walk ±14 according to the group id's bits — groups of ≤4
-    variants, zero cross-group collisions), plus a variant-specific ±3
-    pixel jitter BELOW the ±14 step, so dHash must be invariant to it.
-    That makes the hash SQL-expressible, so this gets a FULL-VALUE
-    DuckDB oracle: values match only if encode → decode → grayscale →
-    comparisons → bit packing all agree AND the jitter never flips a
-    comparison (the invariance property, proven end-to-end).
-
-    Scale shape: decode is per-payload (inherent; real sizes go through
-    the same block-mean pool ``mm_decode_ppm`` exercises), the
-    comparisons/bit-pack are one vectorized numpy pass over the stacked
-    batch, grouping ships 16-byte (vec_id, phash) rows through ONE hash
-    exchange. Hamming-distance ≤ k matching (rather than exact) would
-    reuse the MinHash band machinery: 4x16-bit bands of the phash as
-    bucket keys."""
-    from ..relational import hash_repartition_map
+def _phash_rows(sf_dir: str) -> rd.Dataset:
+    """(vec_id, phash) rows: deterministic 9x8 P6 fixture render + dHash
+    (shared by ``mm_image_phash`` and ``mm_phash_near_dup``; see
+    mm_image_phash's docstring for the fixture identity phash == vec_id//4
+    and the jitter-invariance property the oracle proves)."""
     from .multimodal import ppm_decode, ppm_encode
 
     emb = read(sf_dir, "embeddings", ["vec_id"])
@@ -6719,8 +6699,37 @@ def mm_image_phash(sf_dir: str) -> rd.Dataset:
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "phash": pa.array(h.view(np.int64), pa.int64())})
 
-    rows = emb.map_batches(render, batch_format="pyarrow") \
+    return emb.map_batches(render, batch_format="pyarrow") \
         .map_batches(phash, batch_format="pyarrow")
+
+
+def mm_image_phash(sf_dir: str) -> rd.Dataset:
+    """Perceptual image hashing (dHash) + exact-hash near-duplicate
+    grouping — the LAION-style image dedup first pass: each payload is
+    decoded, grayscaled, and hashed by the 64 horizontal
+    adjacent-pixel comparisons of a 9x8 grid (bit y*8+x set iff
+    px[y,x+1] > px[y,x]); images sharing a phash form a near-dup group.
+
+    Fixture: each embeddings row renders a deterministic 9x8 P6 PPM
+    built so its TRUE dHash equals ``vec_id // 4`` (each row's pixels
+    random-walk ±14 according to the group id's bits — groups of ≤4
+    variants, zero cross-group collisions), plus a variant-specific ±3
+    pixel jitter BELOW the ±14 step, so dHash must be invariant to it.
+    That makes the hash SQL-expressible, so this gets a FULL-VALUE
+    DuckDB oracle: values match only if encode → decode → grayscale →
+    comparisons → bit packing all agree AND the jitter never flips a
+    comparison (the invariance property, proven end-to-end).
+
+    Scale shape: decode is per-payload (inherent; real sizes go through
+    the same block-mean pool ``mm_decode_ppm`` exercises), the
+    comparisons/bit-pack are one vectorized numpy pass over the stacked
+    batch, grouping ships 16-byte (vec_id, phash) rows through ONE hash
+    exchange. Hamming-distance ≤ k matching lives in
+    ``mm_phash_near_dup`` (4x16-bit bands of the phash as bucket keys).
+    """
+    from ..relational import hash_repartition_map
+
+    rows = _phash_rows(sf_dir)
     out_schema = pa.schema([("vec_id", pa.int64()), ("phash", pa.int64()),
                             ("n", pa.int64())])
 
@@ -6739,6 +6748,86 @@ def mm_image_phash(sf_dir: str) -> rd.Dataset:
                         schema=out_schema)
 
     return hash_repartition_map(rows, "phash", grp)
+
+
+def mm_phash_near_dup(sf_dir: str, max_hamming: int = 3,
+                      bucket_cap: int = 512) -> rd.Dataset:
+    """Hamming-distance ≤ k near-duplicate image pairs over the dHash —
+    the banded-LSH step ``mm_image_phash``'s docstring promises: the
+    64-bit hash splits into 4 disjoint 16-bit bands; by pigeonhole any
+    pair within Hamming ≤ 3 shares AT LEAST one identical band, so
+    band-bucket candidate generation has EXACT recall (which is why a
+    full-value dominance oracle is possible for an 'approximate-shape'
+    algorithm). Candidates verify in-bucket with a vectorized XOR
+    popcount; pairs dedup across bands through one exchange. Buckets
+    above ``bucket_cap`` members contribute capped pairs (the LSH
+    hot-bucket rule — degenerate all-identical corpora stay bounded)."""
+    from ..relational import hash_repartition_map
+    from .dedup import _capped_pair_indices
+
+    rows = _phash_rows(sf_dir)
+
+    band_schema = pa.schema([("bkey", pa.int64()), ("vec_id", pa.int64()),
+                             ("phash", pa.int64())])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return band_schema.empty_table()
+        h = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for b in range(4):
+            bv = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)) \
+                .astype(np.int64)
+            out.append(pa.table({
+                "bkey": pa.array(bv + (b << 16), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(h.view(np.int64), pa.int64()),
+            }, schema=band_schema))
+        return pa.concat_tables(out)
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("hamming", pa.int64())])
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("bkey", "ascending"), ("vec_id", "ascending")])
+        t = tbl.take(idx)
+        bkey = t["bkey"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        h = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        first = np.ones(len(bkey), bool)
+        first[1:] = bkey[1:] != bkey[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(bkey))
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ia, ib = _capped_pair_indices(e - s, bucket_cap)
+            x = h[s + ia] ^ h[s + ib]
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                a, b = ids[s + ia[keep]], ids[s + ib[keep]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                outs.append(pa.table({
+                    "a": pa.array(lo, pa.int64()),
+                    "b": pa.array(hi, pa.int64()),
+                    "hamming": pa.array(ham[keep], pa.int64()),
+                }, schema=pair_schema))
+        return (pa.concat_tables(outs) if outs
+                else pair_schema.empty_table())
+
+    cands = hash_repartition_map(
+        rows.map_batches(bands, batch_format="pyarrow"),
+        "bkey", bucket_pairs)
+    # a pair can surface from up to 4 bands: one exchange dedups
+    return partial_groupby_agg(cands, ["a", "b"],
+                               [("hamming", "min", "hamming")])
 
 
 def mm_decode_ppm(sf_dir: str) -> rd.Dataset:
