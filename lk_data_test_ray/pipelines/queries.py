@@ -6790,10 +6790,16 @@ def mm_phash_near_dup(sf_dir: str, max_hamming: int = 3,
                              ("hamming", pa.int64())])
 
     def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        # work is bound by DISTINCT-HASH representatives + output size,
+        # never by bucket membership: members collapse to their hash
+        # group first (a boilerplate bucket of 10^6 copies is ONE rep),
+        # hamming runs over capped rep pairs, and qualifying rep pairs
+        # expand to member cross-products — each an output row
         if tbl.num_rows == 0:
             return pair_schema.empty_table()
         idx = pc.sort_indices(tbl, sort_keys=[
-            ("bkey", "ascending"), ("vec_id", "ascending")])
+            ("bkey", "ascending"), ("phash", "ascending"),
+            ("vec_id", "ascending")])
         t = tbl.take(idx)
         bkey = t["bkey"].to_numpy(zero_copy_only=False)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -6806,18 +6812,36 @@ def mm_phash_near_dup(sf_dir: str, max_hamming: int = 3,
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            ia, ib = _capped_pair_indices(e - s, bucket_cap)
-            x = h[s + ia] ^ h[s + ib]
+            hs, ids_b = h[s:e], ids[s:e]
+            uniq, inv = np.unique(hs, return_inverse=True)
+            counts = np.bincount(inv)
+            offs = np.concatenate([[0], np.cumsum(counts)])  # sorted by h
+            G = len(uniq)
+            # intra-group pairs: exact dups, hamming 0
+            for g in np.flatnonzero(counts > 1):
+                m = ids_b[offs[g]:offs[g + 1]]
+                ia, ib = np.triu_indices(len(m), k=1)
+                outs.append(pa.table({
+                    "a": pa.array(np.minimum(m[ia], m[ib]), pa.int64()),
+                    "b": pa.array(np.maximum(m[ia], m[ib]), pa.int64()),
+                    "hamming": pa.array(np.zeros(len(ia), np.int64)),
+                }, schema=pair_schema))
+            if G < 2:
+                continue
+            ga, gb = _capped_pair_indices(G, bucket_cap)
+            x = uniq[ga] ^ uniq[gb]
             ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
                                 axis=1).sum(axis=1).astype(np.int64)
-            keep = ham <= max_hamming
-            if keep.any():
-                a, b = ids[s + ia[keep]], ids[s + ib[keep]]
-                lo, hi = np.minimum(a, b), np.maximum(a, b)
+            for p in np.flatnonzero(ham <= max_hamming):
+                m1 = ids_b[offs[ga[p]]:offs[ga[p]] + counts[ga[p]]]
+                m2 = ids_b[offs[gb[p]]:offs[gb[p]] + counts[gb[p]]]
+                aa = np.repeat(m1, len(m2))
+                bb = np.tile(m2, len(m1))
                 outs.append(pa.table({
-                    "a": pa.array(lo, pa.int64()),
-                    "b": pa.array(hi, pa.int64()),
-                    "hamming": pa.array(ham[keep], pa.int64()),
+                    "a": pa.array(np.minimum(aa, bb), pa.int64()),
+                    "b": pa.array(np.maximum(aa, bb), pa.int64()),
+                    "hamming": pa.array(np.full(len(aa), ham[p],
+                                                np.int64)),
                 }, schema=pair_schema))
         return (pa.concat_tables(outs) if outs
                 else pair_schema.empty_table())
