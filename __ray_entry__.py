@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": q.t_repetition,
         "td_split": q.td_split,
         "g_pagerank": q.g_pagerank,
+        "g_pagerank_weighted": q.g_pagerank_weighted,
         "g_hits": q.g_hits,
         "pages_recrawl_delta": q.pages_recrawl_delta,
         "td_decontaminate": q.td_decontaminate,
@@ -469,6 +470,47 @@ def _pages_links_path() -> str:
     return os.path.normpath(os.path.join(
         os.path.dirname(_pages_fixture_glob()), "..", "links.parquet"))
 
+
+
+def _pagerank_weighted_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled WEIGHTED power iteration over host edges derived from
+    links.parquet (w = link multiplicity, self-host edges dropped) —
+    mirrors ``pipelines.graph.pagerank(weight_col="w")``. Every layer is
+    MATERIALIZED (the g_hits lesson: without it DuckDB re-evaluates the
+    chain 4^iters times)."""
+    links = _pages_links_path()
+    sql = f"""
+        WITH he AS MATERIALIZED (
+            SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS s,
+                   regexp_extract(dst_url, '^https://([^/]+)/', 1) AS t,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM read_parquet('{links}')
+            GROUP BY 1, 2),
+        l AS MATERIALIZED (
+            SELECT s, t, w FROM he
+            WHERE s <> '' AND t <> '' AND s <> t),
+        nodes AS MATERIALIZED (SELECT DISTINCT u FROM
+                  (SELECT s AS u FROM l UNION ALL SELECT t FROM l)),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+                            FROM nodes),
+        ws AS MATERIALIZED (SELECT s, sum(w) AS ws FROM l GROUP BY 1),
+        r0 AS MATERIALIZED (SELECT u, 1.0 / nn.n AS r
+                            FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        r{i} AS MATERIALIZED (
+            SELECT nodes.u,
+                   (1 - {d}) / nn.n + {d} * COALESCE(sums.c, 0) AS r
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (SELECT l.t AS u, sum({prev}.r * l.w / ws.ws) AS c
+                       FROM l JOIN {prev} ON l.s = {prev}.u
+                       JOIN ws ON l.s = ws.s
+                       GROUP BY 1) sums USING (u))"""
+        prev = f"r{i}"
+    sql += f"""
+        SELECT u AS node, round(r, 6) AS rank FROM {prev}"""
+    return sql
 
 
 def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
@@ -2345,6 +2387,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "g_pagerank": _pagerank_sql(),
+        "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_hits": _hits_sql(),
         "s_dim_covar": _dim_covar_sql(),
         "pages_recrawl_delta": f"""

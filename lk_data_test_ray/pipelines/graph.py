@@ -37,9 +37,17 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
              damping: float = 0.85, iters: int = 5,
              mode: str = "auto", broadcast_max_nodes: int = 5_000_000,
              local_max_edges: int = 5_000_000,
-             round_digits: int = 6) -> pa.Table:
-    """Returns (node, rank) for every node in src ∪ dst, ranks rounded."""
-    edges = edges.select_columns([src_col, dst_col]).materialize()
+             round_digits: int = 6,
+             weight_col: str | None = None) -> pa.Table:
+    """Returns (node, rank) for every node in src ∪ dst, ranks rounded.
+
+    ``weight_col``: optional per-edge weight (e.g. host-graph link
+    multiplicity) — the update becomes
+    r(v) = (1−d)/N + d·Σ_{u→v} w(u,v)/W(u)·r(u) with W(u) the out-
+    STRENGTH; unweighted is the w=1 special case of the same code path
+    (all three modes; property-tested equal)."""
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(cols).materialize()
 
     # Tiny graphs (edge set fits the driver): every extra Dataset execution
     # costs a ~1s streaming-executor floor, so 5 iterations × 2 executions
@@ -59,11 +67,14 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
         node_arr = denc.dictionary
         n = len(node_arr)
         si, di = codes[:n_edges], codes[n_edges:]
-        outdeg = np.bincount(si, minlength=n).astype(np.float64)
+        w_e = (et[weight_col].to_numpy(zero_copy_only=False)
+               .astype(np.float64) if weight_col
+               else np.ones(n_edges, np.float64))
+        outdeg = np.bincount(si, weights=w_e, minlength=n)  # out-strength
         base = (1.0 - damping) / n
         r = np.full(n, 1.0 / n)
         for _ in range(iters):
-            contrib = np.bincount(di, weights=r[si] / outdeg[si],
+            contrib = np.bincount(di, weights=r[si] * w_e / outdeg[si],
                                   minlength=n)
             r = base + damping * contrib
         return pa.table({
@@ -84,13 +95,14 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
                 np.ones(b.num_rows, dtype=np.int64))),
             batch_format="pyarrow"),
         ["node"], [("one", "count", "c")])
-    outdeg_ds = partial_groupby_agg(
-        edges.map_batches(
-            lambda b: pa.table({"node": b[src_col],
-                                "one": pa.array(np.ones(b.num_rows,
-                                                        dtype=np.int64))}),
-            batch_format="pyarrow"),
-        ["node"], [("one", "count", "od")])
+    def _src_weight(b: pa.Table) -> pa.Table:
+        w = (b[weight_col].cast(pa.float64()) if weight_col
+             else pa.array(np.ones(b.num_rows, np.float64)))
+        return pa.table({"node": b[src_col], "w": w})
+
+    outdeg_ds = partial_groupby_agg(  # out-STRENGTH when weighted
+        edges.map_batches(_src_weight, batch_format="pyarrow"),
+        ["node"], [("w", "sum", "od")])
 
     nodes = pa.concat_tables(
         list(nodes_ds.select_columns(["node"])
@@ -122,8 +134,12 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
             def contribs(batch: pa.Table, node_idx=node_idx,
                          w=w) -> pa.Table:
                 si = node_idx.get_indexer(batch[src_col].to_pandas())
+                c = w[si]
+                if weight_col:
+                    c = c * batch[weight_col].to_numpy(
+                        zero_copy_only=False).astype(np.float64)
                 return pa.table({"node": batch[dst_col],
-                                 "c": pa.array(w[si], pa.float64())})
+                                 "c": pa.array(c, pa.float64())})
 
             agg = partial_groupby_agg(
                 edges.map_batches(contribs, batch_format="pyarrow"),
@@ -160,6 +176,9 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
         def contrib(batch: pa.Table) -> pa.Table:
             c = (batch["r"].to_numpy(zero_copy_only=False)
                  / batch["od"].to_numpy(zero_copy_only=False))
+            if weight_col:
+                c = c * batch[weight_col].to_numpy(
+                    zero_copy_only=False).astype(np.float64)
             return pa.table({"node": batch[dst_col],
                              "c": pa.array(c, pa.float64())})
 

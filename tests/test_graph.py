@@ -275,3 +275,34 @@ def test_kcore_empty_when_k_too_high(ray_session):
     out = kcore(rd.from_arrow(edges), "s", "t", k=2)
     # a path has no 2-core
     assert out.count() == 0
+
+
+def test_weighted_pagerank_modes_agree(ray_session):
+    """local / broadcast / shuffle weighted PageRank produce identical
+    rounded ranks, and weights actually matter (differ from w=1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lk_data_test_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n = 40
+    src = rng.integers(0, n, 300)
+    dst = (src + 1 + rng.integers(0, n - 1, 300)) % n
+    w = rng.integers(1, 20, 300).astype(np.float64)
+    edges = pa.table({"s": [f"n{i}" for i in src],
+                      "t": [f"n{i}" for i in dst],
+                      "w": w})
+
+    outs = {}
+    for mode in ("local", "broadcast", "shuffle"):
+        t = pagerank(rd.from_arrow(edges), "s", "t", mode=mode,
+                     weight_col="w")
+        outs[mode] = dict(zip(t["node"].to_pylist(),
+                              t["rank"].to_pylist()))
+    assert outs["local"] == outs["broadcast"] == outs["shuffle"]
+
+    unw = pagerank(rd.from_arrow(edges), "s", "t", mode="local")
+    unw_d = dict(zip(unw["node"].to_pylist(), unw["rank"].to_pylist()))
+    assert unw_d != outs["local"]
