@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_split": q.td_split,
         "g_pagerank": q.g_pagerank,
         "g_pagerank_weighted": q.g_pagerank_weighted,
+        "g_ppr_seeds": q.g_ppr_seeds,
         "g_hits": q.g_hits,
         "pages_recrawl_delta": q.pages_recrawl_delta,
         "td_decontaminate": q.td_decontaminate,
@@ -506,6 +507,41 @@ def _pagerank_weighted_sql(iters: int = 5, d: float = 0.85) -> str:
             LEFT JOIN (SELECT l.t AS u, sum({prev}.r * l.w / ws.ws) AS c
                        FROM l JOIN {prev} ON l.s = {prev}.u
                        JOIN ws ON l.s = ws.s
+                       GROUP BY 1) sums USING (u))"""
+        prev = f"r{i}"
+    sql += f"""
+        SELECT u AS node, round(r, 6) AS rank FROM {prev}"""
+    return sql
+
+
+def _ppr_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled PERSONALIZED power iteration (restart vector uniform over
+    the 3 lexicographically smallest urls) — mirrors
+    ``pipelines.graph.pagerank(personalize=seeds)``."""
+    links = _pages_links_path()
+    sql = f"""
+        WITH l AS MATERIALIZED (SELECT src_url AS s, dst_url AS t
+                   FROM read_parquet('{links}')),
+        nodes AS MATERIALIZED (SELECT DISTINCT u FROM
+                  (SELECT s AS u FROM l UNION ALL SELECT t FROM l)),
+        seeds AS MATERIALIZED (SELECT u FROM nodes ORDER BY u LIMIT 3),
+        p AS MATERIALIZED (
+            SELECT nodes.u,
+                   CASE WHEN nodes.u IN (SELECT u FROM seeds)
+                        THEN 1.0 / 3 ELSE 0.0 END AS p
+            FROM nodes),
+        od AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS od
+                            FROM l GROUP BY 1),
+        r0 AS MATERIALIZED (SELECT u, p AS r FROM p)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        r{i} AS MATERIALIZED (
+            SELECT p.u, (1 - {d}) * p.p + {d} * COALESCE(sums.c, 0) AS r
+            FROM p
+            LEFT JOIN (SELECT l.t AS u, sum({prev}.r / od.od) AS c
+                       FROM l JOIN {prev} ON l.s = {prev}.u
+                       JOIN od ON l.s = od.s
                        GROUP BY 1) sums USING (u))"""
         prev = f"r{i}"
     sql += f"""
@@ -2388,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g_pagerank": _pagerank_sql(),
         "g_pagerank_weighted": _pagerank_weighted_sql(),
+        "g_ppr_seeds": _ppr_sql(),
         "g_hits": _hits_sql(),
         "s_dim_covar": _dim_covar_sql(),
         "pages_recrawl_delta": f"""

@@ -38,14 +38,21 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
              mode: str = "auto", broadcast_max_nodes: int = 5_000_000,
              local_max_edges: int = 5_000_000,
              round_digits: int = 6,
-             weight_col: str | None = None) -> pa.Table:
+             weight_col: str | None = None,
+             personalize: "list[str] | None" = None) -> pa.Table:
     """Returns (node, rank) for every node in src ∪ dst, ranks rounded.
 
     ``weight_col``: optional per-edge weight (e.g. host-graph link
     multiplicity) — the update becomes
     r(v) = (1−d)/N + d·Σ_{u→v} w(u,v)/W(u)·r(u) with W(u) the out-
     STRENGTH; unweighted is the w=1 special case of the same code path
-    (all three modes; property-tested equal)."""
+    (all three modes; property-tested equal).
+
+    ``personalize``: optional seed node list — Personalized PageRank
+    (random walk with restart INTO the seed set): the restart vector p
+    is uniform over the seeds, r₀ = p and
+    r(v) = (1−d)·p(v) + d·Σ w/W·r(u). Seed-relative importance, the
+    crawl-frontier prioritization signal."""
     cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
     edges = edges.select_columns(cols).materialize()
 
@@ -71,12 +78,19 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
                .astype(np.float64) if weight_col
                else np.ones(n_edges, np.float64))
         outdeg = np.bincount(si, weights=w_e, minlength=n)  # out-strength
-        base = (1.0 - damping) / n
-        r = np.full(n, 1.0 / n)
+        if personalize is None:
+            pvec = np.full(n, 1.0 / n)
+        else:
+            import pandas as pd
+            pvec = np.zeros(n, np.float64)
+            pos = pd.Index(node_arr.to_pandas()).get_indexer(personalize)
+            pvec[pos[pos >= 0]] = 1.0 / len(personalize)
+        base_vec = (1.0 - damping) * pvec
+        r = pvec.copy()
         for _ in range(iters):
             contrib = np.bincount(di, weights=r[si] * w_e / outdeg[si],
                                   minlength=n)
-            r = base + damping * contrib
+            r = base_vec + damping * contrib
         return pa.table({
             "node": pa.array(node_arr, node_arr.type),
             "rank": pa.array(round_half_away(r, round_digits),
@@ -127,7 +141,14 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
             od_tbl["od"].to_numpy(zero_copy_only=False)
         inv_od = np.divide(1.0, od_arr, out=np.zeros_like(od_arr),
                            where=od_arr > 0)
-        ranks = np.full(n_nodes, 1.0 / n_nodes)
+        if personalize is None:
+            pvec = np.full(n_nodes, 1.0 / n_nodes)
+        else:
+            pvec = np.zeros(n_nodes, np.float64)
+            spos = node_idx.get_indexer(personalize)
+            pvec[spos[spos >= 0]] = 1.0 / len(personalize)
+        base_vec = (1.0 - damping) * pvec
+        ranks = pvec.copy()
         for _ in range(iters):
             w = ranks * inv_od  # src weight array, aligned to node_idx
 
@@ -147,7 +168,7 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
             bts = [bt for bt in agg.iter_batches(batch_format="pyarrow",
                                                  batch_size=None)
                    if bt.num_rows]
-            ranks = np.full(n_nodes, base)
+            ranks = base_vec.copy()
             if bts:
                 sums_tbl = pa.concat_tables(bts)
                 pos = node_idx.get_indexer(sums_tbl["node"].to_pandas())
@@ -160,10 +181,18 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
         })
 
     # ---- shuffle path: ranks stay a Dataset ------------------------------
+    seed_arr = (pa.array(sorted(personalize), pa.string())
+                if personalize is not None else None)
+    seed_mass = (1.0 / len(personalize)) if personalize else 0.0
+
+    def _p_of(col) -> pa.Array:
+        if seed_arr is None:
+            return pa.array(np.full(len(col), 1.0 / n_nodes), pa.float64())
+        isin = pc.is_in(col, value_set=seed_arr)
+        return pc.if_else(isin, pa.scalar(seed_mass), pa.scalar(0.0))
+
     ranks_ds = nodes_ds.map_batches(
-        lambda b: pa.table({"rnode": b["node"],
-                            "r": pa.array(np.full(b.num_rows, 1.0 / n_nodes),
-                                          pa.float64())}),
+        lambda b: pa.table({"rnode": b["node"], "r": _p_of(b["node"])}),
         batch_format="pyarrow")
     from ..relational import exchange_join
 
@@ -189,19 +218,21 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
             j.map_batches(contrib, batch_format="pyarrow"),
             ["node"], [("c", "sum", "c")]))
 
-        def new_rank(batch: pa.Table, base=base) -> pa.Table:
+        def new_rank(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
             c = pc.fill_null(batch["c"], 0.0)
-            r = pc.add(pa.scalar(base),
-                       pc.multiply(pa.scalar(damping), c))
+            b0 = pc.multiply(_p_of(batch["node"]),
+                             pa.scalar(1.0 - damping))
+            r = pc.add(b0, pc.multiply(pa.scalar(damping), c))
             return pa.table({"rnode": batch["node"], "r": r})
 
         if sums is None:  # no in-edges anywhere: every rank is the base
             ranks_ds = nodes_ds.select_columns(["node"]).map_batches(
                 lambda b: pa.table({
                     "rnode": b["node"],
-                    "r": pa.array(np.full(b.num_rows, base), pa.float64())}),
+                    "r": pc.multiply(_p_of(b["node"]),
+                                     pa.scalar(1.0 - damping))}),
                 batch_format="pyarrow").materialize()
             continue
         joined = exchange_join(

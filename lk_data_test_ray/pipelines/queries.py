@@ -6441,6 +6441,35 @@ def g_pagerank_weighted(sf_dir: str) -> pa.Table:
     return pagerank(e, "src_host", "dst_host", weight_col="w")
 
 
+def g_ppr_seeds(sf_dir: str) -> pa.Table:
+    """Personalized PageRank (random walk with restart into a seed set)
+    over the page-level link graph — seed-RELATIVE importance, the
+    crawl-frontier prioritization signal: pages near the 3
+    lexicographically smallest URLs (the deterministic seed-list
+    stand-in) hold almost all mass, unreachable pages get exactly 0.
+    Same three-mode machinery as ``g_pagerank``
+    (``graph.pagerank(personalize=...)``); oracle = unrolled power
+    iteration with the restart vector as a CASE over the seed set."""
+    import os
+
+    from .graph import pagerank
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def smallest(batch: pa.Table) -> pa.Table:
+        arr = pc.unique(pa.concat_arrays(
+            [batch["src_url"].combine_chunks(),
+             batch["dst_url"].combine_chunks()]))
+        idx = pc.array_sort_indices(arr)[:3]
+        return pa.table({"node": pc.take(arr, idx)})
+
+    cand = links.map_batches(smallest, batch_format="pyarrow").take_all()
+    seeds = sorted({r["node"] for r in cand})[:3]
+    return pagerank(links, "src_url", "dst_url", personalize=seeds)
+
+
 def g_kcore(sf_dir: str) -> rd.Dataset:
     """3-core of the undirected host graph (iterative peeling,
     ``graph.kcore``): the dense backbone left after every host with
