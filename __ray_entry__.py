@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_corr_qty_price": q.a_corr_qty_price,
         "mm_payload_entropy": q.mm_payload_entropy,
         "a_distinct_users_hll": q.a_distinct_users_hll,
+        # HLL set algebra (inclusion-exclusion) — ε-tested vs exact
+        # overlaps in tests/test_sketches.py; no SQL oracle by nature
+        "a_user_overlap_hll": q.a_user_overlap_hll,
         "o_stratified_sample": q.o_stratified_sample,
         "s_embed_dim_stats": q.s_embed_dim_stats,
         "s_dim_covar": q.s_dim_covar,

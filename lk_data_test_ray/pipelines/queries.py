@@ -3834,6 +3834,66 @@ def a_distinct_users_hll(sf_dir: str) -> rd.Dataset:
              .groupby("event_type").map_groups(merge, batch_format="pyarrow")
 
 
+def a_user_overlap_hll(sf_dir: str) -> pa.Table:
+    """Pairwise audience-overlap matrix via HLL set algebra: for every
+    pair of event types, |A∩B| estimated by inclusion-exclusion
+    (|A|+|B|−|A∪B|, the union being a register max — the set OPERATION
+    sketches buy beyond plain counting: the exact path would shuffle
+    every (user, type) pair per cell; this ships one 4 KB sketch per
+    type). Approximate ⇒ no SQL oracle; ε vs the exact overlaps is
+    pytest-asserted."""
+    from ..sketches import HyperLogLog
+
+    ev = read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from lk_data_test_ray.sketches import HyperLogLog as _HLL
+
+        tbl = batch.group_by(["event_type"]).aggregate([("user_id", "list")])
+        types, blobs = [], []
+        for i in range(tbl.num_rows):
+            h = _HLL(12)
+            h.update_hashes(pd.util.hash_array(
+                np.asarray(tbl["user_id_list"][i].as_py(), np.int64)))
+            types.append(tbl["event_type"][i].as_py())
+            blobs.append(h.to_bytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        from lk_data_test_ray.sketches import HyperLogLog as _HLL
+
+        h = _HLL.from_bytes(group["sketch"][0].as_py())
+        for b in group["sketch"].to_pylist()[1:]:
+            h = h.merge(_HLL.from_bytes(b))
+        return pa.table({"event_type": group["event_type"][:1],
+                         "sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    rows = ev.map_batches(partials, batch_format="pyarrow") \
+             .groupby("event_type").map_groups(merge,
+                                               batch_format="pyarrow") \
+             .take_all()                      # one 4 KB sketch per type
+    rows.sort(key=lambda r: r["event_type"])
+    types = [r["event_type"] for r in rows]
+    hs = [HyperLogLog.from_bytes(r["sketch"]) for r in rows]
+    a_t, b_t, est = [], [], []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            inter = (hs[i].estimate() + hs[j].estimate()
+                     - hs[i].merge(hs[j]).estimate())
+            a_t.append(types[i])
+            b_t.append(types[j])
+            est.append(max(inter, 0.0))
+    return pa.table({
+        "type_a": pa.array(a_t, pa.string()),
+        "type_b": pa.array(b_t, pa.string()),
+        "overlap_est": pa.array(round_half_away(np.array(est), 1),
+                                pa.float64()),
+    })
+
+
 def o_stratified_sample(sf_dir: str) -> rd.Dataset:
     """Stratified deterministic sample (fixed n per stratum): the 20
     documents per lang with the smallest ``md5(doc_id)`` — an

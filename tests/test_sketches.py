@@ -309,3 +309,40 @@ def test_rolling_p95_tracks_exact(ray_session):
         # RANK tolerance (the honest bound for sparse upper tails):
         # the p95 estimate must land inside the exact [p90, p99] band
         assert lo - 1e-9 <= e <= hi + 1e-9, (day, e, lo, hi)
+
+
+def test_user_overlap_hll_tracks_exact(ray_session):
+    """Inclusion-exclusion HLL overlap tracks exact pairwise user-set
+    intersections (relative to the union size — the estimator's scale)."""
+    import duckdb
+
+    from lk_data_test_ray.pipelines.queries import a_user_overlap_hll
+
+    sf = "/root/testdata/sf0.001"
+    est = a_user_overlap_hll(sf)
+    con = duckdb.connect()
+    exact = {}
+    types = [r[0] for r in con.execute(
+        f"SELECT DISTINCT event_type FROM "
+        f"read_parquet('{sf}/events.parquet') ORDER BY 1").fetchall()]
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            inter, uni = con.execute(f"""
+                WITH a AS (SELECT DISTINCT user_id
+                           FROM read_parquet('{sf}/events.parquet')
+                           WHERE event_type = '{types[i]}'),
+                     b AS (SELECT DISTINCT user_id
+                           FROM read_parquet('{sf}/events.parquet')
+                           WHERE event_type = '{types[j]}')
+                SELECT (SELECT count(*) FROM a JOIN b USING (user_id)),
+                       (SELECT count(*) FROM
+                        (SELECT user_id FROM a UNION
+                         SELECT user_id FROM b))""").fetchone()
+            exact[(types[i], types[j])] = (inter, uni)
+    for ta, tb, e in zip(est["type_a"].to_pylist(),
+                         est["type_b"].to_pylist(),
+                         est["overlap_est"].to_pylist()):
+        inter, uni = exact[(ta, tb)]
+        # inclusion-exclusion compounds 3 estimators: allow 5% of the
+        # UNION size (the scale the errors live on)
+        assert abs(e - inter) <= max(0.05 * uni, 3.0), (ta, tb, e, inter)
