@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_pagerank": q.g_pagerank,
         "g_pagerank_weighted": q.g_pagerank_weighted,
         "g_ppr_seeds": q.g_ppr_seeds,
+        "g_random_walks": q.g_random_walks,
         "g_hits": q.g_hits,
         "pages_recrawl_delta": q.pages_recrawl_delta,
         "td_decontaminate": q.td_decontaminate,
@@ -549,6 +550,42 @@ def _ppr_sql(iters: int = 5, d: float = 0.85) -> str:
         prev = f"r{i}"
     sql += f"""
         SELECT u AS node, round(r, 6) AS rank FROM {prev}"""
+    return sql
+
+
+def _walks_sql(length: int = 4) -> str:
+    """Unrolled deterministic-walk SQL — step t leaves u through its
+    ``int(md5(u || '|' || t)[:8], 16) % outdeg(u)``-th byte-ranked
+    out-neighbor; mirrors ``pipelines.graph.random_walks``."""
+    links = _pages_links_path()
+    sql = f"""
+        WITH e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS a,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1) AS b
+                FROM read_parquet('{links}'))
+              WHERE a <> '' AND b <> ''),
+        adj AS MATERIALIZED (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY b) - 1
+                       AS idx
+            FROM e),
+        deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+        nodes AS MATERIALIZED (SELECT DISTINCT u FROM
+            (SELECT a AS u FROM e UNION ALL SELECT b FROM e)),
+        w0 AS MATERIALIZED (SELECT u AS start, u AS cur FROM nodes)"""
+    for t in range(1, length + 1):
+        sql += f""",
+        w{t} AS MATERIALIZED (
+            SELECT w.start, adj.b AS cur
+            FROM w{t - 1} w
+            JOIN deg ON w.cur = deg.a
+            JOIN adj ON adj.a = w.cur
+                    AND adj.idx = CAST(('0x' || substr(
+                            md5(w.cur || '|{t}'), 1, 8)) AS BIGINT)
+                        % deg.deg)"""
+    parts = [f"SELECT start, {t} AS step, cur AS node FROM w{t}"
+             for t in range(length + 1)]
+    sql += "\n" + "\nUNION ALL\n".join(parts)
     return sql
 
 
@@ -2428,6 +2465,7 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank": _pagerank_sql(),
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
+        "g_random_walks": _walks_sql(),
         "g_hits": _hits_sql(),
         "s_dim_covar": _dim_covar_sql(),
         "pages_recrawl_delta": f"""

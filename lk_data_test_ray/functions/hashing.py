@@ -372,3 +372,30 @@ def gram_hash_pairs(tok_hashes: np.ndarray, counts: np.ndarray,
         h1 = (h1 ^ t) * P1
         h2 = (h2 + t) * P2 + np.uint64(j)
     return h1, h2, grow
+
+
+def md5_int32(values) -> np.ndarray:
+    """``int(md5(v)[:8], 16)`` per row, vectorized via the DuckDB C
+    kernel (same connection cache as ``md5_hex``) — the engine-neutral
+    deterministic CHOICE value for walk/shard sampling: any engine can
+    reproduce it as ``CAST('0x' || substr(md5(v), 1, 8) AS BIGINT)``.
+    hashlib fallback keeps the function importable without duckdb."""
+    import pyarrow as pa
+
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(values), pa.string())
+    try:
+        con = _md5_con()
+    except ImportError:
+        return np.array(
+            [int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+             for v in arr.to_pylist()], dtype=np.int64)
+    tbl = pa.table({"v": arr})
+    con.register("_md5i_in", tbl)
+    try:
+        out = con.execute(
+            "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) AS h"
+            " FROM _md5i_in").arrow()
+    finally:
+        con.unregister("_md5i_in")
+    return out.column("h").to_numpy(zero_copy_only=False).astype(np.int64)

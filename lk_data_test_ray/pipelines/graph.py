@@ -859,3 +859,122 @@ def kcore(edges: rd.Dataset, src_col: str, dst_col: str, k: int = 3,
         .map_batches(lambda b: pa.table({"node": b["a"],
                                          "degree": b["degree"]}),
                      batch_format="pyarrow")
+
+
+def random_walks(edges: rd.Dataset, src_col: str, dst_col: str,
+                 length: int = 4) -> rd.Dataset:
+    """DETERMINISTIC random-walk corpus over a directed graph — the
+    node2vec/DeepWalk input-generation stage, made engine-neutral and
+    oracle-checkable: from EVERY node, one walk of ≤ ``length`` steps
+    where step t leaves node u through its
+    ``int(md5(u + '|' + t)[:8], 16) mod outdeg(u)``-th out-neighbor
+    (neighbors ranked by byte order). Any engine reproduces the exact
+    trace — no RNG state, no seed plumbing; walks stop early at sinks.
+
+    Distributed shape, per step: one hash join attaches out-degrees
+    (choice needs the modulus), the choice itself is the vectorized
+    DuckDB md5 kernel (``hashing.md5_int32``), and one hash join on the
+    composite (node, rank) key fetches the chosen neighbor — walk state
+    is (start, cur) rows, never an adjacency list in driver memory.
+
+    Returns (start, step, node) trace rows, step 0 = the start itself.
+    """
+    from ..functions.hashing import md5_int32
+    from ..relational import exchange_join, hash_repartition_map
+
+    def orient(batch: pa.Table) -> pa.Table:
+        # Per-batch dedup is a COMBINER only — cross-batch duplicate
+        # (a, b) edges survive here and are removed globally inside the
+        # rank exchange below (all rows of one `a` land in one range).
+        t = pa.table({
+            "a": batch[src_col].cast(pa.string()).combine_chunks(),
+            "b": batch[dst_col].cast(pa.string()).combine_chunks()})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    e = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    adj_schema = pa.schema([("akey", pa.string()), ("nbr", pa.string()),
+                            ("anode", pa.string()), ("deg", pa.int64()),
+                            ("pos", pa.int64())])
+
+    def rank_partition(tbl: pa.Table) -> pa.Table:
+        """(a#idx → neighbor) rows, globally deduped and byte-ranked in
+        one sorted pass; deg/pos columns ride along so the per-node
+        degree table is a FILTER of this one exchange, not a second
+        shuffle of the edge set."""
+        if tbl.num_rows == 0:
+            return adj_schema.empty_table()
+        tbl = tbl.group_by(["a", "b"]).aggregate([])
+        idx = pc.sort_indices(tbl, sort_keys=[("a", "ascending"),
+                                              ("b", "ascending")])
+        t = tbl.take(idx)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(a), bool)
+        first[1:] = a[1:] != a[:-1]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(a)))
+        pos = np.arange(len(a)) - np.repeat(starts, runs)
+        deg = np.repeat(runs, runs)
+        akey = pc.binary_join_element_wise(
+            t["a"], pa.array(pos.astype("U"), pa.string()), "#")
+        return pa.table({"akey": akey, "nbr": t["b"], "anode": t["a"],
+                         "deg": pa.array(deg, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())},
+                        schema=adj_schema)
+
+    adj = hash_repartition_map(e, "a", rank_partition).materialize()
+
+    from ..relational import partial_groupby_agg
+
+    deg = adj.map_batches(
+        lambda b: b.filter(pc.equal(b["pos"], 0)).select(
+            ["anode", "deg"]).rename_columns(["dnode", "deg"]),
+        batch_format="pyarrow").materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        nodes = pc.unique(pa.concat_arrays(
+            [batch["a"].combine_chunks(), batch["b"].combine_chunks()]))
+        return pa.table({"node": nodes,
+                         "one": pa.array(np.ones(len(nodes), np.int64))})
+
+    state = partial_groupby_agg(
+        e.map_batches(node_rows, batch_format="pyarrow"),
+        ["node"], [("one", "sum", "_n")]).map_batches(
+        lambda b: pa.table({"start": b["node"], "cur": b["node"]}),
+        batch_format="pyarrow").materialize()
+
+    def trace_of(ds: rd.Dataset, step: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda b, _s=step: pa.table({
+                "start": b["start"], "step": pa.array(
+                    np.full(b.num_rows, _s, np.int64)),
+                "node": b["cur"]}),
+            batch_format="pyarrow")
+
+    traces = trace_of(state, 0)
+    for t in range(1, length + 1):
+        with_deg = exchange_join(state, deg, "cur", "dnode")
+
+        def choose(batch: pa.Table, _t=t) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"start": pa.array([], pa.string()),
+                                 "key": pa.array([], pa.string())})
+            comp = pc.binary_join_element_wise(
+                batch["cur"], pa.array([str(_t)] * batch.num_rows), "|")
+            pick = md5_int32(comp.combine_chunks()) \
+                % batch["deg"].to_numpy(zero_copy_only=False)
+            key = pc.binary_join_element_wise(
+                batch["cur"], pa.array(pick.astype("U"), pa.string()),
+                "#")
+            return pa.table({"start": batch["start"], "key": key})
+
+        keyed = with_deg.map_batches(choose, batch_format="pyarrow")
+        nxt = exchange_join(keyed, adj, "key", "akey").map_batches(
+            lambda b: pa.table({"start": b["start"], "cur": b["nbr"]}),
+            batch_format="pyarrow").materialize()
+        if nxt.count() == 0:
+            break
+        traces = traces.union(trace_of(nxt, t))
+        state = nxt
+
+    return traces

@@ -6530,6 +6530,35 @@ def g_ppr_seeds(sf_dir: str) -> pa.Table:
     return pagerank(links, "src_url", "dst_url", personalize=seeds)
 
 
+def g_random_walks(sf_dir: str) -> rd.Dataset:
+    """Deterministic random-walk corpus over the host graph (the
+    node2vec/DeepWalk input stage, ``graph.random_walks``): one ≤4-step
+    walk from every host, step t leaving u through neighbor
+    ``md5(u|t)[:8] mod outdeg(u)`` (byte-ranked neighbors) — fully
+    reproducible in any engine, hence a FULL-VALUE unrolled-CTE
+    oracle rather than an un-checkable seeded RNG."""
+    import os
+
+    from .graph import random_walks
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": h1, "dst_host": h2})
+        return t.filter(pc.and_(pc.is_valid(h1), pc.is_valid(h2)))
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    return random_walks(e, "src_host", "dst_host", length=4)
+
+
 def g_kcore(sf_dir: str) -> rd.Dataset:
     """3-core of the undirected host graph (iterative peeling,
     ``graph.kcore``): the dense backbone left after every host with

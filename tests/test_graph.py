@@ -306,3 +306,46 @@ def test_weighted_pagerank_modes_agree(ray_session):
     unw = pagerank(rd.from_arrow(edges), "s", "t", mode="local")
     unw_d = dict(zip(unw["node"].to_pylist(), unw["rank"].to_pylist()))
     assert unw_d != outs["local"]
+
+
+def test_random_walks_deterministic_and_deduped(ray_session):
+    """Walk traces must match a scalar replay of the md5-choice rule,
+    and duplicate input edges must not change the trace (global dedup:
+    the per-batch combiner alone must not be load-bearing)."""
+    import hashlib
+
+    from lk_data_test_ray.pipelines.graph import random_walks
+
+    e = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("d", "a"), ("b", "a")]
+    tbl = pa.table({
+        "s": pa.array([x for x, _ in e], pa.string()),
+        "t": pa.array([y for _, y in e], pa.string())})
+    # duplicate every edge 3x so cross-batch dups exist
+    dup = pa.concat_tables([tbl, tbl, tbl])
+
+    def scalar_walks(edges, length):
+        adj, out = {}, []
+        for a, b in sorted(set(edges)):
+            adj.setdefault(a, []).append(b)
+        nodes = sorted({x for p in edges for x in p})
+        for start in nodes:
+            cur = start
+            out.append((start, 0, cur))
+            for t in range(1, length + 1):
+                if cur not in adj:
+                    break
+                nbrs = adj[cur]
+                h = int(hashlib.md5(f"{cur}|{t}".encode())
+                        .hexdigest()[:8], 16)
+                cur = nbrs[h % len(nbrs)]
+                out.append((start, t, cur))
+        return sorted(out)
+
+    want = scalar_walks(e, 3)
+    for inp in (tbl, dup):
+        got = random_walks(
+            rd.from_arrow(inp).repartition(4), "s", "t", length=3)
+        rows = sorted(
+            (r["start"], r["step"], r["node"]) for r in got.take_all())
+        assert rows == want
