@@ -333,6 +333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_pagerank_weighted": q.g_pagerank_weighted,
         "g_ppr_seeds": q.g_ppr_seeds,
         "g_random_walks": q.g_random_walks,
+        "g_clustering_coeff": q.g_clustering_coeff,
+        "g_link_prediction": q.g_link_prediction,
+        "g_reciprocity": q.g_reciprocity,
+        "g_assortativity": q.g_assortativity,
         "g_hits": q.g_hits,
         "pages_recrawl_delta": q.pages_recrawl_delta,
         "td_decontaminate": q.td_decontaminate,
@@ -2466,6 +2470,114 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
         "g_random_walks": _walks_sql(),
+        "g_clustering_coeff": f"""
+            WITH h AS (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS h1,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1) AS h2
+                FROM read_parquet('{_pages_links_path()}')),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(h1, h2) AS a, greatest(h1, h2) AS b
+                FROM h WHERE h1 <> h2 AND h1 <> '' AND h2 <> ''),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+                FROM (SELECT x AS node FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+                GROUP BY 1)
+            SELECT d.node, d.deg,
+                   COALESCE(t.n_tri, 0) AS n_tri,
+                   round(CASE WHEN d.deg > 1
+                         THEN 2.0 * COALESCE(t.n_tri, 0)
+                              / (d.deg * (d.deg - 1))
+                         ELSE 0.0 END, 9) AS clustering
+            FROM deg d LEFT JOIN tn t USING (node)
+        """,
+        "g_link_prediction": f"""
+            WITH h AS (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS h1,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1) AS h2
+                FROM read_parquet('{_pages_links_path()}')),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(h1, h2) AS a, greatest(h1, h2) AS b
+                FROM h WHERE h1 <> h2 AND h1 <> '' AND h2 <> ''),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+            nbr AS (SELECT a AS mid, b AS nbr FROM e
+                    UNION ALL SELECT b, a FROM e),
+            cap AS MATERIALIZED (
+                SELECT n.mid, n.nbr, d.deg
+                FROM nbr n JOIN deg d ON d.node = n.mid
+                WHERE d.deg <= 1024),
+            sc AS (
+                SELECT c1.nbr AS v, c2.nbr AS w,
+                       CAST(count(*) AS BIGINT) AS cn,
+                       round(sum(1.0 / ln(c1.deg)), 9) AS aa
+                FROM cap c1 JOIN cap c2
+                     ON c1.mid = c2.mid AND c1.nbr < c2.nbr
+                GROUP BY 1, 2)
+            SELECT s.v, s.w, s.cn, s.aa
+            FROM sc s LEFT JOIN e ON e.a = s.v AND e.b = s.w
+            WHERE e.a IS NULL
+            ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
+            LIMIT 50
+        """,
+        "g_reciprocity": f"""
+            WITH h AS (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS h1,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1) AS h2
+                FROM read_parquet('{_pages_links_path()}')),
+            e AS MATERIALIZED (
+                SELECT DISTINCT h1 AS a, h2 AS b
+                FROM h WHERE h1 <> h2 AND h1 <> '' AND h2 <> '')
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM e x
+                         JOIN e y ON y.a = x.b AND y.b = x.a)
+                        AS BIGINT) AS n_reciprocal,
+                   round((SELECT count(*) FROM e x
+                          JOIN e y ON y.a = x.b AND y.b = x.a)
+                         * 1.0 / (SELECT count(*) FROM e), 9)
+                       AS reciprocity
+        """,
+        "g_assortativity": f"""
+            WITH h AS (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS h1,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1) AS h2
+                FROM read_parquet('{_pages_links_path()}')),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(h1, h2) AS a, greatest(h1, h2) AS b
+                FROM h WHERE h1 <> h2 AND h1 <> '' AND h2 <> ''),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+            j AS (
+                SELECT da.deg AS dega, db.deg AS degb
+                FROM e JOIN deg da ON da.node = e.a
+                       JOIN deg db ON db.node = e.b),
+            m AS (
+                SELECT CAST(sum(dega + degb) AS BIGINT) AS sx,
+                       CAST(sum(2 * dega * degb) AS BIGINT) AS sxy,
+                       CAST(sum(dega * dega + degb * degb) AS BIGINT) AS sxx,
+                       CAST(2 * count(*) AS BIGINT) AS n
+                FROM j)
+            SELECT n AS n_edge_endpoints,
+                   round(CASE WHEN sxx - CAST(sx AS DOUBLE) * sx / n > 0
+                         THEN (sxy - CAST(sx AS DOUBLE) * sx / n)
+                              / (sxx - CAST(sx AS DOUBLE) * sx / n)
+                         ELSE 0.0 END, 9) AS assortativity
+            FROM m
+        """,
         "g_hits": _hits_sql(),
         "s_dim_covar": _dim_covar_sql(),
         "pages_recrawl_delta": f"""

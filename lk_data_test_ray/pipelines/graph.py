@@ -355,37 +355,10 @@ def hits(edges: rd.Dataset, src_col: str, dst_col: str, iters: int = 5,
     })
 
 
-def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
-                   broadcast_max_nodes: int = 5_000_000) -> dict:
-    """Exact triangle count by DEGREE-ORDERED ORIENTATION — the skew-proof
-    shape for power-law graphs.
-
-    Input contract: ``edges`` is the DISTINCT undirected edge set, one row
-    per edge, canonically oriented ``a < b`` (string compare), no self
-    loops.
-
-    Naive wedge enumeration joins the edge set to itself on the shared
-    middle vertex — Σ deg² intermediate rows, which a single web-scale hub
-    (deg ~10⁶) turns into 10¹² wedges on one key. Instead every edge is
-    re-oriented from its lower-(degree, id) endpoint to the higher one;
-    each triangle is then enumerated exactly once at its minimum-rank
-    vertex, and every vertex's out-degree under this orientation is
-    ≤ O(√(2m)), so total wedge work is O(m^1.5) REGARDLESS of skew
-    (Chiba–Nishizeki / Schank–Wagner ordering, the standard MapReduce
-    triangle-count treatment). The closing test is one semi-join of the
-    unordered wedge pair against the edge set.
-
-    Degrees attach via broadcast (one row per NODE — hosts, not pages)
-    below ``broadcast_max_nodes``, else via two distributed hash
-    exchanges. Returns ``{"n_triangles", "n_wedges"}`` (wedge count =
-    the join's intermediate cardinality, exposed so tests can assert the
-    orientation actually bounded the blowup).
-    """
-    from ..relational import broadcast_join, exchange_join
-
-    edges = edges.materialize()
-
-    deg_ds = partial_groupby_agg(
+def _degree_table(edges: rd.Dataset, a_col: str, b_col: str) -> rd.Dataset:
+    """(node, deg) over a DISTINCT undirected edge set — both endpoints
+    counted, map-side combined."""
+    return partial_groupby_agg(
         edges.map_batches(
             lambda t: pa.table({
                 "node": pa.concat_arrays(
@@ -395,9 +368,29 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
             batch_format="pyarrow"),
         ["node"], [("one", "count", "deg")])
 
+
+def _closed_wedges(edges: rd.Dataset, a_col: str, b_col: str,
+                   deg_ds: rd.Dataset, broadcast_max_nodes: int,
+                   keep_nodes: bool):
+    """Degree-ordered wedge generation + edge-closing semi-join — the
+    shared core of ``triangle_count`` and ``local_clustering``.
+
+    Every edge is re-oriented from its lower-(degree, id) endpoint to the
+    higher one; each triangle is enumerated exactly once at its
+    minimum-rank vertex, and every vertex's out-degree under this
+    orientation is ≤ O(√(2m)), so total wedge work is O(m^1.5)
+    REGARDLESS of skew (Chiba–Nishizeki / Schank–Wagner ordering).
+
+    Returns ``(closed, n_wedges)`` — ``closed`` has one row per triangle
+    with columns (u, v, w) when ``keep_nodes`` (the wedge exchange then
+    carries the corner ids, 3 strings/row) else just the bare pair_key.
+    ``None`` closed means zero wedges.
+    """
+    from ..relational import broadcast_join, exchange_join
+
     n_nodes = deg_ds.count()
     if n_nodes == 0:
-        return {"n_triangles": 0, "n_wedges": 0}
+        return None, 0
     if n_nodes <= broadcast_max_nodes:
         deg_tbl = pa.concat_tables(
             [bt for bt in deg_ds.iter_batches(batch_format="pyarrow",
@@ -432,13 +425,17 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
 
     def close_key(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.less(batch["v"], batch["w"]))
-        return pa.table({"pair_key": pc.binary_join_element_wise(
-            t["v"].combine_chunks(), t["w"].combine_chunks(), "|")})
+        key = pc.binary_join_element_wise(
+            t["v"].combine_chunks(), t["w"].combine_chunks(), "|")
+        if keep_nodes:
+            return pa.table({"u": t["u"], "v": t["v"], "w": t["w"],
+                             "pair_key": key})
+        return pa.table({"pair_key": key})
 
     wkey = drop_empty_blocks(
         wed.map_batches(close_key, batch_format="pyarrow").materialize())
     if wkey is None:
-        return {"n_triangles": 0, "n_wedges": 0}
+        return None, 0
     n_wedges = wkey.count()
     ekey = edges.map_batches(
         lambda t: pa.table({"pair_key": pc.binary_join_element_wise(
@@ -447,7 +444,94 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
         batch_format="pyarrow")
     closed = exchange_join(wkey, ekey, "pair_key", "pair_key",
                            how="left_semi")
+    return closed, n_wedges
+
+
+def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
+                   broadcast_max_nodes: int = 5_000_000) -> dict:
+    """Exact triangle count by DEGREE-ORDERED ORIENTATION — the skew-proof
+    shape for power-law graphs.
+
+    Input contract: ``edges`` is the DISTINCT undirected edge set, one row
+    per edge, canonically oriented ``a < b`` (string compare), no self
+    loops.
+
+    Naive wedge enumeration joins the edge set to itself on the shared
+    middle vertex — Σ deg² intermediate rows, which a single web-scale hub
+    (deg ~10⁶) turns into 10¹² wedges on one key. ``_closed_wedges``
+    bounds this at O(m^1.5) via degree-ordered orientation; the closing
+    test is one semi-join of the unordered wedge pair against the edge
+    set.
+
+    Degrees attach via broadcast (one row per NODE — hosts, not pages)
+    below ``broadcast_max_nodes``, else via two distributed hash
+    exchanges. Returns ``{"n_triangles", "n_wedges"}`` (wedge count =
+    the join's intermediate cardinality, exposed so tests can assert the
+    orientation actually bounded the blowup).
+    """
+    edges = edges.materialize()
+    deg_ds = _degree_table(edges, a_col, b_col)
+    closed, n_wedges = _closed_wedges(edges, a_col, b_col, deg_ds,
+                                      broadcast_max_nodes, keep_nodes=False)
+    if closed is None:
+        return {"n_triangles": 0, "n_wedges": 0}
     return {"n_triangles": closed.count(), "n_wedges": n_wedges}
+
+
+def local_clustering(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
+                     broadcast_max_nodes: int = 5_000_000,
+                     round_digits: int = 9) -> rd.Dataset:
+    """Per-node triangle participation + LOCAL CLUSTERING COEFFICIENT
+    over a distinct undirected edge set (a < b, no self loops):
+
+        c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),   c(v) = 0 when deg < 2
+
+    — the community-density signal of the classic web/social-graph
+    analyses (Watts–Strogatz). Same O(m^1.5) degree-ordered wedge plan as
+    ``triangle_count`` (``_closed_wedges`` with the corner ids kept on the
+    wedge rows, 3 strings/row); each closed triangle then credits its
+    three corners via one flat explosion + map-side-combined count, and a
+    left join back onto the degree table fills triangle-free nodes with 0.
+
+    Returns (node, deg, n_tri, clustering) — one row per node.
+    """
+    from ..relational import exchange_join
+
+    edges = edges.materialize()
+    deg_ds = _degree_table(edges, a_col, b_col).materialize()
+    closed, _ = _closed_wedges(edges, a_col, b_col, deg_ds,
+                               broadcast_max_nodes, keep_nodes=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        deg = batch["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tri = batch["n_tri"].to_numpy(zero_copy_only=False)
+        tri = np.where(np.isnan(tri.astype(np.float64)), 0,
+                       tri.astype(np.float64)).astype(np.int64)
+        denom = deg * (deg - 1.0)
+        coeff = np.where(denom > 0, 2.0 * tri / np.maximum(denom, 1.0), 0.0)
+        return pa.table({
+            "node": batch["node"],
+            "deg": batch["deg"],
+            "n_tri": pa.array(tri, pa.int64()),
+            "clustering": pa.array(
+                round_half_away(coeff, round_digits), pa.float64())})
+
+    if closed is None:
+        return deg_ds.map_batches(
+            lambda t: finish(t.append_column(
+                "n_tri", pa.array(np.zeros(t.num_rows, np.int64)))),
+            batch_format="pyarrow")
+
+    tri_nodes = closed.map_batches(
+        lambda t: pa.table({
+            "tnode": pa.concat_arrays([t["u"].combine_chunks(),
+                                       t["v"].combine_chunks(),
+                                       t["w"].combine_chunks()]),
+            "one": pa.array(np.ones(3 * t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    tri = partial_groupby_agg(tri_nodes, ["tnode"], [("one", "sum", "n_tri")])
+    joined = exchange_join(deg_ds, tri, "node", "tnode", how="left_outer")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def components_min_label(edges: rd.Dataset, src_col: str, dst_col: str,
@@ -978,3 +1062,115 @@ def random_walks(edges: rd.Dataset, src_col: str, dst_col: str,
         state = nxt
 
     return traces
+
+
+def common_neighbor_scores(edges: rd.Dataset, a_col: str = "a",
+                           b_col: str = "b", hub_cap: int = 1024,
+                           k: int = 50,
+                           round_digits: int = 9) -> rd.Dataset:
+    """LINK PREDICTION over an undirected graph: for every NON-adjacent
+    node pair sharing at least one neighbor, the common-neighbor count and
+    the Adamic–Adar score Σ_u 1/ln(deg(u)) over shared neighbors u — the
+    classic similarity signals for "which links are missing" (Liben-Nowell
+    & Kleinberg). Returns the top-``k`` pairs by (adamic_adar desc,
+    common desc, v, w) — a total order, so the cut is deterministic.
+
+    Input contract: DISTINCT undirected edge set, ``a < b``, no loops.
+
+    Skew bound — the part that matters at web scale: candidate pairs are
+    wedges enumerated at their MIDDLE vertex, which is Σ deg(u)² work; one
+    super-hub (deg 10⁶) alone would emit 10¹² pairs. Middles with
+    deg > ``hub_cap`` are therefore EXCLUDED (documented recall cut, not a
+    silent one: a hub contributes only 1/ln(deg) → ~0.07 at deg 10⁶ to a
+    pair's Adamic–Adar, and "both linked to google.com" predicts nothing —
+    the standard stop-word treatment for graphs). Wedge work is then
+    ≤ hub_cap · m. The oracle applies the SAME cap, so results stay
+    exactly comparable.
+    """
+    from ..relational import exchange_join, topk
+
+    edges = edges.materialize()
+    deg_ds = _degree_table(edges, a_col, b_col).materialize()
+
+    # directed both ways: one row (mid → nbr) per edge endpoint
+    nbr = edges.map_batches(
+        lambda t: pa.table({
+            "mid": pa.concat_arrays(
+                [t[a_col].combine_chunks().cast(pa.string()),
+                 t[b_col].combine_chunks().cast(pa.string())]),
+            "nbr": pa.concat_arrays(
+                [t[b_col].combine_chunks().cast(pa.string()),
+                 t[a_col].combine_chunks().cast(pa.string())])}),
+        batch_format="pyarrow")
+    capped_mid = exchange_join(
+        nbr, deg_ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t["deg"], hub_cap))
+            .rename_columns(["dnode", "deg"]), batch_format="pyarrow"),
+        "mid", "dnode").materialize()
+
+    wed = exchange_join(
+        capped_mid,
+        capped_mid.map_batches(
+            lambda t: pa.table({"mid2": t["mid"], "nbr2": t["nbr"]}),
+            batch_format="pyarrow"),
+        "mid", "mid2")
+
+    pair_schema = pa.schema([("pk", pa.string()), ("v", pa.string()),
+                             ("w", pa.string()), ("cn", pa.int64()),
+                             ("aa", pa.float64())])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["nbr"], batch["nbr2"]))
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        inv_ln = 1.0 / np.log(
+            t["deg"].to_numpy(zero_copy_only=False).astype(np.float64))
+        p = pa.table({"v": t["nbr"], "w": t["nbr2"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64)),
+                      "inv_ln": pa.array(inv_ln, pa.float64())})
+        g = p.group_by(["v", "w"]).aggregate(
+            [("one", "sum"), ("inv_ln", "sum")])
+        return pa.table({
+            "pk": pc.binary_join_element_wise(
+                g["v"].combine_chunks(), g["w"].combine_chunks(), "|"),
+            "v": g["v"], "w": g["w"],
+            "cn": g["one_sum"].cast(pa.int64()),
+            "aa": g["inv_ln_sum"]}, schema=pair_schema)
+
+    # merge partials with ONE hash exchange + a local C++ group_by per
+    # range — NOT Dataset.groupby: Ray's sort-based aggregate pays ~90 s
+    # on a few million string-pair partial rows (key cardinality ≈ block
+    # size, so map-side combine can't shrink them), the same failure mode
+    # the day-series tree-fold fixed; pair keys are high-cardinality so
+    # the range-owned local merge is the right shape at any scale.
+    from ..relational import hash_repartition_map
+
+    def merge_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        g = tbl.group_by(["pk", "v", "w"]).aggregate(
+            [("cn", "sum"), ("aa", "sum")])
+        return pa.table({"pk": g["pk"], "v": g["v"], "w": g["w"],
+                         "cn": g["cn_sum"], "aa": g["aa_sum"]},
+                        schema=pair_schema)
+
+    keyed = hash_repartition_map(
+        wed.map_batches(pair_partials, batch_format="pyarrow"),
+        "pk", merge_pairs)
+
+    # drop pairs that are already edges (we predict MISSING links)
+    ekey = edges.map_batches(
+        lambda t: pa.table({"pk": pc.binary_join_element_wise(
+            t[a_col].combine_chunks().cast(pa.string()),
+            t[b_col].combine_chunks().cast(pa.string()), "|")}),
+        batch_format="pyarrow")
+    missing = exchange_join(keyed, ekey, "pk", "pk", how="left_anti") \
+        .map_batches(
+            lambda t: pa.table({
+                "v": t["v"], "w": t["w"], "cn": t["cn"],
+                "aa": pa.array(round_half_away(
+                    t["aa"].to_numpy(zero_copy_only=False), round_digits),
+                    pa.float64())}),
+            batch_format="pyarrow")
+    return topk(missing, [("aa", True), ("cn", True),
+                          ("v", False), ("w", False)], k)

@@ -8350,3 +8350,159 @@ def e_dau_mau(sf_dir: str) -> rd.Dataset:
         })
 
     return dau.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# graph-analytics additions: clustering / link prediction / edge statistics
+# ---------------------------------------------------------------------------
+
+
+def _host_edges_undirected(sf_dir: str) -> rd.Dataset:
+    """DISTINCT undirected host-graph edge set (a < b, no loops) from the
+    pages links fixture — the shared input contract of the triangle-family
+    operators (per-batch combine + one (a,b) groupby for global distinct)."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def oriented(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        ok = pc.and_(pc.and_(pc.is_valid(h1), pc.is_valid(h2)),
+                     pc.not_equal(h1, h2))
+        return pa.table({"a": pc.if_else(pc.less(h1, h2), h1, h2),
+                         "b": pc.if_else(pc.less(h1, h2), h2, h1)}).filter(ok)
+
+    e = links.map_batches(oriented, batch_format="pyarrow")
+    return partial_groupby_agg(
+        e.map_batches(lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["a", "b"], [("one", "count", "_c")]).drop_columns(["_c"])
+
+
+def g_clustering_coeff(sf_dir: str) -> rd.Dataset:
+    """Local clustering coefficient per host (``graph.local_clustering``):
+    2·tri(v)/(deg(v)·(deg(v)−1)) over the undirected host graph — the
+    Watts–Strogatz community-density signal, per node. Same O(m^1.5)
+    degree-ordered wedge plan as ``g_triangles``; triangle-free and
+    degree-1 hosts report 0."""
+    from .graph import local_clustering
+
+    return local_clustering(_host_edges_undirected(sf_dir), "a", "b")
+
+
+LINKPRED_HUB_CAP = 1024  # shared verbatim with the oracle SQL
+LINKPRED_K = 50
+
+
+def g_link_prediction(sf_dir: str) -> rd.Dataset:
+    """Missing-link prediction over the host graph
+    (``graph.common_neighbor_scores``): top-50 non-adjacent host pairs by
+    Adamic–Adar score (common-neighbor count as tiebreak). Wedge work is
+    bounded by excluding middle vertices above ``LINKPRED_HUB_CAP`` —
+    the documented stop-word cut a web-scale hub demands; the oracle
+    applies the same cap."""
+    from .graph import common_neighbor_scores
+
+    return common_neighbor_scores(_host_edges_undirected(sf_dir), "a", "b",
+                                  hub_cap=LINKPRED_HUB_CAP, k=LINKPRED_K)
+
+
+def g_reciprocity(sf_dir: str) -> pa.Table:
+    """Directed-edge reciprocity of the host graph: the fraction of
+    distinct directed host links a→b whose reverse b→a is also present —
+    the classic webgraph mutuality statistic. One distinct pass (map-side
+    combine + (a,b) groupby), then a self-semi-join on the reversed
+    composite key; only 16-byte-keyed edge rows move."""
+    import os
+
+    from ..relational import exchange_join, round_half_away
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        ok = pc.and_(pc.and_(pc.is_valid(h1), pc.is_valid(h2)),
+                     pc.not_equal(h1, h2))
+        return pa.table({"a": h1, "b": h2}).filter(ok)
+
+    e = partial_groupby_agg(
+        links.map_batches(hosts, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["a", "b"], [("one", "count", "_c")]).drop_columns(["_c"]) \
+        .materialize()
+
+    fwd = e.map_batches(
+        lambda t: pa.table({"k": pc.binary_join_element_wise(
+            t["a"].combine_chunks(), t["b"].combine_chunks(), "|")}),
+        batch_format="pyarrow")
+    rev = e.map_batches(
+        lambda t: pa.table({"k2": pc.binary_join_element_wise(
+            t["b"].combine_chunks(), t["a"].combine_chunks(), "|")}),
+        batch_format="pyarrow")
+    n_edges = e.count()
+    n_recip = exchange_join(fwd, rev, "k", "k2", how="left_semi").count()
+    r = round_half_away(np.array([n_recip / max(n_edges, 1)]), 9)
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_reciprocal": pa.array([n_recip], pa.int64()),
+                     "reciprocity": pa.array(r, pa.float64())})
+
+
+def g_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the undirected host graph (Newman r): the
+    Pearson correlation of endpoint degrees over the edge multiset, both
+    orientations. All moments (Σx, Σxy, Σx², n) are INTEGER partials
+    (degrees are ints), summed distributively — the final ratio is one
+    driver-side float, so the distributed result is bit-stable at any
+    scale and the oracle mirrors the same integer sums."""
+    from ..relational import exchange_join, round_half_away
+
+    e = _host_edges_undirected(sf_dir).materialize()
+    from .graph import _degree_table
+    deg = _degree_table(e, "a", "b").materialize()
+
+    e2 = exchange_join(
+        exchange_join(e, deg.map_batches(
+            lambda t: t.rename_columns(["ka", "deg_a"]),
+            batch_format="pyarrow"), "a", "ka"),
+        deg.map_batches(lambda t: t.rename_columns(["kb", "deg_b"]),
+                        batch_format="pyarrow"), "b", "kb")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        da = batch["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "sx": pa.array([int((da + db).sum())], pa.int64()),
+            "sxy": pa.array([int(2 * (da * db).sum())], pa.int64()),
+            "sxx": pa.array([int((da * da + db * db).sum())], pa.int64()),
+            "n": pa.array([2 * len(da)], pa.int64())})
+
+    parts = e2.map_batches(moments, batch_format="pyarrow").to_pandas()
+    sx, sxy, sxx, n = (float(parts["sx"].sum()), float(parts["sxy"].sum()),
+                       float(parts["sxx"].sum()), float(parts["n"].sum()))
+    if n == 0:
+        r = 0.0
+    else:
+        cov = sxy - sx * sx / n
+        var = sxx - sx * sx / n
+        r = cov / var if var > 0 else 0.0
+    return pa.table({
+        "n_edge_endpoints": pa.array([int(n)], pa.int64()),
+        "assortativity": pa.array(round_half_away(np.array([r]), 9),
+                                  pa.float64())})
