@@ -333,6 +333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_pagerank_weighted": q.g_pagerank_weighted,
         "g_ppr_seeds": q.g_ppr_seeds,
         "g_random_walks": q.g_random_walks,
+        "a_entropy_by_source": q.a_entropy_by_source,
+        "v_dup_capture_window": q.v_dup_capture_window,
+        "v_ks_drift": q.v_ks_drift,
+        "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
         "g_link_prediction": q.g_link_prediction,
         "g_reciprocity": q.g_reciprocity,
@@ -2470,6 +2474,83 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
         "g_random_walks": _walks_sql(),
+        "v_dup_capture_window": f"""
+            WITH c AS (
+                SELECT url, capture_ts,
+                       lag(capture_ts) OVER w AS prev_ts,
+                       lag(text) OVER w AS prev_text,
+                       text
+                FROM read_parquet('{_recrawl_fixture_glob()}')
+                WINDOW w AS (PARTITION BY url ORDER BY capture_ts))
+            SELECT url, prev_ts, capture_ts,
+                   CAST(date_diff('microsecond', prev_ts, capture_ts)
+                        // 1000000 AS BIGINT) AS gap_s
+            FROM c
+            WHERE prev_ts IS NOT NULL
+              AND date_diff('microsecond', prev_ts, capture_ts)
+                  < CAST(86400 AS BIGINT) * 1000000
+              AND text = prev_text
+        """,
+        "v_ks_drift": f"""
+            WITH d AS (
+                SELECT CAST(date_trunc('day', warc_ts) AS TIMESTAMP)
+                           AS day,
+                       CAST(length(text) AS BIGINT) AS len
+                FROM read_parquet('{_pages_fixture_glob()}')
+                WHERE text IS NOT NULL),
+            g AS MATERIALIZED (
+                SELECT day, len, count(*) AS n FROM d GROUP BY 1, 2),
+            days AS (SELECT day, sum(n) AS nd FROM g GROUP BY 1),
+            gl AS (SELECT len, sum(n) AS n FROM g GROUP BY 1),
+            gcum AS (
+                SELECT len, sum(n) OVER (ORDER BY len) AS cum,
+                       (SELECT sum(n) FROM gl) AS tot
+                FROM gl),
+            grid AS (
+                SELECT days.day, days.nd, gcum.len, gcum.cum, gcum.tot
+                FROM days CROSS JOIN gcum),
+            dcum AS (
+                SELECT grid.day, grid.nd, grid.len, grid.cum, grid.tot,
+                       sum(COALESCE(g.n, 0)) OVER (
+                           PARTITION BY grid.day ORDER BY grid.len)
+                           AS cumd
+                FROM grid LEFT JOIN g
+                     ON g.day = grid.day AND g.len = grid.len)
+            SELECT day, CAST(max(nd) AS BIGINT) AS n_day,
+                   round(max(abs(cumd * 1.0 / nd - cum * 1.0 / tot)), 9)
+                       AS ks
+            FROM dcum GROUP BY day
+        """,
+        "a_entropy_by_source": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY 1, 2),
+            t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.source,
+                   CAST(t.tot AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   round(sum(-(n * 1.0 / tot) * log2(n * 1.0 / tot)), 9)
+                       AS entropy
+            FROM c JOIN t USING (source)
+            GROUP BY c.source, t.tot
+        """,
+        "a_gini_spend": """
+            WITH s AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY cents) AS i,
+                       count(*) OVER () AS n,
+                       sum(cents) OVER () AS tot
+                FROM s)
+            SELECT CAST(max(n) AS BIGINT) AS n_customers,
+                   round(sum((2.0 * i - n - 1) * cents)
+                         / (max(n) * 1.0 * max(tot)), 9) AS gini
+            FROM r
+        """,
         "g_clustering_coeff": f"""
             WITH h AS (
                 SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS h1,

@@ -8506,3 +8506,263 @@ def g_assortativity(sf_dir: str) -> pa.Table:
         "n_edge_endpoints": pa.array([int(n)], pa.int64()),
         "assortativity": pa.array(round_half_away(np.array([r]), 9),
                                   pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# distribution statistics: entropy, Gini, KS drift
+# ---------------------------------------------------------------------------
+
+
+def a_entropy_by_source(sf_dir: str) -> rd.Dataset:
+    """Shannon entropy (bits) of the language mix per document source —
+    the corpus-diversity signal a data-mixing policy monitors (a source
+    whose entropy collapses got monolingual). One map-side-combined
+    (source, lang) count exchange shrinks the corpus to ≤ sources×langs
+    rows, then one hash exchange on source computes the per-source
+    −Σ p·log2 p with a segmented vectorized pass (sort + np.add.reduceat)
+    — no per-group Python, nothing driver-side."""
+    from ..relational import hash_repartition_map
+
+    docs = read(sf_dir, "documents", ["source", "lang"])
+    counts = partial_groupby_agg(
+        docs.map_batches(lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["source", "lang"], [("one", "count", "n")])
+
+    out_schema = pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                            ("n_langs", pa.int64()),
+                            ("entropy", pa.float64())])
+
+    def per_source(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[("source", "ascending"),
+                                              ("lang", "ascending")])
+        tbl = tbl.take(idx)
+        src = tbl["source"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = np.ones(len(src), bool)
+        first[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(n, starts)
+        p = n / np.repeat(tot, np.diff(np.append(starts, len(n))))
+        ent = np.add.reduceat(-p * np.log2(p), starts)
+        nl = np.diff(np.append(starts, len(n)))
+        return pa.table({
+            "source": pa.array(src[starts], pa.string()),
+            "n_docs": pa.array(tot.astype(np.int64), pa.int64()),
+            "n_langs": pa.array(nl.astype(np.int64), pa.int64()),
+            "entropy": pa.array(round_half_away(ent, 9), pa.float64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(counts, "source", per_source)
+
+
+def _exact_rank_dot(x: np.ndarray) -> int:
+    """Σ i·x_i (i 1-based) over an ascending int64 array, EXACT at any
+    scale: int64 partials chunked so no partial overflows, accumulated
+    into an arbitrary-precision Python int."""
+    if len(x) == 0:
+        return 0
+    xm = int(x.max()) if len(x) else 1
+    # chunk_len·max_rank·xm must stay < 2^62; ranks ≤ len(x)
+    safe = max(1, (1 << 62) // max(xm * len(x), 1))
+    total, i0 = 0, 0
+    while i0 < len(x):
+        seg = x[i0:i0 + safe]
+        ranks = np.arange(i0 + 1, i0 + 1 + len(seg), dtype=np.int64)
+        total += int(np.dot(ranks, seg))
+        i0 += safe
+    return total
+
+
+def a_gini_spend(sf_dir: str) -> pa.Table:
+    """Gini coefficient of per-customer total spend — the inequality
+    statistic over an aggregate distribution, computed EXACTLY without a
+    global sort: spend is exact integer cents; value-RANGE buckets (fixed
+    width, so buckets are contiguous in value) are each reduced to
+    (count, sum, Σ local_rank·x) by one hash exchange + a segmented
+    sorted pass, and a driver prefix-scan over the ≤ O(range/width)
+    bucket rows lifts local ranks to global ones:
+    Σ global_i·x_i = Σ_buckets (inner + count_below·sum). Ties always
+    share a bucket (equal value ⇒ equal bucket), and Σ(2i−n−1)x is
+    tie-order-invariant, so the result equals the oracle's
+    row_number-based window formula exactly."""
+    from ..relational import hash_repartition_map
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "cents": pa.array(c, pa.int64())})
+
+    spend = partial_groupby_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum", "cents")])
+
+    BUCKET_W = 1 << 20  # ~1e6 cents per bucket: ≤ O(max_spend/1e6) buckets
+    bucket_schema = pa.schema([("bucket", pa.int64()), ("cnt", pa.int64()),
+                               ("s", pa.int64()), ("inner_hi", pa.int64()),
+                               ("inner_lo", pa.int64())])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return bucket_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[("bucket", "ascending"),
+                                              ("cents", "ascending")])
+        tbl = tbl.take(idx)
+        b = tbl["bucket"].to_numpy(zero_copy_only=False)
+        x = tbl["cents"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(b), bool)
+        first[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(b))
+        rows = {"bucket": [], "cnt": [], "s": [], "inner_hi": [],
+                "inner_lo": []}
+        for st, en in zip(starts, ends):  # ≤ buckets-per-range iterations,
+            seg = x[st:en]                # NOT per customer
+            inner = _exact_rank_dot(seg)
+            rows["bucket"].append(int(b[st]))
+            rows["cnt"].append(en - st)
+            rows["s"].append(int(seg.sum()))
+            rows["inner_hi"].append(inner >> 62)
+            rows["inner_lo"].append(inner & ((1 << 62) - 1))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()}, schema=bucket_schema)
+
+    bucketed = spend.map_batches(
+        lambda t: pa.table({
+            "bucket": pc.divide(t["cents"], BUCKET_W).cast(pa.int64()),
+            "cents": t["cents"]}),
+        batch_format="pyarrow")
+    parts = hash_repartition_map(bucketed, "bucket", per_bucket).to_pandas()
+    parts = parts.sort_values("bucket").reset_index(drop=True)
+
+    n = int(parts["cnt"].sum())
+    total = int(parts["s"].sum())
+    if n == 0 or total == 0:
+        g = 0.0
+    else:
+        rank_dot, below = 0, 0
+        for _, r in parts.iterrows():  # ≤ n_buckets rows (driver-tiny)
+            inner = (int(r["inner_hi"]) << 62) | int(r["inner_lo"])
+            rank_dot += inner + below * int(r["s"])
+            below += int(r["cnt"])
+        g = (2.0 * rank_dot - (n + 1.0) * total) / (float(n) * total)
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "gini": pa.array(round_half_away(np.array([g]), 9), pa.float64())})
+
+
+DUP_CAPTURE_WINDOW_S = 86_400  # shared verbatim with the oracle SQL
+
+
+def v_dup_capture_window(sf_dir: str) -> rd.Dataset:
+    """Wasteful-recrawl detection over the multi-capture archive: pairs of
+    CONSECUTIVE captures of the same url less than 24 h apart whose text
+    is byte-identical — crawl-budget violations the scheduler should not
+    have spent (a near-immediate refetch that changed nothing). The C1-
+    family validation shape: one hash exchange on url co-locates each
+    url's captures, then a per-partition sort + shifted compare (lag) in
+    pure Arrow/numpy; only (url, ts, 64-bit text hash) rows move — the
+    body never leaves the scan. Emits one violation row per offending
+    pair (url, prev_ts, capture_ts, gap_s). Hash-collision trade as
+    ``pages_recrawl_delta`` (p ≈ n·2⁻⁶⁴, oracle compares true strings)."""
+    from ..functions.hashing import hash_strings64
+    from ..relational import hash_repartition_map
+    from ..sources.recrawl import ensure_recrawl, recrawl_nurls_for_sf
+
+    fix = ensure_recrawl(recrawl_nurls_for_sf(sf_dir))
+    caps = rd.read_parquet(fix, columns=["url", "capture_ts", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        th = hash_strings64(
+            pc.fill_null(batch["text"], "").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "url": batch["url"],
+            "capture_ts": batch["capture_ts"],
+            "th": pa.array(th.view(np.int64), pa.int64())})
+
+    out_schema = pa.schema([("url", pa.string()),
+                            ("prev_ts", pa.timestamp("us")),
+                            ("capture_ts", pa.timestamp("us")),
+                            ("gap_s", pa.int64())])
+
+    def dups(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[("url", "ascending"),
+                                              ("capture_ts", "ascending")])
+        tbl = tbl.take(idx)
+        url = tbl["url"].to_numpy(zero_copy_only=False)
+        ts = tbl["capture_ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        th = tbl["th"].to_numpy(zero_copy_only=False)
+        same_url = url[1:] == url[:-1]
+        gap_us = ts[1:] - ts[:-1]
+        bad = same_url & (gap_us < DUP_CAPTURE_WINDOW_S * 1_000_000) \
+            & (th[1:] == th[:-1])
+        i = np.flatnonzero(bad) + 1
+        return pa.table({
+            "url": tbl["url"].take(pa.array(i)),
+            "prev_ts": tbl["capture_ts"].take(pa.array(i - 1)),
+            "capture_ts": tbl["capture_ts"].take(pa.array(i)),
+            "gap_s": pa.array(gap_us[i - 1] // 1_000_000, pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(caps.map_batches(
+        project, batch_format="pyarrow"), "url", dups)
+
+
+def v_ks_drift(sf_dir: str) -> pa.Table:
+    """Per-day Kolmogorov–Smirnov drift of the text-length distribution
+    against the whole corpus — the two-sample-shape companion to the
+    chi-square (``v_daily_lang_drift``) and PSI (``v_daily_lang_psi``)
+    categorical drift checks: KS(d) = max_x |F_d(x) − F(x)| over the
+    empirical CDFs. Lengths are small ints, so the EXACT statistic needs
+    only the (day, len) contingency table: a bounded-cardinality
+    tree-fold (days × distinct lengths rows — ``small_groupby_agg``, the
+    day-series shape), then one driver numpy pass aligns per-day
+    cumulative counts on the global length grid. Both engines evaluate
+    identical integer-ratio doubles, so the match is exact."""
+    import os
+
+    from ..relational import small_groupby_agg
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts", "text"])
+
+    def day_len(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["text"]))
+        day = pc.floor_temporal(t["warc_ts"].cast(pa.timestamp("us")),
+                                unit="day")
+        ln = pc.utf8_length(t["text"]).cast(pa.int64())
+        return pa.table({"day": day, "len": ln,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = small_groupby_agg(
+        pages.map_batches(day_len, batch_format="pyarrow"),
+        ["day", "len"], [("one", "count", "n")], ts_cols=("day",))
+
+    day = counts["day"].to_numpy(zero_copy_only=False)
+    ln = counts["len"].to_numpy(zero_copy_only=False)
+    n = counts["n"].to_numpy(zero_copy_only=False)
+
+    lens, len_code = np.unique(ln, return_inverse=True)
+    days, day_code = np.unique(day, return_inverse=True)
+    grid = np.zeros((len(days), len(lens)), np.int64)
+    grid[day_code, len_code] = n
+    cum_d = grid.cumsum(axis=1).astype(np.float64)
+    n_day = grid.sum(axis=1).astype(np.float64)
+    cum_all = grid.sum(axis=0).cumsum().astype(np.float64)
+    n_all = float(cum_all[-1])
+    ks = np.abs(cum_d / n_day[:, None] - cum_all[None, :] / n_all) \
+        .max(axis=1)
+    return pa.table({
+        "day": pa.array(days, pa.timestamp("us")),
+        "n_day": pa.array(n_day.astype(np.int64), pa.int64()),
+        "ks": pa.array(round_half_away(ks, 9), pa.float64())})
