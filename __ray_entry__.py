@@ -111,6 +111,15 @@ def _s_ann_ivf(sf_dir: str):
         _sim.load_queries(sf_dir, 10), k=5, n_cells=16, nprobe=16)
 
 
+RADIUS_COS = 0.35  # shared verbatim with the oracle SQL
+
+
+def _s_radius_search(sf_dir: str):
+    return _sim.radius_search(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _sim.load_queries(sf_dir, 10), threshold=RADIUS_COS)
+
+
 def _s_ann_filtered(sf_dir: str):
     return _sim.ann_filtered(
         read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
@@ -208,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_ivfpq": _s_ann_ivfpq,
         "s_ann_refine": _s_ann_refine,
         "s_ann_filtered": _s_ann_filtered,
+        "s_radius_search": _s_radius_search,
         # skew-aware join, CUBE lattice, blocklist filter, domain mixing,
         # first-class set ops
         "j_skew_user_events": q.j_skew_user_events,
@@ -335,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_random_walks": q.g_random_walks,
         "a_entropy_by_source": q.a_entropy_by_source,
         "v_dup_capture_window": q.v_dup_capture_window,
+        "t_sentence_stats": q.t_sentence_stats,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -1856,6 +1867,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM s) t
             WHERE rank <= 5
         """,
+        "s_radius_search": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 10))
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qe,
+                         CAST(e.embedding AS DOUBLE[])), 9) AS cos
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.query_id
+              AND list_cosine_similarity(q.qe,
+                  CAST(e.embedding AS DOUBLE[])) >= 0.35
+        """,
         # filtered search: same exact top-k, restricted to the query's label
         "s_ann_filtered": """
             WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
@@ -2474,6 +2499,27 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
         "g_random_walks": _walks_sql(),
+        "t_sentence_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               list_transform(
+                                   regexp_split_to_array(text, '[.!?]+'),
+                                   x -> trim(x, ' ' || chr(9) || chr(10)
+                                             || chr(13))),
+                               x -> x <> ''),
+                           x -> length(x)) AS lens
+                FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id,
+                   CAST(len(lens) AS BIGINT) AS n_sentences,
+                   CAST(COALESCE(list_sum(lens), 0) AS BIGINT)
+                       AS sent_chars,
+                   round(CASE WHEN len(lens) > 0
+                         THEN COALESCE(list_sum(lens), 0) * 1.0 / len(lens)
+                         ELSE 0.0 END, 9) AS avg_sent_len
+            FROM s
+        """,
         "v_dup_capture_window": f"""
             WITH c AS (
                 SELECT url, capture_ts,

@@ -8766,3 +8766,39 @@ def v_ks_drift(sf_dir: str) -> pa.Table:
         "day": pa.array(days, pa.timestamp("us")),
         "n_day": pa.array(n_day.astype(np.int64), pa.int64()),
         "ks": pa.array(round_half_away(ks, 9), pa.float64())})
+
+
+def t_sentence_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document sentence segmentation stats (count / total / mean
+    sentence length) — the doc-structure feature a quality filter and a
+    packing policy both read (Gopher's "mean sentence length" cut). A
+    sentence is a non-empty ``[.!?]+``-delimited segment after trimming
+    ``space/tab/newline``; the rule is deliberately regex-simple so any
+    engine reproduces it byte-for-byte. Fully vectorized per batch:
+    ``split_pattern_regex`` → list-flatten + parent indices → one
+    ``np.bincount`` per stat; no Python row loop, no shuffle (embarras-
+    singly parallel map)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    TRIM = " \t\n\r"
+
+    def stats(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["text"]))
+        segs = pc.split_pattern_regex(t["text"], "[.!?]+")
+        flat = pc.utf8_trim(pc.list_flatten(segs), TRIM)
+        parent = pc.list_parent_indices(segs).to_numpy(
+            zero_copy_only=False)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = ln > 0
+        nrows = t.num_rows
+        n_sent = np.bincount(parent[keep], minlength=nrows)
+        tot = np.bincount(parent[keep], weights=ln[keep],
+                          minlength=nrows).astype(np.int64)
+        avg = np.where(n_sent > 0, tot / np.maximum(n_sent, 1), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_sentences": pa.array(n_sent.astype(np.int64), pa.int64()),
+            "sent_chars": pa.array(tot, pa.int64()),
+            "avg_sent_len": pa.array(round_half_away(avg, 9),
+                                     pa.float64())})
+
+    return docs.map_batches(stats, batch_format="pyarrow")

@@ -648,3 +648,42 @@ def ann_ivf(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
     scored = ds.map_batches(score_cells, batch_format="pyarrow")
     return scored.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow")
+
+
+def radius_search(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
+                  threshold: float, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  round_digits: int = 9) -> rd.Dataset:
+    """RANGE (radius) similarity search: every (query, vector) pair with
+    cosine ≥ ``threshold`` — the "all neighbors within ε" mode (dedup
+    candidate generation, near-duplicate audits) where top-k's fixed cut
+    is wrong because the true neighbor count varies per query.
+
+    Same scale shape as ``ann_brute_force``: the normalized query matrix
+    broadcast once via ``ray.put``, one numpy matmul per batch, rows
+    emitted only when they clear the threshold — output-bound, no
+    per-query state, no shuffle at all (the result needs no merge step,
+    unlike top-k). Self-pairs excluded."""
+    ref = ray.put(queries)
+    from ..relational import round_half_away
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = ("radius", ref.hex())
+        st = _SCORER_CACHE.get(key)
+        if st is None:
+            qids, qmat = ray.get(ref)
+            st = (np.asarray(qids), _normalize(qmat.astype(np.float64)))
+            _SCORER_CACHE[key] = st
+        qids, qmat = st
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        cos = qmat @ _normalize(mat).T  # (n_q, n_batch)
+        cos[ids[None, :] == qids[:, None]] = -np.inf
+        qi, bi = np.nonzero(cos >= threshold)
+        return pa.table({
+            "query_id": pa.array(qids[qi], pa.int64()),
+            "neighbor_id": pa.array(ids[bi], pa.int64()),
+            "cos": pa.array(round_half_away(cos[qi, bi], round_digits),
+                            pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
