@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_entropy_by_source": q.a_entropy_by_source,
         "v_dup_capture_window": q.v_dup_capture_window,
         "t_sentence_stats": q.t_sentence_stats,
+        "t_winnow_fingerprints": q.t_winnow_fingerprints,
+        "dd_cdc_chunks": q.dd_cdc_chunks,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2499,6 +2501,87 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
         "g_random_walks": _walks_sql(),
+        "dd_cdc_chunks": """
+            WITH b AS (
+                SELECT doc_id, text, length(text) AS L
+                FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+            g AS MATERIALIZED (
+                SELECT doc_id, L, t.i,
+                       (ascii(substr(text, t.i, 1)) * 2654435761
+                        + 2654435769) % 4294967296 AS gv
+                FROM b, unnest(generate_series(1, L)) AS t(i)),
+            w AS (
+                SELECT doc_id, L, i,
+                       CASE WHEN i >= 6 THEN
+                           (gv
+                            + 2 * lag(gv, 1) OVER w2
+                            + 4 * lag(gv, 2) OVER w2
+                            + 8 * lag(gv, 3) OVER w2
+                            + 16 * lag(gv, 4) OVER w2
+                            + 32 * lag(gv, 5) OVER w2) % 64
+                       END AS wv
+                FROM g
+                WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)),
+            bounds AS (
+                SELECT DISTINCT doc_id, e FROM (
+                    SELECT doc_id, 0 AS e FROM b
+                    UNION ALL
+                    SELECT doc_id, i FROM w WHERE wv = 0 AND i < L
+                    UNION ALL
+                    SELECT doc_id, L FROM b)),
+            ch AS (
+                SELECT doc_id, e,
+                       lag(e) OVER (PARTITION BY doc_id ORDER BY e) AS pe
+                FROM bounds),
+            h AS MATERIALIZED (
+                SELECT c.doc_id,
+                       CAST(('0x' || substr(md5(
+                           substr(b.text, c.pe + 1, c.e - c.pe)), 1, 8))
+                           AS BIGINT) AS chash
+                FROM ch c JOIN b USING (doc_id)
+                WHERE c.pe IS NOT NULL),
+            dc AS (
+                SELECT chash, count(DISTINCT doc_id) AS nd
+                FROM h GROUP BY 1)
+            SELECT h.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_chunks,
+                   round(sum(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 9) AS dup_frac
+            FROM h JOIN dc USING (chash)
+            GROUP BY h.doc_id
+        """,
+        "t_winnow_fingerprints": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL),
+            g AS MATERIALIZED (
+                SELECT doc_id, t.i - 1 AS pos,
+                       CAST(('0x' || substr(md5(
+                           list_extract(tk, t.i) || ' '
+                           || list_extract(tk, t.i + 1) || ' '
+                           || list_extract(tk, t.i + 2)), 1, 8))
+                           AS BIGINT) AS h
+                FROM d, unnest(generate_series(1, len(tk) - 2)) AS t(i)),
+            wm AS (
+                SELECT doc_id, pos AS end_pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS wmin
+                FROM g),
+            sel AS (
+                SELECT w.doc_id, max(g2.pos) AS pos, w.wmin AS fp
+                FROM wm w JOIN g g2
+                     ON g2.doc_id = w.doc_id
+                    AND g2.pos BETWEEN w.end_pos - 3 AND w.end_pos
+                    AND g2.h = w.wmin
+                GROUP BY w.doc_id, w.end_pos, w.wmin)
+            SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+            FROM sel
+        """,
         "t_sentence_stats": """
             WITH s AS (
                 SELECT doc_id,

@@ -1227,3 +1227,91 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str, text_col: str,
                          "text_deduped": text_dd}, schema=out_schema)
 
     return hash_repartition_map(marked, id_col, assemble)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (Rabin/Gear CDC) — storage-level dedup analysis
+# ---------------------------------------------------------------------------
+
+CDC_MASK = 63      # boundary when W ≡ 0 (mod 64): ~64-byte expected chunks
+CDC_WINDOW = 6     # gear window; W_j = Σ_{k=0..5} gear(b_{j-k})·2^k
+
+
+def _gear(b: np.ndarray) -> np.ndarray:
+    """Engine-neutral gear function: (b·2654435761 + 2654435769) mod 2^32
+    — a FORMULA rather than a random table so any engine (and the SQL
+    oracle) reproduces it; the Knuth multiplicative constant gives the
+    bit diffusion a gear table provides."""
+    return (b.astype(np.uint64) * np.uint64(2654435761)
+            + np.uint64(2654435769)) % np.uint64(1 << 32)
+
+
+def cdc_chunks(batch: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text") -> pa.Table:
+    """Content-defined chunking of each document (the Rabin-fingerprint /
+    Gear-hash boundary rule of LBFS/FastCDC, minus the min/max clamps —
+    those are production knobs that break windowed reproducibility):
+    cut AFTER byte j when the gear-window value
+    W_j = Σ_{k=0..5} gear(b_{j−k})·2^k ≡ 0 (mod 64) and the window lies
+    fully inside the document. Identical content produces identical
+    chunks REGARDLESS of position — the property rsync/backup dedup and
+    incremental-crawl storage rely on, which fixed-size blocks lack.
+
+    Fully vectorized AND zero-copy: W comes from six shifted adds over
+    the batch's flat utf-8 buffer; the chunk substrings are a new Arrow
+    ``large_string`` array built from computed offsets over the SAME
+    data buffer — chunk bytes are never copied. Returns
+    (doc_id, chunk_idx, chunk) rows. ASCII fixture ⇒ bytes == chars so
+    the SQL oracle can mirror with substr/ascii; the byte rule is the
+    real (any-encoding) semantics."""
+    t = batch.filter(pc.is_valid(batch[text_col]))
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    s = t[text_col].combine_chunks()
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "chunk": pa.array([], pa.large_string())})
+    if n == 0:
+        return empty
+    odtype = (np.int64 if pa.types.is_large_string(s.type) else np.int32)
+    offs = np.frombuffer(s.buffers()[1], dtype=odtype)[
+        s.offset:s.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(s.buffers()[2], dtype=np.uint8)
+    if offs[-1] == offs[0]:
+        return empty
+    g = _gear(data)
+    W = g.copy()
+    for k in range(1, CDC_WINDOW):
+        W[k:] += g[:-k] << np.uint64(k)
+    W &= np.uint64(CDC_MASK)
+    # byte j is a cut iff W_j == 0, the 6-byte window is inside the doc,
+    # and j is not the doc's last byte (a cut there is a no-op)
+    base = offs[0]
+    doc_of = np.repeat(np.arange(n), offs[1:] - offs[:-1])  # relative
+    jr = np.flatnonzero(W[base:offs[-1]] == 0)              # relative
+    dstart = offs[doc_of[jr]] - base
+    dend = offs[doc_of[jr] + 1] - base
+    ok = (jr - (CDC_WINDOW - 1) >= dstart) & (jr + 1 < dend)
+    cut_offs = jr[ok] + 1 + base                            # absolute
+    starts = np.sort(np.concatenate([offs[:-1], cut_offs]))
+    bounds = np.append(starts, offs[-1])
+    lens = np.diff(bounds)
+    keep = lens > 0  # empty docs contribute a zero-length pseudo-chunk
+    chunk_doc = np.searchsorted(offs, starts, side="right") - 1
+    chunk_doc, bounds_lo = chunk_doc[keep], starts[keep]
+    new_offs = np.append(bounds_lo, offs[-1]).astype(np.int64)
+    # zero-copy: new offsets over the ORIGINAL data buffer
+    chunk_arr = pa.Array.from_buffers(
+        pa.large_string(), len(chunk_doc),
+        [None, pa.py_buffer(new_offs), s.buffers()[2]])
+    first = np.ones(len(chunk_doc), bool)
+    first[1:] = chunk_doc[1:] != chunk_doc[:-1]
+    fstarts = np.flatnonzero(first)
+    cidx = np.arange(len(chunk_doc)) - np.repeat(
+        fstarts, np.diff(np.append(fstarts, len(chunk_doc))))
+    return pa.table({
+        id_col: pa.array(ids[chunk_doc], pa.int64()),
+        "chunk_idx": pa.array(cidx, pa.int64()),
+        "chunk": chunk_arr})

@@ -8802,3 +8802,149 @@ def t_sentence_stats(sf_dir: str) -> rd.Dataset:
                                      pa.float64())})
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def t_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the
+    MOSS algorithm): token-3-gram hashes, then from every window of 4
+    consecutive gram positions select the RIGHTMOST minimal hash; the
+    deduped selections are the doc's fingerprint set — guaranteed-density
+    sampling that detects any shared run ≥ k+w−1 tokens. Initial partial
+    windows are included (window = positions max(0, p−3)..p), so docs
+    with ≥1 gram always fingerprint; the gram hash is the engine-neutral
+    md5[:8] int (vectorized DuckDB kernel, ``hashing.md5_int32``) so the
+    selection is reproducible bit-for-bit in ANY engine — hence a
+    FULL-VALUE oracle where most fingerprinters settle for rows-only.
+    Embarrassingly parallel per doc; everything segmented numpy, no row
+    loop, no shuffle."""
+    from ..functions.hashing import md5_int32
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                            ("fp", pa.int64())])
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["text"]))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern_regex(t["text"].combine_chunks(),
+                                      r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        n = len(flat)
+        if n < 3:
+            return out_schema.empty_table()
+        same = parent[:-2] == parent[2:]
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2),
+            flat.slice(2, n - 2), " ").filter(pa.array(same))
+        gparent = parent[:-2][same]
+        if len(gparent) == 0:
+            return out_schema.empty_table()
+        h = md5_int32(grams)
+        first = np.ones(len(gparent), bool)
+        first[1:] = gparent[1:] != gparent[:-1]
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(gparent)) - np.repeat(
+            starts, np.diff(np.append(starts, len(gparent))))
+        # rightmost minimal hash per (possibly partial) 4-window:
+        # scan offsets k=0..3 back from the window end; strict < keeps
+        # the rightmost on ties
+        best = h.copy()
+        bestpos = pos.copy()
+        for k in (1, 2, 3):
+            valid = np.zeros(len(h), bool)
+            valid[k:] = gparent[k:] == gparent[:-k]
+            cand = np.empty(len(h), h.dtype)
+            cand[k:] = h[:-k]
+            upd = valid & (cand < best)
+            best[upd] = cand[upd]
+            bestpos[upd] = pos[upd] - k
+        sel = np.unique(np.stack([gparent, bestpos]), axis=1)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        gram_doc_start = np.zeros(int(gparent.max()) + 1, np.int64)
+        gram_doc_start[gparent[starts]] = starts
+        fp = h[gram_doc_start[sel[0]] + sel[1]]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[sel[0]], pa.int64()),
+            "pos": pa.array(sel[1], pa.int64()),
+            "fp": pa.array(fp, pa.int64())}, schema=out_schema)
+
+    return docs.map_batches(winnow, batch_format="pyarrow")
+
+
+def dd_cdc_chunks(sf_dir: str) -> rd.Dataset:
+    """Storage-level dedup analysis by CONTENT-DEFINED CHUNKING
+    (``dedup.cdc_chunks``: Gear-hash boundary rule, the LBFS/FastCDC
+    family): per document, how many CDC chunks it splits into and how
+    many of those chunk instances also occur in at least one OTHER
+    document — the dedup-ratio signal an incremental crawl store /
+    backup system reads before choosing chunk-level storage. Shape:
+    zero-copy chunking per batch → 8-byte md5 chunk hashes (engine-
+    neutral) → ONE hash exchange on chunk hash (a range owns every
+    instance of its hashes: distinct-doc count is local) → per-doc
+    partial (n, n_dup) rows → one tiny doc-keyed merge. Chunk BYTES
+    never cross the wire twice: only (hash, doc_id) pairs are
+    exchanged."""
+    from ..functions.hashing import md5_int32
+    from ..relational import hash_repartition_map
+    from .dedup import cdc_chunks
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = docs.map_batches(cdc_chunks, batch_format="pyarrow")
+
+    pair_schema = pa.schema([("chash", pa.int64()), ("doc_id", pa.int64())])
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        return pa.table({"chash": pa.array(md5_int32(batch["chunk"]),
+                                           pa.int64()),
+                         "doc_id": batch["doc_id"]}, schema=pair_schema)
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("n", pa.int64()),
+                             ("ndup", pa.int64())])
+
+    def per_hash(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[("chash", "ascending"),
+                                              ("doc_id", "ascending")])
+        tbl = tbl.take(idx)
+        ch = tbl["chash"].to_numpy(zero_copy_only=False)
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        hfirst = np.ones(len(ch), bool)
+        hfirst[1:] = ch[1:] != ch[:-1]
+        hstarts = np.flatnonzero(hfirst)
+        hlens = np.diff(np.append(hstarts, len(ch)))
+        # distinct docs per hash segment: count of (hash,doc) firsts
+        pfirst = hfirst | np.concatenate([[True], did[1:] != did[:-1]])
+        ndocs = np.add.reduceat(pfirst.astype(np.int64), hstarts)
+        dup = np.repeat(ndocs >= 2, hlens)
+        p = pa.table({"doc_id": tbl["doc_id"],
+                      "one": pa.array(np.ones(len(ch), np.int64)),
+                      "dup": pa.array(dup.astype(np.int64), pa.int64())})
+        g = p.group_by(["doc_id"]).aggregate([("one", "sum"),
+                                              ("dup", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "n": g["one_sum"],
+                         "ndup": g["dup_sum"]}, schema=part_schema)
+
+    parts = hash_repartition_map(
+        chunks.map_batches(to_pairs, batch_format="pyarrow"),
+        "chash", per_hash)
+    agg = partial_groupby_agg(parts, ["doc_id"],
+                              [("n", "sum", "n_chunks"),
+                               ("ndup", "sum", "n_dup_chunks")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_chunks"].to_numpy(zero_copy_only=False)
+        d = batch["n_dup_chunks"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dup_frac", pa.array(round_half_away(
+                d / np.maximum(n, 1), 9), pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

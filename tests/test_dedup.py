@@ -448,3 +448,62 @@ def test_simhash_capped_bucket():
                               bucket_cap=16).to_pandas()
     assert 0 < len(out) <= 8 * n
     assert (out["hamming"] == 0).all()
+
+
+def test_cdc_chunks_match_scalar_replay(ray_session):
+    """Vectorized zero-copy CDC chunking must equal a per-byte scalar
+    replay of the gear-window boundary rule, including null/empty docs
+    and sliced input arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lk_data_test_ray.pipelines.dedup import (CDC_MASK, CDC_WINDOW,
+                                                  _gear, cdc_chunks)
+
+    def scalar(ids, texts):
+        out = []
+        for di, tx in zip(ids, texts):
+            if tx is None:
+                continue
+            b = tx.encode()
+            cuts = [j + 1 for j in range(CDC_WINDOW - 1, len(b))
+                    if (sum(int(_gear(np.array([b[j - k]], np.uint8))[0])
+                            << k for k in range(CDC_WINDOW)) & CDC_MASK)
+                    == 0 and j + 1 < len(b)]
+            bounds = [0] + cuts + [len(b)]
+            ci = 0
+            for a, e in zip(bounds[:-1], bounds[1:]):
+                if e > a:
+                    out.append((di, ci, tx[a:e]))
+                    ci += 1
+        return out
+
+    rng = np.random.default_rng(7)
+    texts = ["".join(chr(rng.integers(97, 123))
+                     for _ in range(int(rng.integers(0, 400))))
+             for _ in range(30)]
+    texts[5] = None
+    texts[7] = ""
+    ids = list(range(100, 130))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    for t in (tbl, tbl.slice(3, 20)):
+        got = list(zip(cdc_chunks(t)["doc_id"].to_pylist(),
+                       cdc_chunks(t)["chunk_idx"].to_pylist(),
+                       cdc_chunks(t)["chunk"].to_pylist()))
+        want = scalar(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        assert got == want
+
+    # content shifted by a prefix still yields the same tail chunks
+    # (the position-independence fixed-size blocking lacks)
+    base = texts[0]
+    shifted = "zq" + base
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array([base, shifted], pa.string())})
+    ch = cdc_chunks(t2)
+    c1 = [c for d, c in zip(ch["doc_id"].to_pylist(),
+                            ch["chunk"].to_pylist()) if d == 1]
+    c2 = [c for d, c in zip(ch["doc_id"].to_pylist(),
+                            ch["chunk"].to_pylist()) if d == 2]
+    if len(c1) > 2 and len(c2) > 2:
+        assert c1[-1] == c2[-1]
