@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_sentence_stats": q.t_sentence_stats,
         "t_winnow_fingerprints": q.t_winnow_fingerprints,
         "dd_cdc_chunks": q.dd_cdc_chunks,
+        # iterative ALS — no SQL oracle by nature; determinism +
+        # reconstruction asserted in tests/test_factorize.py
+        "s_als_recommend": q.s_als_recommend,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,

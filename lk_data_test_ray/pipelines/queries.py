@@ -8948,3 +8948,33 @@ def dd_cdc_chunks(sf_dir: str) -> rd.Dataset:
                 d / np.maximum(n, 1), 9), pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def s_als_recommend(sf_dir: str) -> pa.Table:
+    """Collaborative-filtering recommendation over the event stream
+    (``factorize.als_recommend``): rank-3 ALS factorization of the
+    (user × item) mean-value matrix where an item is an (event_type,
+    day-of-week) SLOT — 35 items, so real unseen cells exist per user
+    (every user touches all 5 bare types at any realistic volume) —
+    then each user's top-scoring unseen slot: "which action in which
+    weekday slot next". One hash exchange on user reused by every ALS
+    iteration; item factors broadcast (the driver-small side); per-
+    partition batched closed-form solves. Iterative least squares ⇒
+    rows-only (no SQL); determinism + reconstruction pytest-asserted."""
+    from .factorize import als_recommend
+
+    ev = read(sf_dir, "events", ["user_id", "event_type", "value", "ts"])
+
+    def slot(batch: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(batch["ts"]).cast(pa.string())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "item": pc.binary_join_element_wise(
+                batch["event_type"].combine_chunks(), dow, "@"),
+            "value": batch["value"]})
+
+    ratings = partial_groupby_agg(
+        ev.map_batches(slot, batch_format="pyarrow"),
+        ["user_id", "item"], [("value", "mean", "r")])
+    return als_recommend(ratings, "user_id", "item", "r",
+                         rank=3, iters=8)
