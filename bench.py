@@ -77,6 +77,15 @@ BENCH_QUERIES = [
     "pages_rolling_distinct_7d",
     "v_count_anomaly",
     "t_token_freq_cms",
+    # round-4 fifth-session additions
+    "g_link_prediction",
+    "g_clustering_coeff",
+    "t_winnow_fingerprints",
+    "dd_cdc_chunks",
+    "v_ks_drift",
+    "a_gini_spend",
+    "s_als_recommend",
+    "s_radius_search",
 ]
 
 
