@@ -447,6 +447,31 @@ def _closed_wedges(edges: rd.Dataset, a_col: str, b_col: str,
     return closed, n_wedges
 
 
+def _collect_dense_adjacency(edges: rd.Dataset, a_col: str, b_col: str):
+    """Driver-side dense symmetric adjacency of a DISTINCT undirected
+    edge set whose NODE set is driver-small (hosts, not pages — the same
+    size argument as pagerank's ``local`` mode). Returns
+    ``(node_names: np.ndarray[str], A: np.ndarray float64)``. The edge
+    LIST is collected once (≤ n²/2 rows by the node bound); at
+    n ≤ ~2000 the matrix is ≤ 33 MB and one BLAS matmul replaces tens of
+    millions of exchanged wedge rows."""
+    et = pa.concat_tables(
+        edges.iter_batches(batch_format="pyarrow", batch_size=None))
+    comb = pa.chunked_array(
+        [et[a_col].combine_chunks().cast(pa.string()),
+         et[b_col].combine_chunks().cast(pa.string())]).combine_chunks()
+    denc = comb.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    names = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    m = et.num_rows
+    ai, bi = codes[:m], codes[m:]
+    n = len(names)
+    A = np.zeros((n, n), np.float64)
+    A[ai, bi] = 1.0
+    A[bi, ai] = 1.0
+    return names, A
+
+
 def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                    broadcast_max_nodes: int = 5_000_000) -> dict:
     """Exact triangle count by DEGREE-ORDERED ORIENTATION — the skew-proof
@@ -480,7 +505,8 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
 
 def local_clustering(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                      broadcast_max_nodes: int = 5_000_000,
-                     round_digits: int = 9) -> rd.Dataset:
+                     round_digits: int = 9,
+                     local_max_nodes: int = 2048) -> rd.Dataset:
     """Per-node triangle participation + LOCAL CLUSTERING COEFFICIENT
     over a distinct undirected edge set (a < b, no self loops):
 
@@ -499,6 +525,27 @@ def local_clustering(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
 
     edges = edges.materialize()
     deg_ds = _degree_table(edges, a_col, b_col).materialize()
+
+    # DENSE fast path — node set fits the driver (hosts): tri(v) =
+    # ((A·A)∘A)·1 / 2, ONE BLAS matmul instead of the wedge exchange.
+    # The sf0.1 bench graph (1001 hosts, hub deg 1000 → 75M wedge rows)
+    # ran 10.9 s on the exchange path and <1 s here; counts are exact
+    # integers (< 2^53) in float64. Distributed wedge path stays the
+    # >local_max_nodes route.
+    if deg_ds.count() <= local_max_nodes:
+        names, A = _collect_dense_adjacency(edges, a_col, b_col)
+        deg = A.sum(axis=1)
+        tri = ((A @ A) * A).sum(axis=1) / 2.0
+        denom = deg * (deg - 1.0)
+        coeff = np.where(denom > 0, 2.0 * tri / np.maximum(denom, 1.0),
+                         0.0)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(names, pa.string()),
+            "deg": pa.array(deg.astype(np.int64), pa.int64()),
+            "n_tri": pa.array(tri.astype(np.int64), pa.int64()),
+            "clustering": pa.array(round_half_away(coeff, round_digits),
+                                   pa.float64())}))
+
     closed, _ = _closed_wedges(edges, a_col, b_col, deg_ds,
                                broadcast_max_nodes, keep_nodes=True)
 
@@ -1066,8 +1113,8 @@ def random_walks(edges: rd.Dataset, src_col: str, dst_col: str,
 
 def common_neighbor_scores(edges: rd.Dataset, a_col: str = "a",
                            b_col: str = "b", hub_cap: int = 1024,
-                           k: int = 50,
-                           round_digits: int = 9) -> rd.Dataset:
+                           k: int = 50, round_digits: int = 9,
+                           local_max_nodes: int = 2048) -> rd.Dataset:
     """LINK PREDICTION over an undirected graph: for every NON-adjacent
     node pair sharing at least one neighbor, the common-neighbor count and
     the Adamic–Adar score Σ_u 1/ln(deg(u)) over shared neighbors u — the
@@ -1091,6 +1138,36 @@ def common_neighbor_scores(edges: rd.Dataset, a_col: str = "a",
 
     edges = edges.materialize()
     deg_ds = _degree_table(edges, a_col, b_col).materialize()
+
+    # DENSE fast path — node set fits the driver (hosts): CN = A·S·A
+    # and AA = A·W·A with S = diag(deg ≤ cap), W = diag(1/ln deg over
+    # eligible middles) — two BLAS matmuls instead of the wedge
+    # exchange. The sf0.1 bench graph (hub deg 1000 → 75M wedge rows of
+    # 4 string columns) ran 39 s on the exchange path and <1 s here;
+    # identical semantics, counts exact in float64. The distributed
+    # wedge path remains the >local_max_nodes route.
+    if deg_ds.count() <= local_max_nodes:
+        names, A = _collect_dense_adjacency(edges, a_col, b_col)
+        deg = A.sum(axis=1)
+        sel = ((deg <= hub_cap) & (deg >= 2)).astype(np.float64)
+        w_mid = np.where(sel > 0, 1.0 / np.log(np.maximum(deg, 2.0)), 0.0)
+        CN = A.T @ (sel[:, None] * A)
+        AA = A.T @ (w_mid[:, None] * A)
+        iu, ju = np.triu_indices(len(names), k=1)
+        cand = (CN[iu, ju] > 0) & (A[iu, ju] == 0)
+        iu, ju = iu[cand], ju[cand]
+        ni, nj = names[iu], names[ju]
+        swap = ni > nj
+        v = np.where(swap, nj, ni)
+        w = np.where(swap, ni, nj)
+        cn = CN[iu, ju].astype(np.int64)
+        aa = round_half_away(AA[iu, ju], round_digits)
+        order = np.lexsort((w, v, -cn, -aa))[:k]
+        return rd.from_arrow(pa.table({
+            "v": pa.array(v[order], pa.string()),
+            "w": pa.array(w[order], pa.string()),
+            "cn": pa.array(cn[order], pa.int64()),
+            "aa": pa.array(aa[order], pa.float64())}))
 
     # directed both ways: one row (mid → nbr) per edge endpoint
     nbr = edges.map_batches(

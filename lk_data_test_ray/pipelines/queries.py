@@ -8360,8 +8360,13 @@ def e_dau_mau(sf_dir: str) -> rd.Dataset:
 def _host_edges_undirected(sf_dir: str) -> rd.Dataset:
     """DISTINCT undirected host-graph edge set (a < b, no loops) from the
     pages links fixture — the shared input contract of the triangle-family
-    operators (per-batch combine + one (a,b) groupby for global distinct)."""
+    operators. Global distinct = per-batch combine, then ONE hash exchange
+    on `a` + a local C++ group_by per range (Ray's sort-based aggregate
+    paid 10.4 s on the sf0.1 pair partials — key cardinality ≈ block
+    size, the day-series failure mode; the exchange dedup is ~1 s)."""
     import os
+
+    from ..relational import hash_repartition_map
 
     fix = _pages_fixture(sf_dir)
     links = rd.read_parquet(os.path.join(fix, "links.parquet"),
@@ -8380,11 +8385,8 @@ def _host_edges_undirected(sf_dir: str) -> rd.Dataset:
                          "b": pc.if_else(pc.less(h1, h2), h2, h1)}).filter(ok)
 
     e = links.map_batches(oriented, batch_format="pyarrow")
-    return partial_groupby_agg(
-        e.map_batches(lambda t: t.append_column(
-            "one", pa.array(np.ones(t.num_rows, np.int64))),
-            batch_format="pyarrow"),
-        ["a", "b"], [("one", "count", "_c")]).drop_columns(["_c"])
+    return hash_repartition_map(
+        e, "a", lambda t: t.group_by(["a", "b"]).aggregate([]))
 
 
 def g_clustering_coeff(sf_dir: str) -> rd.Dataset:
@@ -8418,12 +8420,13 @@ def g_link_prediction(sf_dir: str) -> rd.Dataset:
 def g_reciprocity(sf_dir: str) -> pa.Table:
     """Directed-edge reciprocity of the host graph: the fraction of
     distinct directed host links a→b whose reverse b→a is also present —
-    the classic webgraph mutuality statistic. One distinct pass (map-side
-    combine + (a,b) groupby), then a self-semi-join on the reversed
-    composite key; only 16-byte-keyed edge rows move."""
+    the classic webgraph mutuality statistic. One exchange-dedup distinct
+    pass, then a self-semi-join on the reversed composite key; only
+    16-byte-keyed edge rows move."""
     import os
 
-    from ..relational import exchange_join, round_half_away
+    from ..relational import (exchange_join, hash_repartition_map,
+                              round_half_away)
 
     fix = _pages_fixture(sf_dir)
     links = rd.read_parquet(os.path.join(fix, "links.parquet"),
@@ -8440,13 +8443,11 @@ def g_reciprocity(sf_dir: str) -> pa.Table:
                      pc.not_equal(h1, h2))
         return pa.table({"a": h1, "b": h2}).filter(ok)
 
-    e = partial_groupby_agg(
-        links.map_batches(hosts, batch_format="pyarrow").map_batches(
-            lambda t: t.append_column(
-                "one", pa.array(np.ones(t.num_rows, np.int64))),
-            batch_format="pyarrow"),
-        ["a", "b"], [("one", "count", "_c")]).drop_columns(["_c"]) \
-        .materialize()
+    # directed distinct via the exchange dedup (NOT the sort aggregate —
+    # the _host_edges_undirected rationale)
+    e = hash_repartition_map(
+        links.map_batches(hosts, batch_format="pyarrow"),
+        "a", lambda t: t.group_by(["a", "b"]).aggregate([])).materialize()
 
     fwd = e.map_batches(
         lambda t: pa.table({"k": pc.binary_join_element_wise(

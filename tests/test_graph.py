@@ -359,15 +359,18 @@ def test_local_clustering_small_graph(ray_session):
     e = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")]
     tbl = pa.table({"a": pa.array([x for x, _ in e], pa.string()),
                     "b": pa.array([y for _, y in e], pa.string())})
-    got = {r["node"]: (r["deg"], r["n_tri"], r["clustering"])
-           for r in local_clustering(
-               rd.from_arrow(tbl).repartition(2), "a", "b").take_all()}
-    assert got == {
+    want = {
         "a": (3, 1, round(2 * 1 / (3 * 2), 9)),
         "b": (2, 1, 1.0),
         "c": (2, 1, 1.0),
         "d": (1, 0, 0.0),
     }
+    for lmn in (2048, 0):  # dense fast path AND distributed wedge path
+        got = {r["node"]: (r["deg"], r["n_tri"], r["clustering"])
+               for r in local_clustering(
+                   rd.from_arrow(tbl).repartition(2), "a", "b",
+                   local_max_nodes=lmn).take_all()}
+        assert got == want, lmn
 
 
 def test_common_neighbor_scores_small_graph(ray_session):
@@ -382,9 +385,6 @@ def test_common_neighbor_scores_small_graph(ray_session):
     e = [("a", "s"), ("b", "s"), ("c", "s"), ("a", "b")]
     tbl = pa.table({"a": pa.array([x for x, _ in e], pa.string()),
                     "b": pa.array([y for _, y in e], pa.string())})
-    rows = common_neighbor_scores(
-        rd.from_arrow(tbl), "a", "b", hub_cap=1024, k=10).take_all()
-    got = {(r["v"], r["w"]): (r["cn"], r["aa"]) for r in rows}
     aa_s = round(1 / math.log(3), 9)   # deg(s) = 3
     aa_ab = round(1 / math.log(2) + 1 / math.log(3), 9)
     # (a,b) adjacent -> excluded; (a,c)/(b,c) via s; (b,s)... b-s is an
@@ -392,10 +392,17 @@ def test_common_neighbor_scores_small_graph(ray_session):
     # a,b share middles s AND each other? a-b edge middles: c? no.
     # wedges at a: (b,s); at b: (a,s) -- both pairs adjacent? b|s IS an
     # edge -> excluded... wait (b,s) IS adjacent, excluded. OK:
-    assert got == {("a", "c"): (1, aa_s), ("b", "c"): (1, aa_s)}
+    for lmn in (2048, 0):  # dense fast path AND distributed wedge path
+        rows = common_neighbor_scores(
+            rd.from_arrow(tbl), "a", "b", hub_cap=1024, k=10,
+            local_max_nodes=lmn).take_all()
+        got = {(r["v"], r["w"]): (r["cn"], r["aa"]) for r in rows}
+        assert got == {("a", "c"): (1, aa_s),
+                       ("b", "c"): (1, aa_s)}, lmn
 
-    # cap below deg(s)=3 kills every wedge through s; middles a,b have
-    # deg 2 and generate wedges (s,b)/(s,a) which are adjacent -> empty
-    rows2 = common_neighbor_scores(
-        rd.from_arrow(tbl), "a", "b", hub_cap=2, k=10).take_all()
-    assert rows2 == []
+        # cap below deg(s)=3 kills every wedge through s; middles a,b
+        # have deg 2 and generate only adjacent wedges -> empty
+        rows2 = common_neighbor_scores(
+            rd.from_arrow(tbl), "a", "b", hub_cap=2, k=10,
+            local_max_nodes=lmn).take_all()
+        assert rows2 == [], lmn
