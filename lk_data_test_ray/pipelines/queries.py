@@ -8597,12 +8597,20 @@ def a_gini_spend(sf_dir: str) -> pa.Table:
     def to_cents(batch: pa.Table) -> pa.Table:
         c = np.round(batch["o_totalprice"].to_numpy(
             zero_copy_only=False) * 100.0).astype(np.int64)
-        return pa.table({"o_custkey": batch["o_custkey"],
-                         "cents": pa.array(c, pa.int64())})
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "cents": pa.array(c, pa.int64())})
+        return t.group_by(["o_custkey"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["o_custkey", "cents"])
 
-    spend = partial_groupby_agg(
+    # per-customer spend via ONE hash exchange + local C++ group_by —
+    # customer cardinality ≈ block size, so the map-side combine barely
+    # shrinks and Ray's sort aggregate pays seconds (day-series failure
+    # mode); the exchange merge is ~1 s at any scale
+    spend = hash_repartition_map(
         orders.map_batches(to_cents, batch_format="pyarrow"),
-        ["o_custkey"], [("cents", "sum", "cents")])
+        "o_custkey",
+        lambda t: t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        .rename_columns(["o_custkey", "cents"]))
 
     BUCKET_W = 1 << 20  # ~1e6 cents per bucket: ≤ O(max_spend/1e6) buckets
     bucket_schema = pa.schema([("bucket", pa.int64()), ("cnt", pa.int64()),
@@ -8723,15 +8731,18 @@ def v_ks_drift(sf_dir: str) -> pa.Table:
     against the whole corpus — the two-sample-shape companion to the
     chi-square (``v_daily_lang_drift``) and PSI (``v_daily_lang_psi``)
     categorical drift checks: KS(d) = max_x |F_d(x) − F(x)| over the
-    empirical CDFs. Lengths are small ints, so the EXACT statistic needs
-    only the (day, len) contingency table: a bounded-cardinality
-    tree-fold (days × distinct lengths rows — ``small_groupby_agg``, the
-    day-series shape), then one driver numpy pass aligns per-day
-    cumulative counts on the global length grid. Both engines evaluate
+    empirical CDFs, x ranging over every observed length. Scale shape:
+    the GLOBAL length distribution is tiny (distinct lengths, ~10³ rows)
+    — tree-folded once and broadcast into the closure; the (day, len)
+    partials then take ONE hash exchange on day, and each day range
+    builds only ITS shard of the (days × lengths) CDF grid vectorized.
+    Nothing driver-sized is ever built (the first version tree-folded the
+    full day×len table to the driver — 4,385 days × 2k lengths made that
+    a multi-second fold and a 200 MB grid). Both engines evaluate
     identical integer-ratio doubles, so the match is exact."""
     import os
 
-    from ..relational import small_groupby_agg
+    from ..relational import hash_repartition_map, small_groupby_agg
 
     fix = _pages_fixture(sf_dir)
     pages = rd.read_parquet(os.path.join(fix, "pages"),
@@ -8740,33 +8751,48 @@ def v_ks_drift(sf_dir: str) -> pa.Table:
     def day_len(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.is_valid(batch["text"]))
         day = pc.floor_temporal(t["warc_ts"].cast(pa.timestamp("us")),
-                                unit="day")
+                                unit="day").cast(pa.int64())
         ln = pc.utf8_length(t["text"]).cast(pa.int64())
         return pa.table({"day": day, "len": ln,
-                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+                         "one": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["day", "len"]).aggregate([("one", "sum")]) \
+            .rename_columns(["day", "len", "n"])
 
-    counts = small_groupby_agg(
-        pages.map_batches(day_len, batch_format="pyarrow"),
-        ["day", "len"], [("one", "count", "n")], ts_cols=("day",))
+    dl = pages.map_batches(day_len, batch_format="pyarrow").materialize()
 
-    day = counts["day"].to_numpy(zero_copy_only=False)
-    ln = counts["len"].to_numpy(zero_copy_only=False)
-    n = counts["n"].to_numpy(zero_copy_only=False)
+    g_len = small_groupby_agg(dl, ["len"], [("n", "sum", "n")])
+    glens = g_len["len"].to_numpy(zero_copy_only=False)
+    order = np.argsort(glens)
+    glens = glens[order]
+    gcum = np.cumsum(
+        g_len["n"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
+    n_all = float(gcum[-1]) if len(gcum) else 1.0
+    g_cdf = gcum / n_all  # broadcast via closure: ~10³ float rows
 
-    lens, len_code = np.unique(ln, return_inverse=True)
-    days, day_code = np.unique(day, return_inverse=True)
-    grid = np.zeros((len(days), len(lens)), np.int64)
-    grid[day_code, len_code] = n
-    cum_d = grid.cumsum(axis=1).astype(np.float64)
-    n_day = grid.sum(axis=1).astype(np.float64)
-    cum_all = grid.sum(axis=0).cumsum().astype(np.float64)
-    n_all = float(cum_all[-1])
-    ks = np.abs(cum_d / n_day[:, None] - cum_all[None, :] / n_all) \
-        .max(axis=1)
-    return pa.table({
-        "day": pa.array(days, pa.timestamp("us")),
-        "n_day": pa.array(n_day.astype(np.int64), pa.int64()),
-        "ks": pa.array(round_half_away(ks, 9), pa.float64())})
+    out_schema = pa.schema([("day", pa.timestamp("us")),
+                            ("n_day", pa.int64()), ("ks", pa.float64())])
+
+    def per_day(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        g = tbl.group_by(["day", "len"]).aggregate([("n", "sum")])
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ln = g["len"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        days, day_code = np.unique(day, return_inverse=True)
+        len_code = np.searchsorted(glens, ln)
+        grid = np.zeros((len(days), len(glens)), np.int64)
+        grid[day_code, len_code] = n
+        cum_d = grid.cumsum(axis=1).astype(np.float64)
+        n_day = grid.sum(axis=1).astype(np.float64)
+        ks = np.abs(cum_d / n_day[:, None] - g_cdf[None, :]).max(axis=1)
+        return pa.table({
+            "day": pa.array(days).cast(pa.timestamp("us")),
+            "n_day": pa.array(n_day.astype(np.int64), pa.int64()),
+            "ks": pa.array(round_half_away(ks, 9), pa.float64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(dl, "day", per_day)
 
 
 def t_sentence_stats(sf_dir: str) -> rd.Dataset:
@@ -8974,8 +9000,25 @@ def s_als_recommend(sf_dir: str) -> pa.Table:
                 batch["event_type"].combine_chunks(), dow, "@"),
             "value": batch["value"]})
 
-    ratings = partial_groupby_agg(
-        ev.map_batches(slot, batch_format="pyarrow"),
-        ["user_id", "item"], [("value", "mean", "r")])
+    # (user, item) mean via ONE hash exchange on user + local group_by —
+    # (user × item) cardinality ≈ row count, the sort-aggregate trap;
+    # the subsequent ALS exchange shares the same key anyway
+    from ..relational import hash_repartition_map
+
+    def pre(batch: pa.Table) -> pa.Table:
+        g = slot(batch).group_by(["user_id", "item"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return g.rename_columns(["user_id", "item", "vs", "vc"])
+
+    merged = hash_repartition_map(
+        ev.map_batches(pre, batch_format="pyarrow"), "user_id",
+        lambda t: t.group_by(["user_id", "item"]).aggregate(
+            [("vs", "sum"), ("vc", "sum")]))
+    ratings = merged.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "item": t["item"],
+            "r": pc.divide(t["vs_sum"],
+                           pc.cast(t["vc_sum"], pa.float64()))}),
+        batch_format="pyarrow")
     return als_recommend(ratings, "user_id", "item", "r",
                          rank=3, iters=8)
