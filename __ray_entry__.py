@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative ALS — no SQL oracle by nature; determinism +
         # reconstruction asserted in tests/test_factorize.py
         "s_als_recommend": q.s_als_recommend,
+        "td_curriculum_pack": q.td_curriculum_pack,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2504,6 +2505,24 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
         "g_random_walks": _walks_sql(),
+        "td_curriculum_pack": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       length(text) - length(replace(text, ' ', '')) + 1
+                           AS nt
+                FROM documents WHERE text IS NOT NULL),
+            r AS (
+                SELECT doc_id, n_chars,
+                       COALESCE(sum(nt) OVER (
+                           ORDER BY n_chars, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS tok_start
+                FROM s)
+            SELECT doc_id, n_chars,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   CAST(tok_start // 512 AS BIGINT) AS bin
+            FROM r
+        """,
         "dd_cdc_chunks": """
             WITH b AS (
                 SELECT doc_id, text, length(text) AS L

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "a_gini_spend",
     "s_als_recommend",
     "s_radius_search",
+    "td_curriculum_pack",
 ]
 
 

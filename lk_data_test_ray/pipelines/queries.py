@@ -9022,3 +9022,74 @@ def s_als_recommend(sf_dir: str) -> pa.Table:
         batch_format="pyarrow")
     return als_recommend(ratings, "user_id", "item", "r",
                          rank=3, iters=8)
+
+
+def td_curriculum_pack(sf_dir: str) -> rd.Dataset:
+    """Curriculum-ordered sequence packing (the length-curriculum
+    pretraining schedule: feed short documents first): documents laid
+    end-to-end in (n_chars ASC, doc_id ASC) order — an all-integer, hence
+    engine-exact, curriculum key — each doc assigned the 512-token
+    training bin its first token lands in. The global order is realized
+    WITHOUT a global sort: n_chars value-RANGE bands (contiguous in the
+    sort order by construction) get exclusive token offsets from one
+    tiny driver fold (one row per band), and each band's hash-exchange
+    partition computes its docs' exact global token starts with a local
+    sort + segmented cumsum — the ``td_pack`` distributed-prefix-sum
+    shape with the bucket key swapped from doc_id ranges to the
+    curriculum key's value ranges. Output: (doc_id, n_chars, tok_start,
+    bin)."""
+    from ..relational import (collect_tables, hash_repartition_map,
+                              partial_groupby_agg)
+
+    B = 512      # tokens per packed training sequence
+    W = 64       # n_chars per curriculum band
+
+    docs = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["text"]))
+        nt = pc.add(pc.count_substring(t["text"], " "), 1)
+        band = pc.divide(t["n_chars"], W)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": t["n_chars"],
+                         "band": pc.cast(band, pa.int64()),
+                         "nt": pc.cast(nt, pa.int64())})
+
+    per_doc = docs.map_batches(counts, batch_format="pyarrow") \
+        .materialize()
+
+    band_sums = collect_tables(
+        partial_groupby_agg(per_doc, ["band"], [("nt", "sum", "s")]),
+        pa.schema([("band", pa.int64()), ("s", pa.int64())]))
+    bands = band_sums["band"].to_numpy(zero_copy_only=False)
+    sums = band_sums["s"].to_numpy(zero_copy_only=False)
+    max_band = int(bands.max()) if len(bands) else 0
+    offsets = np.zeros(max_band + 2, dtype=np.int64)
+    np.add.at(offsets, bands + 1, sums)
+    offsets = np.cumsum(offsets)  # offsets[band] = tokens before the band
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                            ("tok_start", pa.int64()), ("bin", pa.int64())])
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("band", "ascending"), ("n_chars", "ascending"),
+            ("doc_id", "ascending")])
+        tbl = tbl.take(idx)
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        nt = tbl["nt"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(band), bool)
+        first[1:] = band[1:] != band[:-1]
+        starts = np.flatnonzero(first)
+        cum = np.cumsum(nt) - nt          # exclusive local prefix
+        local_base = np.repeat(cum[starts], np.diff(
+            np.append(starts, len(band))))
+        tok_start = offsets[band] + (cum - local_base)
+        return pa.table({
+            "doc_id": tbl["doc_id"], "n_chars": tbl["n_chars"],
+            "tok_start": pa.array(tok_start, pa.int64()),
+            "bin": pa.array(tok_start // B, pa.int64())}, schema=out_schema)
+
+    return hash_repartition_map(per_doc, "band", assign)
