@@ -1997,11 +1997,15 @@ def g_hits(sf_dir: str) -> pa.Table:
         t = t.filter(pc.invert(pc.equal(sh, dh)))
         return t.group_by(["src_host", "dst_host"]).aggregate([])
 
+    from ..relational import hash_repartition_map
+
     e = links.map_batches(host_edges, batch_format="pyarrow")
-    dedup = partial_groupby_agg(e, ["src_host", "dst_host"],
-                                [("src_host", "count", "c")])
-    return hits(dedup.select_columns(["src_host", "dst_host"]),
-                "src_host", "dst_host", iters=5)
+    # exchange dedup, not the sort aggregate (_host_edges_undirected
+    # rationale: pair-key cardinality ≈ block size)
+    dedup = hash_repartition_map(
+        e, "src_host",
+        lambda t: t.group_by(["src_host", "dst_host"]).aggregate([]))
+    return hits(dedup, "src_host", "dst_host", iters=5)
 
 
 def pages_recrawl_delta(sf_dir: str) -> rd.Dataset:
@@ -6495,9 +6499,17 @@ def g_pagerank_weighted(sf_dir: str) -> pa.Table:
                          "dst_host": g["dst_host"],
                          "w": g["src_host_count"].cast(pa.float64())})
 
-    e = partial_groupby_agg(
+    from ..relational import hash_repartition_map
+
+    def merge_w(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src_host", "dst_host"]).aggregate([("w", "sum")])
+        return g.rename_columns(["src_host", "dst_host", "w"])
+
+    # exchange merge, not the sort aggregate (pair-key cardinality ≈
+    # block size — the _host_edges_undirected rationale)
+    e = hash_repartition_map(
         links.map_batches(host_edges, batch_format="pyarrow"),
-        ["src_host", "dst_host"], [("w", "sum", "w")])
+        "src_host", merge_w)
     return pagerank(e, "src_host", "dst_host", weight_col="w")
 
 
@@ -8088,13 +8100,13 @@ def g_triangles(sf_dir: str) -> pa.Table:
                       "b": pc.if_else(pc.less(h1, h2), h2, h1)}).filter(ok)
         return t
 
+    from ..relational import hash_repartition_map
+
     e = links.map_batches(oriented, batch_format="pyarrow")
-    # distinct via map-side combine (duplicate links collapse in-batch first)
-    edges = partial_groupby_agg(
-        e.map_batches(lambda t: t.append_column(
-            "one", pa.array(np.ones(t.num_rows, np.int64))),
-            batch_format="pyarrow"),
-        ["a", "b"], [("one", "count", "_c")]).drop_columns(["_c"])
+    # global distinct via the exchange dedup (_host_edges_undirected
+    # rationale: pair-key cardinality ≈ block size)
+    edges = hash_repartition_map(
+        e, "a", lambda t: t.group_by(["a", "b"]).aggregate([]))
 
     res = triangle_count(edges, "a", "b")
     return pa.table({"n_triangles": pa.array([res["n_triangles"]],
