@@ -114,6 +114,16 @@ NEW_QUERIES = [
     "a_churned_customers",
     "e_dau_mau",
     "mm_image_dims",
+    # round-4 fifth-session additions over the testdata tables
+    "a_entropy_by_source",
+    "a_gini_spend",
+    "s_radius_search",
+    "t_sentence_stats",
+    "t_winnow_fingerprints",
+    "dd_cdc_chunks",
+    "td_curriculum_pack",
+    # g_*/v_ks_drift/v_dup_capture_window oracles read the sf0.01
+    # pages/recrawl fixtures — parity checked by the driver/oracle_check
     # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
     # fixture (like g_pagerank) — parity checked by the driver/oracle_check
     # g_degree_stats' oracle reads the sf0.01 pages fixture (like g_pagerank)
