@@ -473,7 +473,8 @@ def _collect_dense_adjacency(edges: rd.Dataset, a_col: str, b_col: str):
 
 
 def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
-                   broadcast_max_nodes: int = 5_000_000) -> dict:
+                   broadcast_max_nodes: int = 5_000_000,
+                   local_max_nodes: int = 2048) -> dict:
     """Exact triangle count by DEGREE-ORDERED ORIENTATION — the skew-proof
     shape for power-law graphs.
 
@@ -495,7 +496,24 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
     orientation actually bounded the blowup).
     """
     edges = edges.materialize()
-    deg_ds = _degree_table(edges, a_col, b_col)
+    deg_ds = _degree_table(edges, a_col, b_col).materialize()
+
+    # DENSE fast path — node set fits the driver (hosts): triangles =
+    # Σ((A·A)∘A)/6, one BLAS matmul (the local_clustering rationale; the
+    # sf0.1 host graph's hub made the wedge exchange pay seconds).
+    # n_wedges reported as the oriented wedge count the exchange path
+    # would have generated (min(deg_u under orientation choose 2) is not
+    # recomputed here — callers only assert it bounds the blowup), so
+    # the dict shape stays (n_triangles, n_wedges) with n_wedges None
+    # meaning the dense path skipped wedge generation entirely.
+    n_nodes = deg_ds.count()
+    if n_nodes == 0:
+        return {"n_triangles": 0, "n_wedges": 0}
+    if n_nodes <= local_max_nodes:
+        _names, A = _collect_dense_adjacency(edges, a_col, b_col)
+        tri = int(round(((A @ A) * A).sum() / 6.0))
+        return {"n_triangles": tri, "n_wedges": None}
+
     closed, n_wedges = _closed_wedges(edges, a_col, b_col, deg_ds,
                                       broadcast_max_nodes, keep_nodes=False)
     if closed is None:

@@ -125,8 +125,13 @@ def test_triangle_count_hot_hub(ray_session):
     pairs = sorted(set(pairs))
     tbl = pa.table({"a": pa.array([p[0] for p in pairs], pa.string()),
                     "b": pa.array([p[1] for p in pairs], pa.string())})
-    res = triangle_count(rd.from_arrow(tbl), "a", "b")
+    # distributed wedge path (forced) — the wedge-bound assertion below
+    # is about THIS path; the dense path never generates wedges
+    res = triangle_count(rd.from_arrow(tbl), "a", "b", local_max_nodes=0)
     assert res["n_triangles"] == _brute_triangles(pairs)
+    # dense fast path agrees
+    dense = triangle_count(rd.from_arrow(tbl), "a", "b")
+    assert dense["n_triangles"] == res["n_triangles"]
     # naive middle-vertex wedges = sum(deg*(deg-1)/2); the hub alone gives
     # ~deg²/2. Orientation must beat it by a wide margin.
     from collections import Counter
@@ -147,10 +152,12 @@ def test_triangle_count_exchange_path_matches_broadcast(ray_session):
              ("d", "e")]
     tbl = pa.table({"a": pa.array([p[0] for p in pairs], pa.string()),
                     "b": pa.array([p[1] for p in pairs], pa.string())})
-    r1 = triangle_count(rd.from_arrow(tbl), "a", "b")
+    r1 = triangle_count(rd.from_arrow(tbl), "a", "b", local_max_nodes=0)
     r2 = triangle_count(rd.from_arrow(tbl), "a", "b",
-                        broadcast_max_nodes=0)
-    assert r1["n_triangles"] == r2["n_triangles"] == 2
+                        local_max_nodes=0, broadcast_max_nodes=0)
+    r3 = triangle_count(rd.from_arrow(tbl), "a", "b")  # dense path
+    assert (r1["n_triangles"] == r2["n_triangles"]
+            == r3["n_triangles"] == 2)
 
 
 def _dense_hits(edges, n, iters=5):
