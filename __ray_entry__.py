@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reconstruction asserted in tests/test_factorize.py
         "s_als_recommend": q.s_als_recommend,
         "td_curriculum_pack": q.td_curriculum_pack,
+        "a_quantiles_exact": q.a_quantiles_exact,
+        "v_dow_anomaly": q.v_dow_anomaly,
+        "v_join_fanout": q.v_join_fanout,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2505,6 +2508,62 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
         "g_random_walks": _walks_sql(),
+        "v_join_fanout": """
+            WITH f1 AS (SELECT count(*) AS n FROM orders
+                        GROUP BY o_custkey),
+            f2 AS (SELECT count(*) AS n FROM lineitem
+                   GROUP BY l_orderkey),
+            f3 AS (SELECT count(*) AS n FROM events GROUP BY user_id)
+            SELECT 'orders_per_customer' AS relation,
+                   CAST(count(*) AS BIGINT) AS n_parents,
+                   CAST(max(n) AS BIGINT) AS max_fanout,
+                   round(avg(n), 6) AS mean_fanout,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_fanout
+            FROM f1
+            UNION ALL
+            SELECT 'lineitem_per_order', CAST(count(*) AS BIGINT),
+                   CAST(max(n) AS BIGINT), round(avg(n), 6),
+                   CAST(quantile_disc(n, 0.99) AS BIGINT)
+            FROM f2
+            UNION ALL
+            SELECT 'events_per_user', CAST(count(*) AS BIGINT),
+                   CAST(max(n) AS BIGINT), round(avg(n), 6),
+                   CAST(quantile_disc(n, 0.99) AS BIGINT)
+            FROM f3
+        """,
+        "v_dow_anomaly": f"""
+            WITH c AS (
+                SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+                       CAST(isodow(warc_ts) - 1 AS BIGINT) AS dow,
+                       count(*) AS n
+                FROM read_parquet('{_pages_fixture_glob()}')
+                GROUP BY 1, 2),
+            m AS (SELECT dow, median(n) AS md FROM c GROUP BY 1),
+            r AS (
+                SELECT c.day, c.dow, CAST(c.n AS BIGINT) AS n, m.md,
+                       c.n * 1.0 / greatest(m.md, 1.0) AS resid
+                FROM c JOIN m USING (dow)),
+            g AS (SELECT median(resid) AS mr FROM r),
+            g2 AS (
+                SELECT g.mr,
+                       (SELECT median(abs(r2.resid - g.mr)) FROM r r2)
+                           AS mad
+                FROM g)
+            SELECT r.day, r.dow, r.n,
+                   round(r.md, 6) AS dow_median,
+                   round(r.resid, 6) AS residual,
+                   abs(r.resid - g2.mr) > 3 * 1.4826 * g2.mad
+                       AS is_anomaly
+            FROM r, g2
+        """,
+        "a_quantiles_exact": """
+            WITH q AS (
+                SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q,
+                       unnest(quantile_disc(l_extendedprice,
+                              [0.25, 0.5, 0.75, 0.95, 0.99])) AS v
+                FROM lineitem)
+            SELECT q, round(v, 2) AS value FROM q
+        """,
         "td_curriculum_pack": """
             WITH s AS (
                 SELECT doc_id, n_chars,

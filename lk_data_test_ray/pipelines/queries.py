@@ -9105,3 +9105,192 @@ def td_curriculum_pack(sf_dir: str) -> rd.Dataset:
             "bin": pa.array(tok_start // B, pa.int64())}, schema=out_schema)
 
     return hash_repartition_map(per_doc, "band", assign)
+
+
+QUANTILES_EXACT = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def a_quantiles_exact(sf_dir: str) -> pa.Table:
+    """EXACT multi-quantile (p25/p50/p75/p95/p99, ``quantile_disc``
+    semantics: the element at 0-based rank ⌈q·n⌉−1) over the fact
+    table's extended price IN ONE PASS — the order-statistic batch the
+    t-digest sketches approximate. Same sort-free plan as
+    ``a_median_price_exact``, generalized to a rank VECTOR: value-band
+    counts → driver prefix offsets locate every target's band → only the
+    owning partitions sort locally and each emits its ranks' values.
+    No node ever holds the column; the driver sees five numbers. A
+    50-target batch costs the same two passes as one target."""
+    from ..relational import (collect_tables, hash_repartition_map,
+                              partial_groupby_agg)
+
+    W = 2_000.0
+    line = read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        b = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) / W)
+        return pa.table({"v": batch["l_extendedprice"],
+                         "band": pa.array(b.astype(np.int64))})
+
+    banded = line.map_batches(bucketed, batch_format="pyarrow") \
+        .materialize()
+    counts = collect_tables(
+        partial_groupby_agg(banded, ["band"], [("v", "count", "n")]),
+        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
+    bands = counts["band"].to_numpy(zero_copy_only=False)
+    ns = counts["n"].to_numpy(zero_copy_only=False)
+    max_band = int(bands.max()) if len(bands) else 0
+    offsets = np.zeros(max_band + 2, dtype=np.int64)
+    np.add.at(offsets, bands + 1, ns)
+    offsets = np.cumsum(offsets)
+    N = int(offsets[-1])
+    targets = sorted({max(0, int(np.ceil(q * N)) - 1)
+                      for q in QUANTILES_EXACT})
+
+    out_schema = pa.schema([("r", pa.int64()), ("v", pa.float64())])
+
+    def extract(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        mine = [t for t in targets
+                if (band == np.searchsorted(offsets, t, "right") - 1).any()]
+        if not mine:
+            return out_schema.empty_table()
+        order = np.lexsort((tbl["v"].to_numpy(zero_copy_only=False), band))
+        v = tbl["v"].to_numpy(zero_copy_only=False)[order]
+        b_sorted = band[order]
+        rows = []
+        for t in mine:
+            tb = int(np.searchsorted(offsets, t, "right") - 1)
+            local = t - int(offsets[tb])
+            seg = np.flatnonzero(b_sorted == tb)
+            rows.append((t, float(v[seg[local]])))
+        return pa.table({"r": pa.array([r for r, _ in rows], pa.int64()),
+                         "v": pa.array([x for _, x in rows], pa.float64())},
+                        schema=out_schema)
+
+    got = collect_tables(hash_repartition_map(banded, "band", extract),
+                         out_schema)
+    vals = dict(zip(got["r"].to_pylist(), got["v"].to_pylist()))
+    qs = list(QUANTILES_EXACT)
+    out_v = [vals[max(0, int(np.ceil(q * N)) - 1)] for q in qs]
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([float(round_half_away(np.array([x]), 2)[0])
+                           for x in out_v], pa.float64()),
+    })
+
+
+def v_dow_anomaly(sf_dir: str) -> pa.Table:
+    """SEASONAL volume anomaly detection: the crawl's daily row counts
+    deseasonalized by day-of-week before the robust test — a Sunday at
+    60% of Wednesday volume is NORMAL web traffic that ``v_count_anomaly``'s
+    global median would flag, while a Wednesday at Sunday volume is a
+    broken feed that the global test absorbs. Per weekday: median of
+    that weekday's counts; residual = n / median(dow); a day is
+    anomalous when |residual − 1| exceeds 3 × 1.4826 × MAD of the
+    all-days residuals. Same distributed shape as ``v_count_anomaly``
+    (map-side day partials → tiny tree-fold; the n_days-row series
+    statistics are driver-sized by nature)."""
+    import os
+
+    from ..relational import small_groupby_agg
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts"])
+
+    def day_one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(batch["warc_ts"], format="%Y-%m-%d"),
+            "dow": pc.day_of_week(batch["warc_ts"]).cast(pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = small_groupby_agg(
+        pages.map_batches(day_one, batch_format="pyarrow"),
+        ["day", "dow"], [("one", "sum", "n")]).to_pandas() \
+        .sort_values("day")
+    n = counts["n"].to_numpy(np.float64)
+    dow = counts["dow"].to_numpy(np.int64)
+    med_dow = np.zeros(7, np.float64)
+    for d in range(7):
+        m = dow == d
+        med_dow[d] = float(np.median(n[m])) if m.any() else 1.0
+    resid = n / np.maximum(med_dow[dow], 1.0)
+    mad = float(np.median(np.abs(resid - np.median(resid))))
+    thr = 3.0 * 1.4826 * mad
+    return pa.table({
+        "day": pa.array(counts["day"].to_list(), pa.string()),
+        "dow": pa.array(dow, pa.int64()),
+        "n": pa.array(n.astype(np.int64)),
+        "dow_median": pa.array(round_half_away(med_dow[dow], 6)),
+        "residual": pa.array(round_half_away(resid, 6)),
+        "is_anomaly": pa.array(
+            np.abs(resid - np.median(resid)) > thr),
+    })
+
+
+def v_join_fanout(sf_dir: str) -> pa.Table:
+    """Join-cardinality (FK fanout) profile — the data-quality check a
+    join planner and a skew guard both read: per relation, how many
+    children each parent key has (n_parents, max, mean, exact p99). A
+    silent upstream duplication shows up here as a fanout-distribution
+    shift long before a join blows up. Shape per relation: one hash
+    exchange on the key + local C++ group count (the A1 shape), then the
+    FANOUT HISTOGRAM (distinct fanout values are few) tree-folds to the
+    driver, where max/mean/quantile are exact arithmetic over ≤ a few
+    hundred (fanout, count) rows — the full per-key table never leaves
+    the cluster."""
+    from ..relational import hash_repartition_map, small_groupby_agg
+
+    def profile(rel: str, ds: rd.Dataset, key: str):
+        def key_counts(tbl: pa.Table) -> pa.Table:
+            g = tbl.group_by([key]).aggregate([(key, "count")])
+            return pa.table({"k": g[key],
+                             "n": g[f"{key}_count"].cast(pa.int64())})
+
+        per_key = hash_repartition_map(
+            ds.map_batches(
+                lambda t: pa.table({key: t[key]}).group_by([key])
+                .aggregate([(key, "count")])
+                .rename_columns([key, "n0"]),
+                batch_format="pyarrow"),
+            key,
+            lambda t: t.group_by([key]).aggregate([("n0", "sum")])
+            .rename_columns([key, "n"]))
+        hist = small_groupby_agg(
+            per_key.map_batches(
+                lambda t: pa.table({
+                    "f": t["n"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            ["f"], [("one", "sum", "c")])
+        f = hist["f"].to_numpy(zero_copy_only=False)
+        c = hist["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(f)
+        f, c = f[order], c[order]
+        np_parents = int(c.sum())
+        cum = np.cumsum(c)
+        rank = max(0, int(np.ceil(0.99 * np_parents)) - 1)
+        p99 = int(f[np.searchsorted(cum, rank + 1)])
+        return (rel, np_parents, int(f[-1]),
+                float((f * c).sum()) / np_parents, p99)
+
+    rows = [
+        profile("orders_per_customer",
+                read(sf_dir, "orders", ["o_custkey"]), "o_custkey"),
+        profile("lineitem_per_order",
+                read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey"),
+        profile("events_per_user",
+                read(sf_dir, "events", ["user_id"]), "user_id"),
+    ]
+    return pa.table({
+        "relation": pa.array([r[0] for r in rows], pa.string()),
+        "n_parents": pa.array([r[1] for r in rows], pa.int64()),
+        "max_fanout": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_fanout": pa.array(round_half_away(
+            np.array([r[3] for r in rows]), 6), pa.float64()),
+        "p99_fanout": pa.array([r[4] for r in rows], pa.int64()),
+    })
