@@ -120,6 +120,12 @@ def _s_radius_search(sf_dir: str):
         _sim.load_queries(sf_dir, 10), threshold=RADIUS_COS)
 
 
+def _s_knn_classify(sf_dir: str):
+    return _sim.knn_classify(
+        read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        _sim.load_queries(sf_dir, 10), k=5)
+
+
 def _s_ann_filtered(sf_dir: str):
     return _sim.ann_filtered(
         read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
@@ -218,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_refine": _s_ann_refine,
         "s_ann_filtered": _s_ann_filtered,
         "s_radius_search": _s_radius_search,
+        "s_knn_classify": _s_knn_classify,
         # skew-aware join, CUBE lattice, blocklist filter, domain mixing,
         # first-class set ops
         "j_skew_user_events": q.j_skew_user_events,
@@ -355,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_quantiles_exact": q.a_quantiles_exact,
         "v_dow_anomaly": q.v_dow_anomaly,
         "v_join_fanout": q.v_join_fanout,
+        "dd_recrawl_chunk_savings": q.dd_recrawl_chunk_savings,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -1876,6 +1884,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM s) t
             WHERE rank <= 5
         """,
+        "s_knn_classify": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 10)),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         CAST(e.label AS BIGINT) AS nlabel,
+                         list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            topk AS (
+                SELECT query_id, nlabel
+                FROM (SELECT query_id, nlabel,
+                             row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rk
+                      FROM s) t
+                WHERE rk <= 5),
+            votes AS (
+                SELECT query_id, nlabel, count(*) AS c
+                FROM topk GROUP BY 1, 2),
+            mx AS (SELECT query_id, max(c) AS mc FROM votes GROUP BY 1)
+            SELECT v.query_id,
+                   CAST(min(v.nlabel) AS BIGINT) AS pred_label,
+                   CAST(max(v.c) AS BIGINT) AS n_votes
+            FROM votes v JOIN mx ON mx.query_id = v.query_id
+                              AND v.c = mx.mc
+            GROUP BY v.query_id
+        """,
         "s_radius_search": """
             WITH q AS (SELECT vec_id AS query_id,
                               CAST(embedding AS DOUBLE[]) AS qe
@@ -2508,6 +2545,60 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_weighted": _pagerank_weighted_sql(),
         "g_ppr_seeds": _ppr_sql(),
         "g_random_walks": _walks_sql(),
+        "dd_recrawl_chunk_savings": f"""
+            WITH src AS (
+                SELECT text FROM read_parquet('{_recrawl_fixture_glob()}')
+                WHERE text IS NOT NULL),
+            b AS (
+                SELECT row_number() OVER () AS k, text,
+                       length(text) AS L
+                FROM src WHERE length(text) > 0),
+            g AS MATERIALIZED (
+                SELECT k, L, t.i,
+                       (ascii(substr(text, t.i, 1)) * 2654435761
+                        + 2654435769) % 4294967296 AS gv
+                FROM b, unnest(generate_series(1, L)) AS t(i)),
+            w AS (
+                SELECT k, L, i,
+                       CASE WHEN i >= 6 THEN
+                           (gv
+                            + 2 * lag(gv, 1) OVER w2
+                            + 4 * lag(gv, 2) OVER w2
+                            + 8 * lag(gv, 3) OVER w2
+                            + 16 * lag(gv, 4) OVER w2
+                            + 32 * lag(gv, 5) OVER w2) % 64
+                       END AS wv
+                FROM g
+                WINDOW w2 AS (PARTITION BY k ORDER BY i)),
+            bounds AS (
+                SELECT DISTINCT k, e FROM (
+                    SELECT k, 0 AS e FROM b
+                    UNION ALL
+                    SELECT k, i FROM w WHERE wv = 0 AND i < L
+                    UNION ALL
+                    SELECT k, L FROM b)),
+            ch AS (
+                SELECT k, e,
+                       lag(e) OVER (PARTITION BY k ORDER BY e) AS pe
+                FROM bounds),
+            chunks AS (
+                SELECT substr(b.text, c.pe + 1, c.e - c.pe) AS chunk
+                FROM ch c JOIN b USING (k) WHERE c.pe IS NOT NULL),
+            u AS (
+                SELECT CAST(('0x' || substr(md5(chunk), 1, 8)) AS BIGINT)
+                           AS h,
+                       min(length(chunk)) AS l
+                FROM chunks GROUP BY 1)
+            SELECT CAST((SELECT count(*) FROM src) AS BIGINT)
+                       AS n_captures,
+                   CAST((SELECT COALESCE(sum(length(text)), 0) FROM src)
+                        AS BIGINT) AS total_bytes,
+                   CAST((SELECT COALESCE(sum(l), 0) FROM u) AS BIGINT)
+                       AS unique_chunk_bytes,
+                   round(1.0 - (SELECT COALESCE(sum(l), 0) FROM u) * 1.0
+                         / (SELECT sum(length(text)) FROM src), 6)
+                       AS savings_frac
+        """,
         "v_join_fanout": """
             WITH f1 AS (SELECT count(*) AS n FROM orders
                         GROUP BY o_custkey),

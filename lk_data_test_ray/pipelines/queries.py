@@ -9294,3 +9294,84 @@ def v_join_fanout(sf_dir: str) -> pa.Table:
             np.array([r[3] for r in rows]), 6), pa.float64()),
         "p99_fanout": pa.array([r[4] for r in rows], pa.int64()),
     })
+
+
+def dd_recrawl_chunk_savings(sf_dir: str) -> pa.Table:
+    """Chunk-level storage savings across a multi-capture web archive —
+    the question CDC exists to answer: if the store keeps unique Gear-CDC
+    chunks instead of full capture bodies, how many bytes does the
+    recrawl corpus shrink by? (Captures are often byte-identical or
+    shifted edits of the previous capture; fixed-size blocks would miss
+    the shifted ones, content-defined boundaries realign.) Shape: chunk
+    each capture per batch (``dedup.cdc_chunks``, zero-copy), ship only
+    (8-byte md5 chunk hash, chunk length) pairs to ONE hash exchange on
+    the chunk hash (a range owns every instance of its hashes: distinct
+    length sum is local), then a scalar fold. Output: one row —
+    n_captures, total_bytes, unique_chunk_bytes, savings_frac."""
+    from ..functions.hashing import md5_int32
+    from ..relational import collect_tables, hash_repartition_map
+    from ..sources.recrawl import ensure_recrawl, recrawl_nurls_for_sf
+    from .dedup import cdc_chunks
+
+    fix = ensure_recrawl(recrawl_nurls_for_sf(sf_dir))
+    caps = rd.read_parquet(fix, columns=["text"])
+
+    pair_schema = pa.schema([("chash", pa.int64()), ("clen", pa.int64()),
+                             ("nrows", pa.int64()), ("tbytes", pa.int64())])
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["text"]))
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        tb = int(pc.sum(pc.utf8_length(t["text"])).as_py() or 0)
+        # per-batch synthetic ids: identity only scopes chunk boundaries
+        t2 = pa.table({"doc_id": pa.array(
+            np.arange(t.num_rows, dtype=np.int64)), "text": t["text"]})
+        ch = cdc_chunks(t2)
+        if ch.num_rows == 0:  # all-empty texts: count captures, 0 bytes
+            return pa.table({
+                "chash": pa.array([-1], pa.int64()),
+                "clen": pa.array([0], pa.int64()),
+                "nrows": pa.array([t.num_rows], pa.int64()),
+                "tbytes": pa.array([tb], pa.int64())}, schema=pair_schema)
+        return pa.table({
+            "chash": pa.array(md5_int32(ch["chunk"]), pa.int64()),
+            "clen": pc.utf8_length(ch["chunk"]).cast(pa.int64()),
+            "nrows": pa.array(np.r_[np.int64(t.num_rows), np.zeros(
+                max(ch.num_rows - 1, 0), np.int64)]
+                if ch.num_rows else np.array([], np.int64)),
+            "tbytes": pa.array(np.r_[np.int64(tb), np.zeros(
+                max(ch.num_rows - 1, 0), np.int64)]
+                if ch.num_rows else np.array([], np.int64)),
+        }, schema=pair_schema)
+
+    def uniq_bytes(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"ub": pa.array([], pa.int64()),
+                             "nr": pa.array([], pa.int64()),
+                             "tb": pa.array([], pa.int64())})
+        g = tbl.group_by(["chash"]).aggregate([("clen", "min")])
+        return pa.table({
+            "ub": pa.array([int(pc.sum(g["clen_min"]).as_py() or 0)],
+                           pa.int64()),
+            "nr": pa.array([int(pc.sum(tbl["nrows"]).as_py() or 0)],
+                           pa.int64()),
+            "tb": pa.array([int(pc.sum(tbl["tbytes"]).as_py() or 0)],
+                           pa.int64())})
+
+    parts = collect_tables(
+        hash_repartition_map(
+            caps.map_batches(to_pairs, batch_format="pyarrow"),
+            "chash", uniq_bytes),
+        pa.schema([("ub", pa.int64()), ("nr", pa.int64()),
+                   ("tb", pa.int64())]))
+    ub = int(pc.sum(parts["ub"]).as_py() or 0)
+    nr = int(pc.sum(parts["nr"]).as_py() or 0)
+    tb = int(pc.sum(parts["tb"]).as_py() or 0)
+    frac = 1.0 - ub / tb if tb else 0.0
+    return pa.table({
+        "n_captures": pa.array([nr], pa.int64()),
+        "total_bytes": pa.array([tb], pa.int64()),
+        "unique_chunk_bytes": pa.array([ub], pa.int64()),
+        "savings_frac": pa.array(round_half_away(np.array([frac]), 6),
+                                 pa.float64())})

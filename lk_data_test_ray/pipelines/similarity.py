@@ -687,3 +687,67 @@ def radius_search(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
                             pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def knn_classify(ds: rd.Dataset, queries: tuple[np.ndarray, np.ndarray],
+                 k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> pa.Table:
+    """k-NN label prediction: each query's label is the MAJORITY vote of
+    its exact top-k cosine neighbors' labels (tie → smallest label id) —
+    the classifier shape every vector store demos, composed from the
+    existing brute-force scorer: the per-batch local top-k also carries
+    the label column, the per-query merge re-cuts to the global top-k
+    and votes. Deterministic (the top-k cut itself is the ann_brute_force
+    total order), so the vote is exactly reproducible in SQL."""
+    ref = ray.put(queries)
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = ("knn", ref.hex())
+        st = _SCORER_CACHE.get(key)
+        if st is None:
+            qids, qmat = ray.get(ref)
+            st = (np.asarray(qids), _normalize(qmat.astype(np.float64)))
+            _SCORER_CACHE[key] = st
+        qids, qmat = st
+        ids = np.asarray(batch[id_col].to_pylist())
+        labels = np.asarray(batch[label_col].to_pylist())
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        cos = qmat @ _normalize(mat).T
+        cos[ids[None, :] == qids[:, None]] = -np.inf
+        kk = min(k, cos.shape[1])
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_l, out_c = [], [], [], []
+        for qi in range(cos.shape[0]):
+            sel = part[qi]
+            keep = np.isfinite(cos[qi, sel])
+            out_q.extend([qids[qi]] * int(keep.sum()))
+            out_n.extend(ids[sel[keep]])
+            out_l.extend(labels[sel[keep]])
+            out_c.extend(cos[qi, sel[keep]])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "nlabel": pa.array(np.asarray(out_l, np.int64), pa.int64()),
+            "cos": pa.array(out_c, pa.float64())})
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+
+    def vote(group: pa.Table) -> pa.Table:
+        nid = np.asarray(group["neighbor_id"].to_pylist())
+        lab = np.asarray(group["nlabel"].to_pylist())
+        cos = np.asarray(group["cos"].to_pylist())
+        order = np.lexsort((nid, -cos))[:k]   # the ann_brute_force cut
+        vals, cnts = np.unique(lab[order], return_counts=True)
+        best = vals[cnts == cnts.max()].min()  # tie -> smallest label
+        qid = group["query_id"][0].as_py()
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "pred_label": pa.array([int(best)], pa.int64()),
+            "n_votes": pa.array([int(cnts.max())], pa.int64())})
+
+    out = partial.groupby("query_id").map_groups(
+        vote, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow",
+                                     batch_size=None) if b.num_rows])
