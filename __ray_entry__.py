@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_dow_anomaly": q.v_dow_anomaly,
         "v_join_fanout": q.v_join_fanout,
         "dd_recrawl_chunk_savings": q.dd_recrawl_chunk_savings,
+        "dd_winnow_pairs": q.dd_winnow_pairs,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -722,6 +723,34 @@ def _hits_sql(iters: int = 5) -> str:
                    JOIN a{iters} ON nodes.u = a{iters}.u
     """
     return sql
+
+
+_WINNOW_CTE = r"""WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL),
+            g AS MATERIALIZED (
+                SELECT doc_id, t.i - 1 AS pos,
+                       CAST(('0x' || substr(md5(
+                           list_extract(tk, t.i) || ' '
+                           || list_extract(tk, t.i + 1) || ' '
+                           || list_extract(tk, t.i + 2)), 1, 8))
+                           AS BIGINT) AS h
+                FROM d, unnest(generate_series(1, len(tk) - 2)) AS t(i)),
+            wm AS (
+                SELECT doc_id, pos AS end_pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS wmin
+                FROM g),
+            sel AS (
+                SELECT w.doc_id, max(g2.pos) AS pos, w.wmin AS fp
+                FROM wm w JOIN g g2
+                     ON g2.doc_id = w.doc_id
+                    AND g2.pos BETWEEN w.end_pos - 3 AND w.end_pos
+                    AND g2.h = w.wmin
+                GROUP BY w.doc_id, w.end_pos, w.wmin)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2724,35 +2753,24 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN dc USING (chash)
             GROUP BY h.doc_id
         """,
-        "t_winnow_fingerprints": r"""
-            WITH d AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> '') AS tk
-                FROM documents WHERE text IS NOT NULL),
-            g AS MATERIALIZED (
-                SELECT doc_id, t.i - 1 AS pos,
-                       CAST(('0x' || substr(md5(
-                           list_extract(tk, t.i) || ' '
-                           || list_extract(tk, t.i + 1) || ' '
-                           || list_extract(tk, t.i + 2)), 1, 8))
-                           AS BIGINT) AS h
-                FROM d, unnest(generate_series(1, len(tk) - 2)) AS t(i)),
-            wm AS (
-                SELECT doc_id, pos AS end_pos,
-                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN 3 PRECEDING
-                                    AND CURRENT ROW) AS wmin
-                FROM g),
-            sel AS (
-                SELECT w.doc_id, max(g2.pos) AS pos, w.wmin AS fp
-                FROM wm w JOIN g g2
-                     ON g2.doc_id = w.doc_id
-                    AND g2.pos BETWEEN w.end_pos - 3 AND w.end_pos
-                    AND g2.h = w.wmin
-                GROUP BY w.doc_id, w.end_pos, w.wmin)
+        "t_winnow_fingerprints": f"""
+            {_WINNOW_CTE}
             SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
             FROM sel
+        """,
+        "dd_winnow_pairs": f"""
+            {_WINNOW_CTE},
+            fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+            df AS (SELECT fp, count(*) AS d FROM fpd GROUP BY 1),
+            ok AS (SELECT fpd.doc_id, fpd.fp
+                   FROM fpd JOIN df USING (fp)
+                   WHERE df.d BETWEEN 2 AND 64)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM ok a JOIN ok b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         "t_sentence_stats": """
             WITH s AS (

@@ -9375,3 +9375,79 @@ def dd_recrawl_chunk_savings(sf_dir: str) -> pa.Table:
         "unique_chunk_bytes": pa.array([ub], pa.int64()),
         "savings_frac": pa.array(round_half_away(np.array([frac]), 6),
                                  pa.float64())})
+
+
+WINNOW_DF_CAP = 64      # shared verbatim with the oracle SQL
+WINNOW_MIN_SHARED = 3
+
+
+def dd_winnow_pairs(sf_dir: str) -> rd.Dataset:
+    """Near-duplicate CANDIDATE PAIRS from winnowing fingerprints — the
+    MOSS pairing step: two documents are candidates when they share at
+    least ``WINNOW_MIN_SHARED`` distinct selected fingerprints (each
+    shared fingerprint certifies a common token run, so the guarantee is
+    structural, unlike MinHash's probabilistic bands). Fingerprints with
+    document frequency > ``WINNOW_DF_CAP`` are dropped — boilerplate
+    n-grams predict nothing and would blow the per-fingerprint pair
+    fanout quadratically (the LSH hot-bucket cap, applied here at
+    candidate time; the oracle applies the same caps). Shape: the
+    embarrassingly-parallel fingerprint map → distinct (doc, fp) —
+    ONE hash exchange on fp where df-capping AND pair emission are local
+    to the owning range → one pair-keyed exchange merge → threshold.
+    Only (fp, doc) then (pair, count) integers ever cross the wire."""
+    from ..relational import hash_repartition_map
+
+    fps = t_winnow_fingerprints(sf_dir)
+
+    pair_schema = pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                             ("shared", pa.int64())])
+
+    def pairs_of(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        t = tbl.group_by(["fp", "doc_id"]).aggregate([])  # distinct
+        idx = pc.sort_indices(t, sort_keys=[("fp", "ascending"),
+                                            ("doc_id", "ascending")])
+        t = t.take(idx)
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(fp), bool)
+        first[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(fp)))
+        keep = (lens >= 2) & (lens <= WINNOW_DF_CAP)
+        d1, d2 = [], []
+        for s, ln in zip(starts[keep], lens[keep]):  # per qualifying fp:
+            seg = did[s:s + ln]                      # ≤ cap docs, pairs
+            iu, ju = np.triu_indices(ln, k=1)        # bounded by cap²/2
+            d1.append(seg[iu])
+            d2.append(seg[ju])
+        if not d1:
+            return pair_schema.empty_table()
+        d1 = np.concatenate(d1)
+        d2 = np.concatenate(d2)
+        p = pa.table({"d1": pa.array(d1, pa.int64()),
+                      "d2": pa.array(d2, pa.int64()),
+                      "one": pa.array(np.ones(len(d1), np.int64))})
+        g = p.group_by(["d1", "d2"]).aggregate([("one", "sum")])
+        return pa.table({"d1": g["d1"], "d2": g["d2"],
+                         "shared": g["one_sum"]}, schema=pair_schema)
+
+    cand = hash_repartition_map(fps, "fp", pairs_of)
+
+    def merge_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        g = tbl.group_by(["d1", "d2"]).aggregate([("shared", "sum")])
+        out = pa.table({"d1": g["d1"], "d2": g["d2"],
+                        "shared": g["shared_sum"]}, schema=pair_schema)
+        return out.filter(pc.greater_equal(out["shared"],
+                                           WINNOW_MIN_SHARED))
+
+    keyed = cand.map_batches(
+        lambda t: t.append_column("pk", pc.add(
+            pc.multiply(t["d1"], 1_000_000_000), t["d2"])),
+        batch_format="pyarrow")
+    return hash_repartition_map(keyed, "pk",
+                                lambda t: merge_pairs(
+                                    t.drop_columns(["pk"])))

@@ -124,6 +124,8 @@ NEW_QUERIES = [
     "td_curriculum_pack",
     "a_quantiles_exact",
     "v_join_fanout",
+    "dd_winnow_pairs",
+    "s_knn_classify",
     # g_*/v_ks_drift/v_dup_capture_window oracles read the sf0.01
     # pages/recrawl fixtures — parity checked by the driver/oracle_check
     # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
