@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_join_fanout": q.v_join_fanout,
         "dd_recrawl_chunk_savings": q.dd_recrawl_chunk_savings,
         "dd_winnow_pairs": q.dd_winnow_pairs,
+        "g_modularity": q.g_modularity,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2931,6 +2932,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "g_modularity": f"""
+            WITH h AS (
+                SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS h1,
+                       regexp_extract(dst_url, '^https://([^/]+)/', 1) AS h2
+                FROM read_parquet('{_pages_links_path()}')),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(h1, h2) AS a, greatest(h1, h2) AS b
+                FROM h WHERE h1 <> h2 AND h1 <> '' AND h2 <> ''),
+            ec AS (
+                SELECT regexp_extract(a, '\\.(example-\\d+\\.org)$', 1)
+                           AS ca,
+                       regexp_extract(b, '\\.(example-\\d+\\.org)$', 1)
+                           AS cb
+                FROM e),
+            m AS (SELECT count(*) AS m FROM e),
+            deg AS (
+                SELECT community, CAST(count(*) AS BIGINT) AS d_c
+                FROM (SELECT ca AS community FROM ec
+                      UNION ALL SELECT cb FROM ec)
+                GROUP BY 1),
+            intra AS (
+                SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_c
+                FROM ec WHERE ca = cb GROUP BY 1)
+            SELECT d.community,
+                   COALESCE(i.e_c, 0) AS n_edges_within,
+                   d.d_c AS degree_sum,
+                   round(COALESCE(i.e_c, 0) * 1.0 / m.m
+                         - (d.d_c / (2.0 * m.m)) ^ 2, 9) AS q_c
+            FROM deg d LEFT JOIN intra i USING (community), m
         """,
         "g_reciprocity": f"""
             WITH h AS (

@@ -9451,3 +9451,64 @@ def dd_winnow_pairs(sf_dir: str) -> rd.Dataset:
     return hash_repartition_map(keyed, "pk",
                                 lambda t: merge_pairs(
                                     t.drop_columns(["pk"])))
+
+
+def g_modularity(sf_dir: str) -> pa.Table:
+    """Newman modularity of the registered-domain partition of the host
+    graph — "how community-like is the domain grouping?" (the statistic
+    community detection maximizes, here evaluated for the natural web
+    partition): per community c,  Q_c = e_c/m − (d_c/2m)²,  Q = Σ Q_c,
+    over the distinct undirected edge set. All inputs are INTEGER
+    distributive sums (m, intra-community edge counts, community degree
+    sums) — one exchange-dedup of the edges, one tiny per-community
+    fold, exact at any scale; the only float is the final ratio. Returns
+    one row per community (community, n_edges_within, degree_sum, q_c)."""
+    from ..relational import small_groupby_agg
+
+    e = _host_edges_undirected(sf_dir).materialize()
+
+    def comm(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+        # non-matching hosts map to '' — DuckDB's regexp_extract no-match
+        # convention, so both engines bucket them identically
+        return pc.fill_null(pc.struct_field(pc.extract_regex(
+            arr.combine_chunks(), r"\.(?P<d>example-\d+\.org)$"), "d"), "")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ca = comm(batch["a"])
+        cb = comm(batch["b"])
+        within = pc.equal(ca, cb)
+        # endpoint (community, 1) rows for d_c + intra-edge rows for e_c
+        deg = pa.table({
+            "community": pa.concat_arrays([ca.combine_chunks()
+                                           if isinstance(ca, pa.ChunkedArray)
+                                           else ca,
+                                           cb.combine_chunks()
+                                           if isinstance(cb, pa.ChunkedArray)
+                                           else cb]),
+            "d": pa.array(np.ones(2 * batch.num_rows, np.int64)),
+            "w": pa.array(np.zeros(2 * batch.num_rows, np.int64))})
+        intra = pa.table({
+            "community": (ca.combine_chunks()
+                          if isinstance(ca, pa.ChunkedArray) else ca)
+            .filter(within),
+            "d": pa.array(np.zeros(
+                int(pc.sum(within.cast(pa.int64())).as_py() or 0),
+                np.int64)),
+            "w": pa.array(np.ones(
+                int(pc.sum(within.cast(pa.int64())).as_py() or 0),
+                np.int64))})
+        return pa.concat_tables([deg, intra])
+
+    folded = small_groupby_agg(
+        e.map_batches(partials, batch_format="pyarrow"),
+        ["community"], [("d", "sum", "d_c"), ("w", "sum", "e_c")])
+    m = e.count()
+    d_c = folded["d_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    e_c = folded["e_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    q_c = e_c / m - (d_c / (2.0 * m)) ** 2
+    order = np.argsort(folded["community"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "community": folded["community"].take(pa.array(order)),
+        "n_edges_within": folded["e_c"].take(pa.array(order)),
+        "degree_sum": folded["d_c"].take(pa.array(order)),
+        "q_c": pa.array(round_half_away(q_c[order], 9), pa.float64())})
