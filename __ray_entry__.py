@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_recrawl_chunk_savings": q.dd_recrawl_chunk_savings,
         "dd_winnow_pairs": q.dd_winnow_pairs,
         "g_modularity": q.g_modularity,
+        "t_js_divergence": q.t_js_divergence,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2932,6 +2933,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "t_js_divergence": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY 1, 2),
+            t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+            p AS (
+                SELECT c.source, c.lang, c.n * 1.0 / t.tot AS pr
+                FROM c JOIN t USING (source)),
+            pairs AS (
+                SELECT a.source AS sa, b.source AS sb
+                FROM t a JOIN t b ON a.source < b.source),
+            joint AS (
+                SELECT pairs.sa, pairs.sb,
+                       COALESCE(pa.pr, 0) AS pa_,
+                       COALESCE(pb.pr, 0) AS pb_
+                FROM pairs
+                CROSS JOIN (SELECT DISTINCT lang FROM c) l
+                LEFT JOIN p pa ON pa.source = pairs.sa
+                              AND pa.lang = l.lang
+                LEFT JOIN p pb ON pb.source = pairs.sb
+                              AND pb.lang = l.lang)
+            SELECT sa AS source_a, sb AS source_b,
+                   round(sum(
+                       CASE WHEN pa_ > 0 THEN pa_ / 2 * log2(
+                           pa_ / ((pa_ + pb_) / 2)) ELSE 0 END
+                       + CASE WHEN pb_ > 0 THEN pb_ / 2 * log2(
+                           pb_ / ((pa_ + pb_) / 2)) ELSE 0 END), 9)
+                       AS js
+            FROM joint GROUP BY 1, 2
         """,
         "g_modularity": f"""
             WITH h AS (

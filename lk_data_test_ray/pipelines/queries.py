@@ -9512,3 +9512,48 @@ def g_modularity(sf_dir: str) -> pa.Table:
         "n_edges_within": folded["e_c"].take(pa.array(order)),
         "degree_sum": folded["d_c"].take(pa.array(order)),
         "q_c": pa.array(round_half_away(q_c[order], 9), pa.float64())})
+
+
+def t_js_divergence(sf_dir: str) -> pa.Table:
+    """Pairwise Jensen–Shannon divergence (base 2) between document
+    sources over their LANGUAGE profiles — the symmetric, bounded [0,1]
+    corpus-comparison statistic next to the drift family (chi-square /
+    PSI / KS compare a slice to a reference; JS ranks which SOURCES look
+    alike, the signal a mixing policy reads before merging feeds). One
+    map-side-combined (source, lang) count exchange reduces the corpus
+    to ≤ sources×langs rows; the S²/2 pair divergences are driver
+    arithmetic on that tiny table (sources are driver-small by nature)."""
+    docs = read(sf_dir, "documents", ["source", "lang"])
+    counts = partial_groupby_agg(
+        docs.map_batches(lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["source", "lang"], [("one", "count", "n")]).to_pandas()
+
+    srcs = np.sort(counts["source"].unique())
+    langs = np.sort(counts["lang"].unique())
+    si = {s: i for i, s in enumerate(srcs)}
+    li = {x: i for i, x in enumerate(langs)}
+    grid = np.zeros((len(srcs), len(langs)), np.float64)
+    grid[[si[s] for s in counts["source"]],
+         [li[x] for x in counts["lang"]]] = counts["n"].to_numpy()
+    p = grid / grid.sum(axis=1, keepdims=True)
+
+    rows_a, rows_b, js = [], [], []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            m = (p[i] + p[j]) / 2.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                kl_a = np.where(p[i] > 0, p[i] / 2 * np.log2(
+                    np.where(p[i] > 0, p[i], 1) / np.where(m > 0, m, 1)),
+                    0.0)
+                kl_b = np.where(p[j] > 0, p[j] / 2 * np.log2(
+                    np.where(p[j] > 0, p[j], 1) / np.where(m > 0, m, 1)),
+                    0.0)
+            rows_a.append(srcs[i])
+            rows_b.append(srcs[j])
+            js.append(float(kl_a.sum() + kl_b.sum()))
+    return pa.table({
+        "source_a": pa.array(rows_a, pa.string()),
+        "source_b": pa.array(rows_b, pa.string()),
+        "js": pa.array(round_half_away(np.array(js), 9), pa.float64())})

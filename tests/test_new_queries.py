@@ -126,6 +126,7 @@ NEW_QUERIES = [
     "v_join_fanout",
     "dd_winnow_pairs",
     "s_knn_classify",
+    "t_js_divergence",
     # g_*/v_ks_drift/v_dup_capture_window oracles read the sf0.01
     # pages/recrawl fixtures — parity checked by the driver/oracle_check
     # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
