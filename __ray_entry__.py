@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_winnow_pairs": q.dd_winnow_pairs,
         "g_modularity": q.g_modularity,
         "t_js_divergence": q.t_js_divergence,
+        "e_user_entropy": q.e_user_entropy,
+        "mm_phash_clusters": q.mm_phash_clusters,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2933,6 +2935,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "mm_phash_clusters": """
+            WITH RECURSIVE
+            ph AS (
+                SELECT vec_id, CAST(vec_id // 4 AS BIGINT) AS phash
+                FROM embeddings),
+            pr AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM ph a JOIN ph b ON a.vec_id < b.vec_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+            e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach AS (
+                SELECT n AS node, n AS r FROM nodes
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
+            SELECT node, CAST(min(r) AS BIGINT) AS cluster
+            FROM reach GROUP BY node
+        """,
+        "e_user_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, sum(n) AS tot, count(*) AS k
+                  FROM c GROUP BY 1)
+            SELECT c.user_id,
+                   CAST(t.tot AS BIGINT) AS n_events,
+                   CAST(t.k AS BIGINT) AS n_types,
+                   round(sum(-(n * 1.0 / tot) * log2(n * 1.0 / tot)), 9)
+                       AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.tot, t.k
         """,
         "t_js_divergence": """
             WITH c AS (

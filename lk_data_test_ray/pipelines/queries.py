@@ -9557,3 +9557,70 @@ def t_js_divergence(sf_dir: str) -> pa.Table:
         "source_a": pa.array(rows_a, pa.string()),
         "source_b": pa.array(rows_b, pa.string()),
         "js": pa.array(round_half_away(np.array(js), 9), pa.float64())})
+
+
+def e_user_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-user behavioral entropy: Shannon entropy (bits) of each
+    user's event-type distribution — the engagement-diversity feature
+    (bot detection: single-action accounts score 0; browse-everything
+    humans score high). The per-ENTITY variant of
+    ``a_entropy_by_source``: user cardinality is corpus-scale, so
+    nothing touches the driver — per-batch (user, type) count combine,
+    ONE hash exchange on user, then a segmented vectorized −Σ p·log₂p
+    per user inside the owning range. Returns (user_id, n_events,
+    n_types, entropy)."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("n_types", pa.int64()),
+                            ("entropy", pa.float64())])
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        g = tbl.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("event_type", "ascending")])
+        g = g.take(idx)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = np.ones(len(uid), bool)
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(uid)))
+        tot = np.add.reduceat(n, starts)
+        p = n / np.repeat(tot, runs)
+        ent = np.add.reduceat(-p * np.log2(p), starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(tot.astype(np.int64), pa.int64()),
+            "n_types": pa.array(runs.astype(np.int64), pa.int64()),
+            "entropy": pa.array(round_half_away(ent, 9), pa.float64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(
+        ev.map_batches(pre, batch_format="pyarrow"), "user_id", per_user)
+
+
+def mm_phash_clusters(sf_dir: str) -> rd.Dataset:
+    """Near-duplicate IMAGE CLUSTERS: connected components (min-label
+    propagation, ``dedup.connected_components``) over the banded-Hamming
+    dHash pairs of ``mm_phash_near_dup`` — pairs → clusters, the step a
+    visual-dedup pipeline needs before electing one keeper per cluster.
+    Exact-recall candidate generation (pigeonhole bands) + exact CC ⇒
+    full-value oracle via a recursive reachability CTE."""
+    from .dedup import connected_components
+
+    pairs = mm_phash_near_dup(sf_dir).map_batches(
+        lambda t: pa.table({"id_a": t["a"], "id_b": t["b"]}),
+        batch_format="pyarrow")
+    return connected_components(pairs)

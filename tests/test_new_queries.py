@@ -127,6 +127,8 @@ NEW_QUERIES = [
     "dd_winnow_pairs",
     "s_knn_classify",
     "t_js_divergence",
+    "e_user_entropy",
+    "mm_phash_clusters",
     # g_*/v_ks_drift/v_dup_capture_window oracles read the sf0.01
     # pages/recrawl fixtures — parity checked by the driver/oracle_check
     # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
