@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_js_divergence": q.t_js_divergence,
         "e_user_entropy": q.e_user_entropy,
         "mm_phash_clusters": q.mm_phash_clusters,
+        "pages_boilerplate_ratio": q.pages_boilerplate_ratio,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2935,6 +2936,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "pages_boilerplate_ratio": f"""
+            SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                   CAST(sum(octet_length(COALESCE(html, ''::BLOB)))
+                        AS BIGINT) AS html_bytes,
+                   CAST(sum(length(COALESCE(text, ''))) AS BIGINT)
+                       AS text_chars,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   round(CASE WHEN sum(octet_length(
+                             COALESCE(html, ''::BLOB))) > 0
+                         THEN 1.0 - sum(length(COALESCE(text, '')))
+                              * 1.0 / greatest(sum(octet_length(
+                                  COALESCE(html, ''::BLOB))), 1)
+                         ELSE 0.0 END, 6) AS boilerplate_ratio
+            FROM read_parquet('{_pages_fixture_glob()}')
+            GROUP BY 1
         """,
         "mm_phash_clusters": """
             WITH RECURSIVE

@@ -9624,3 +9624,49 @@ def mm_phash_clusters(sf_dir: str) -> rd.Dataset:
         lambda t: pa.table({"id_a": t["a"], "id_b": t["b"]}),
         batch_format="pyarrow")
     return connected_components(pairs)
+
+
+def pages_boilerplate_ratio(sf_dir: str) -> rd.Dataset:
+    """Per-host boilerplate density: what fraction of each host's html
+    BYTES the extracted text does NOT account for — the extraction-QA /
+    crawl-value signal (a host whose pages are 99% markup is template
+    noise; a sudden ratio shift means the extractor or the site changed).
+    One scan computes per-batch (host, Σ html_bytes, Σ text_chars, n)
+    partials — the bytes themselves never leave the read task — and a
+    tiny host-keyed merge finishes. Ratio = 1 − text/html, rounded 6."""
+    import os
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["url", "html", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(pc.extract_regex(
+            batch["url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        hb = pc.binary_length(pc.fill_null(batch["html"], b"")) \
+            .cast(pa.int64())
+        tc = pc.utf8_length(pc.fill_null(batch["text"], "")) \
+            .cast(pa.int64())
+        t = pa.table({"host": host, "hb": hb, "tc": tc,
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["host"]).aggregate(
+            [("hb", "sum"), ("tc", "sum"), ("one", "sum")])
+        return g.rename_columns(["host", "hb", "tc", "n"])
+
+    agg = partial_groupby_agg(
+        pages.map_batches(partials, batch_format="pyarrow"),
+        ["host"], [("hb", "sum", "html_bytes"), ("tc", "sum", "text_chars"),
+                   ("n", "sum", "n_pages")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hb = batch["html_bytes"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tc = batch["text_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        r = np.where(hb > 0, 1.0 - tc / np.maximum(hb, 1.0), 0.0)
+        return batch.append_column(
+            "boilerplate_ratio",
+            pa.array(round_half_away(r, 6), pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
