@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_user_entropy": q.e_user_entropy,
         "mm_phash_clusters": q.mm_phash_clusters,
         "pages_boilerplate_ratio": q.pages_boilerplate_ratio,
+        "dd_c4_line_dedup": q.dd_c4_line_dedup,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2936,6 +2937,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "dd_c4_line_dedup": f"""
+            WITH l AS (
+                SELECT doc_id, t.i AS ln,
+                       trim(list_extract(string_split(text, chr(10)), t.i),
+                            ' ' || chr(9) || chr(13)) AS line
+                FROM read_parquet('{_lines_fixture_glob()}'),
+                     unnest(generate_series(1,
+                         len(string_split(text, chr(10))))) AS t(i)
+                WHERE text IS NOT NULL),
+            nz AS (SELECT * FROM l WHERE line <> ''),
+            r AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, ln) AS rk
+                FROM nz)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   round(1.0 - sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS kept_frac
+            FROM r GROUP BY doc_id
         """,
         "pages_boilerplate_ratio": f"""
             SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,

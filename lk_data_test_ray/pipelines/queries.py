@@ -9670,3 +9670,85 @@ def pages_boilerplate_ratio(sf_dir: str) -> rd.Dataset:
             pa.array(round_half_away(r, 6), pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dd_c4_line_dedup(sf_dir: str) -> rd.Dataset:
+    """C4's GLOBAL line-level exact dedup (the companion to the
+    three-sentence-span rule ``dd_c4_spans``): a non-empty trimmed line
+    is REMOVED when the identical line occurs earlier in global
+    (doc_id, line_no) order anywhere in the corpus — keep-first,
+    order-deterministic, so the removal set is exactly reproducible.
+    Shape: vectorized line explosion per batch → ONE hash exchange
+    routed by the line (the owning range holds every instance, so the
+    keep-first decision is local; routing hash collisions only
+    co-locate — equality is decided on the line itself) → per-doc
+    (n, removed) partials → tiny doc-keyed merge. At 100 TB the wire
+    key would be a 128-bit line hash (the ``dd_dup_spans`` machinery);
+    the string key here keeps the oracle exact. Returns per-doc
+    (doc_id, n_lines, n_removed, kept_frac)."""
+    from ..relational import hash_repartition_map
+    from ..sources.lines import ensure_lines, lines_ndocs_for_sf
+
+    fix = ensure_lines(lines_ndocs_for_sf(sf_dir))
+    docs = rd.read_parquet(fix, columns=["doc_id", "text"])
+    TRIM = " \t\r"
+
+    row_schema = pa.schema([("doc_id", pa.int64()), ("ln", pa.int64()),
+                            ("line", pa.string())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["text"]))
+        if t.num_rows == 0:
+            return row_schema.empty_table()
+        parts = pc.split_pattern(t["text"].combine_chunks(), "\n")
+        flat = pc.utf8_trim(pc.list_flatten(parts), TRIM)
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        first = np.ones(len(parent), bool)
+        first[1:] = parent[1:] != parent[:-1]
+        starts = np.flatnonzero(first)
+        ln = np.arange(len(parent)) - np.repeat(
+            starts, np.diff(np.append(starts, len(parent)))) + 1
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(did[parent[keep]], pa.int64()),
+            "ln": pa.array(ln[keep], pa.int64()),
+            "line": flat.filter(pa.array(keep))}, schema=row_schema)
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("n", pa.int64()),
+                             ("rm", pa.int64())])
+
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("line", "ascending"), ("doc_id", "ascending"),
+            ("ln", "ascending")])
+        tbl = tbl.take(idx)
+        line = tbl["line"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(line), bool)
+        first[1:] = line[1:] != line[:-1]
+        p = pa.table({
+            "doc_id": tbl["doc_id"],
+            "n": pa.array(np.ones(len(line), np.int64)),
+            "rm": pa.array((~first).astype(np.int64), pa.int64())})
+        g = p.group_by(["doc_id"]).aggregate([("n", "sum"), ("rm", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "n": g["n_sum"],
+                         "rm": g["rm_sum"]}, schema=part_schema)
+
+    parts = hash_repartition_map(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        "line", keep_first)
+    agg = partial_groupby_agg(parts, ["doc_id"],
+                              [("n", "sum", "n_lines"),
+                               ("rm", "sum", "n_removed")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_lines"].to_numpy(zero_copy_only=False)
+        rm = batch["n_removed"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "kept_frac", pa.array(round_half_away(
+                1.0 - rm / np.maximum(n, 1), 6), pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
