@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_phash_clusters": q.mm_phash_clusters,
         "pages_boilerplate_ratio": q.pages_boilerplate_ratio,
         "dd_c4_line_dedup": q.dd_c4_line_dedup,
+        "td_temperature_mix": q.td_temperature_mix,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2937,6 +2938,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "td_temperature_mix": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c),
+            w AS (
+                SELECT c.source, c.n,
+                       c.n * 1.0 / t.tot AS p,
+                       (c.n * 1.0 / t.tot) ^ 0.3 AS wraw
+                FROM c, t),
+            z AS (SELECT sum(wraw) AS zw FROM w)
+            SELECT w.source,
+                   CAST(w.n AS BIGINT) AS n_docs,
+                   round(w.p, 9) AS p_natural,
+                   round(w.wraw / z.zw, 9) AS w_alpha,
+                   round(w.wraw / z.zw / w.p, 9) AS effective_epochs
+            FROM w, z
         """,
         "dd_c4_line_dedup": f"""
             WITH l AS (

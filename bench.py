@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "s_als_recommend",
     "s_radius_search",
     "td_curriculum_pack",
+    "pages_rolling_p95_len_7d",
+    "dd_c4_line_dedup",
+    "e_user_entropy",
 ]
 
 

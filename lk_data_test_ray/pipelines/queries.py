@@ -9769,3 +9769,31 @@ def dd_c4_line_dedup(sf_dir: str) -> rd.Dataset:
                 1.0 - rm / np.maximum(n, 1), 6), pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TEMPERATURE_ALPHA = 0.3  # shared verbatim with the oracle SQL
+
+
+def td_temperature_mix(sf_dir: str) -> pa.Table:
+    """Temperature-scaled source sampling weights — the mT5/XLM-R
+    α-sampling rule (α = 0.3): w_s ∝ p_s^α, which UP-samples small
+    sources relative to their natural share so low-resource feeds are
+    not drowned (α=1 is natural sampling, α=0 uniform). Also reports the
+    effective epochs each source would see at a fixed token budget
+    (w_s / p_s). One map-side-combined source-count exchange; the
+    S-row normalization is driver arithmetic by nature."""
+    docs = read(sf_dir, "documents", ["doc_id", "source"])
+    counts = partial_groupby_agg(
+        docs, ["source"], [("doc_id", "count", "n")]).to_pandas() \
+        .sort_values("source")
+    n = counts["n"].to_numpy(np.float64)
+    p = n / n.sum()
+    w = p ** TEMPERATURE_ALPHA
+    w = w / w.sum()
+    return pa.table({
+        "source": pa.array(counts["source"].to_list(), pa.string()),
+        "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+        "p_natural": pa.array(round_half_away(p, 9), pa.float64()),
+        "w_alpha": pa.array(round_half_away(w, 9), pa.float64()),
+        "effective_epochs": pa.array(round_half_away(w / p, 9),
+                                     pa.float64())})

@@ -129,7 +129,9 @@ NEW_QUERIES = [
     "t_js_divergence",
     "e_user_entropy",
     "mm_phash_clusters",
-    # g_*/v_ks_drift/v_dup_capture_window oracles read the sf0.01
+    "td_temperature_mix",
+    # g_*/v_ks_drift/v_dup_capture_window/dd_c4_line_dedup/
+    # pages_boilerplate_ratio oracles read the sf0.01
     # pages/recrawl fixtures — parity checked by the driver/oracle_check
     # pages_latest_per_host / g_triangles oracles read the sf0.01 pages
     # fixture (like g_pagerank) — parity checked by the driver/oracle_check
