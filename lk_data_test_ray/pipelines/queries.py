@@ -1677,15 +1677,24 @@ def pages_rolling_p95_len_7d(sf_dir: str) -> pa.Table:
     def partials(batch: pa.Table) -> pa.Table:
         from lk_data_test_ray.sketches import TDigest as _TD
 
-        day = pc.cast(pc.cast(batch["warc_ts"], pa.date32()), pa.int32())
-        ln = pc.fill_null(pc.utf8_length(batch["text"]), 0)
-        t = pa.table({"day": day, "len": ln})
-        g = t.group_by(["day"]).aggregate([("len", "list")])
+        day = pc.cast(pc.cast(batch["warc_ts"], pa.date32()), pa.int32()) \
+            .to_numpy(zero_copy_only=False)
+        ln = pc.fill_null(pc.utf8_length(batch["text"]), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        # segment by day with ONE argsort; each digest ingests a numpy
+        # SLICE (the group_by + per-group as_py() list conversion paid
+        # most of this stage's 18 s at sf0.1)
+        order = np.argsort(day, kind="stable")
+        day_s, ln_s = day[order], ln[order]
+        first = np.ones(len(day_s), bool)
+        first[1:] = day_s[1:] != day_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(day_s))
         days, blobs = [], []
-        for i in range(g.num_rows):
+        for s, e in zip(starts, ends):
             d = _TD()
-            d.update(np.asarray(g["len_list"][i].as_py(), np.float64))
-            days.append(g["day"][i].as_py())
+            d.update(ln_s[s:e])
+            days.append(int(day_s[s]))
             blobs.append(d.to_bytes())
         return pa.table({"day": pa.array(days, pa.int32()),
                          "sketch": pa.array(blobs, pa.binary())})
@@ -1725,10 +1734,22 @@ def pages_rolling_p95_len_7d(sf_dir: str) -> pa.Table:
     rows.sort(key=lambda r: r["day"])
     days = np.array([r["day"] for r in rows], np.int32)
     digs = [TDigest.from_bytes(r["sketch"]) for r in rows]
+    means = [d.means for d in digs]
+    counts = [d.counts for d in digs]
     p95 = []
     for i in range(len(days)):
         lo = int(np.searchsorted(days, days[i] - 6))  # sorted window
-        p95.append(TDigest.merge_many(digs[lo:i + 1]).quantile(0.95))
+        # quantile straight off the window's CONCATENATED centroids —
+        # compression only bounds digest SIZE; re-compressing ≤7 day
+        # digests per window paid 15 s of Python centroid loops on the
+        # 4385-day series, and skipping it loses no accuracy (strictly
+        # fewer merge approximations)
+        m = np.concatenate(means[lo:i + 1])
+        c = np.concatenate(counts[lo:i + 1])
+        order = np.argsort(m, kind="stable")
+        m, c = m[order], c[order]
+        cum = np.cumsum(c) - c / 2
+        p95.append(float(np.interp(0.95 * c.sum(), cum, m)))
     return pa.table({
         "day": pc.strftime(pa.array(days, pa.int32()).cast(pa.date32()),
                            format="%Y-%m-%d"),
