@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_boilerplate_ratio": q.pages_boilerplate_ratio,
         "dd_c4_line_dedup": q.dd_c4_line_dedup,
         "td_temperature_mix": q.td_temperature_mix,
+        "e_burst_rate": q.e_burst_rate,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2938,6 +2939,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "e_burst_rate": """
+            WITH w AS (
+                SELECT user_id,
+                       count(*) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW) AS burst
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(burst) AS BIGINT) AS max_burst_1h
+            FROM w GROUP BY user_id
         """,
         "td_temperature_mix": """
             WITH c AS (

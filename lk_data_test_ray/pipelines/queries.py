@@ -9818,3 +9818,63 @@ def td_temperature_mix(sf_dir: str) -> pa.Table:
         "w_alpha": pa.array(round_half_away(w, 9), pa.float64()),
         "effective_epochs": pa.array(round_half_away(w / p, 9),
                                      pa.float64())})
+
+
+def e_burst_rate(sf_dir: str) -> rd.Dataset:
+    """Rate-limit / burst audit per user: the maximum number of events
+    falling in ANY sliding 1-hour window (`RANGE INTERVAL` window
+    semantics — value-range frames, where every other e_* window is
+    row-count or tumbling). A bot throttle and an abuse monitor both
+    read this. One hash exchange on user, then per partition a single
+    sort + ONE vectorized searchsorted: burst(i) = i − first event
+    within (ts_i − 1h, ts_i] clamped to the user's own segment — no
+    per-user loop, no per-window scan. Returns (user_id, n_events,
+    max_burst_1h)."""
+    from ..relational import hash_repartition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("max_burst_1h", pa.int64())])
+
+    def bursts(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        first = np.ones(n, bool)
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, runs)
+        # window = [ts_i − 1h, ts_i] (RANGE ... 1 HOUR PRECEDING AND
+        # CURRENT ROW: rows with ts ≥ ts_i − 1h). ts is sorted only
+        # WITHIN segments, so searchsorted runs on a composite key
+        # seg·SPAN + (ts − ts_min), monotone across the partition; a
+        # query landing before its segment start clamps to seg_start.
+        seg = np.cumsum(first) - 1
+        span = np.int64(int(ts.max()) - int(ts.min())
+                        + 3_600_000_000 + 2)
+        if int(seg[-1] + 1) * int(span) < (1 << 62):
+            key = seg * span + (ts - ts.min())
+            lo = np.searchsorted(key, key - 3_600_000_000, side="left")
+        else:  # overflow-proof fallback: per-segment searchsorted
+            lo = np.empty(n, np.int64)
+            for s, ln in zip(starts, runs):
+                lo[s:s + ln] = s + np.searchsorted(
+                    ts[s:s + ln], ts[s:s + ln] - 3_600_000_000, "left")
+        lo = np.maximum(lo, seg_start)
+        burst = np.arange(n) - lo + 1
+        mx = np.maximum.reduceat(burst, starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(runs.astype(np.int64), pa.int64()),
+            "max_burst_1h": pa.array(mx.astype(np.int64), pa.int64()),
+        }, schema=out_schema)
+
+    return hash_repartition_map(ev, "user_id", bursts)

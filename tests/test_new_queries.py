@@ -130,6 +130,7 @@ NEW_QUERIES = [
     "e_user_entropy",
     "mm_phash_clusters",
     "td_temperature_mix",
+    "e_burst_rate",
     # g_*/v_ks_drift/v_dup_capture_window/dd_c4_line_dedup/
     # pages_boilerplate_ratio oracles read the sf0.01
     # pages/recrawl fixtures — parity checked by the driver/oracle_check
