@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_c4_line_dedup": q.dd_c4_line_dedup,
         "td_temperature_mix": q.td_temperature_mix,
         "e_burst_rate": q.e_burst_rate,
+        "m_url_parse": q.m_url_parse,
         "v_ks_drift": q.v_ks_drift,
         "a_gini_spend": q.a_gini_spend,
         "g_clustering_coeff": q.g_clustering_coeff,
@@ -2939,6 +2940,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa DESC, s.cn DESC, s.v, s.w
             LIMIT 50
+        """,
+        "m_url_parse": f"""
+            SELECT url,
+                   COALESCE(regexp_extract(url,
+                       '^([a-z][a-z0-9+.-]*)://', 1), '') AS scheme,
+                   COALESCE(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '')
+                       AS host,
+                   COALESCE(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+                       AS path,
+                   COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '')
+                       AS query,
+                   CAST(greatest(
+                       CASE WHEN length(regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1))
+                           > 1
+                       THEN length(regexp_extract(url,
+                               '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)',
+                               1))
+                          - length(replace(regexp_extract(url,
+                               '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)',
+                               1), '/', ''))
+                          - CASE WHEN regexp_extract(url,
+                               '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)',
+                               1) LIKE '%/' THEN 1 ELSE 0 END
+                       ELSE 0 END, 0) AS BIGINT) AS path_depth
+            FROM read_parquet('{_pages_fixture_glob()}')
         """,
         "e_burst_rate": """
             WITH w AS (
