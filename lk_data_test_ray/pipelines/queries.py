@@ -908,11 +908,22 @@ def approx_stats(sf_dir: str) -> pa.Table:
     docs = read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         h_doc, h_lang, td = HyperLogLog(12), HyperLogLog(12), TDigest()
-        h_doc.update_strings(np.array(
-            [str(v) for v in batch["doc_id"].to_pylist()], dtype=object))
-        h_lang.update_strings(np.array(
-            [v or "" for v in batch["lang"].to_pylist()], dtype=object))
+        # both HLL updates are fully vectorized: doc_id hashes the int64
+        # buffer directly (no per-row str()); lang hashes only the TINY
+        # dictionary of distinct strings and gathers per row by index —
+        # zero per-row Python objects on this flagship-adjacent path.
+        h_doc.update_hashes(pd.util.hash_array(
+            batch["doc_id"].to_numpy(zero_copy_only=False)))
+        lang_d = pc.dictionary_encode(
+            pc.fill_null(batch["lang"].combine_chunks(), ""))
+        uniq_h = pd.util.hash_array(
+            np.asarray(lang_d.dictionary.to_pylist(), dtype=object),
+            categorize=False)
+        h_lang.update_hashes(
+            uniq_h[lang_d.indices.to_numpy(zero_copy_only=False)])
         tl = pc.utf8_length(batch["text"]).to_numpy(
             zero_copy_only=False).astype(np.float64)
         td.update(tl[~np.isnan(tl)])
@@ -9710,31 +9721,52 @@ def pages_boilerplate_ratio(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def dd_c4_line_dedup(sf_dir: str) -> rd.Dataset:
+def dd_c4_line_dedup(sf_dir: str, wire: str = "hash") -> rd.Dataset:
     """C4's GLOBAL line-level exact dedup (the companion to the
     three-sentence-span rule ``dd_c4_spans``): a non-empty trimmed line
     is REMOVED when the identical line occurs earlier in global
     (doc_id, line_no) order anywhere in the corpus — keep-first,
     order-deterministic, so the removal set is exactly reproducible.
-    Shape: vectorized line explosion per batch → ONE hash exchange
-    routed by the line (the owning range holds every instance, so the
-    keep-first decision is local; routing hash collisions only
-    co-locate — equality is decided on the line itself) → per-doc
-    (n, removed) partials → tiny doc-keyed merge. At 100 TB the wire
-    key would be a 128-bit line hash (the ``dd_dup_spans`` machinery);
-    the string key here keeps the oracle exact. Returns per-doc
-    (doc_id, n_lines, n_removed, kept_frac)."""
+    Shape: vectorized line explosion per batch → ONE hash exchange →
+    local keep-first at the owning range → per-doc (n, removed)
+    partials → tiny doc-keyed merge. ``wire`` picks the exchange key:
+
+    - ``"hash"`` (default, the 100-TB path): each line travels as a
+      128-bit key — two INDEPENDENT siphash64 folds of the line bytes
+      (distinct pandas hash keys, same scheme as the ``dd_dup_spans``
+      gram hashes) — 16 B/line regardless of line length, so the wire
+      never carries corpus text. Equality is decided on the pair
+      (collision odds 2^-64-scale per co-routed pair; the two folds
+      are independent, so a 64-bit routing collision does not imply a
+      match). Keep-first order is the same global (doc_id, ln) order.
+    - ``"line"`` ships the trimmed line string and decides equality on
+      it exactly — the oracle-exactness mode kept for audits; the
+      per-doc (n, removed) equality of the two wires is property-
+      tested (``tests/test_new_queries.py``).
+
+    Returns per-doc (doc_id, n_lines, n_removed, kept_frac)."""
     from ..relational import hash_repartition_map
     from ..sources.lines import ensure_lines, lines_ndocs_for_sf
 
+    if wire not in ("hash", "line"):
+        raise ValueError(f"wire must be 'hash' or 'line', got {wire!r}")
     fix = ensure_lines(lines_ndocs_for_sf(sf_dir))
     docs = rd.read_parquet(fix, columns=["doc_id", "text"])
     TRIM = " \t\r"
+    hashed = wire == "hash"
 
-    row_schema = pa.schema([("doc_id", pa.int64()), ("ln", pa.int64()),
-                            ("line", pa.string())])
+    row_schema = (pa.schema([("doc_id", pa.int64()), ("ln", pa.int64()),
+                             ("h1", pa.uint64()), ("h2", pa.uint64())])
+                  if hashed else
+                  pa.schema([("doc_id", pa.int64()), ("ln", pa.int64()),
+                             ("line", pa.string())]))
+    # two independent 16-byte siphash keys -> two independent 64-bit folds
+    _HK1 = "c4_line_dedup_h1"
+    _HK2 = "c4_line_dedup_h2"
 
     def explode(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         t = batch.filter(pc.is_valid(batch["text"]))
         if t.num_rows == 0:
             return row_schema.empty_table()
@@ -9749,10 +9781,20 @@ def dd_c4_line_dedup(sf_dir: str) -> rd.Dataset:
             starts, np.diff(np.append(starts, len(parent)))) + 1
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         did = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(did[parent[keep]], pa.int64()),
-            "ln": pa.array(ln[keep], pa.int64()),
-            "line": flat.filter(pa.array(keep))}, schema=row_schema)
+        kept_lines = flat.filter(pa.array(keep))
+        cols = {"doc_id": pa.array(did[parent[keep]], pa.int64()),
+                "ln": pa.array(ln[keep], pa.int64())}
+        if hashed:
+            lv = kept_lines.to_numpy(zero_copy_only=False).astype(object)
+            cols["h1"] = pa.array(
+                pd.util.hash_array(lv, hash_key=_HK1, categorize=False),
+                pa.uint64())
+            cols["h2"] = pa.array(
+                pd.util.hash_array(lv, hash_key=_HK2, categorize=False),
+                pa.uint64())
+        else:
+            cols["line"] = kept_lines
+        return pa.table(cols, schema=row_schema)
 
     part_schema = pa.schema([("doc_id", pa.int64()), ("n", pa.int64()),
                              ("rm", pa.int64())])
@@ -9760,16 +9802,21 @@ def dd_c4_line_dedup(sf_dir: str) -> rd.Dataset:
     def keep_first(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return part_schema.empty_table()
+        key_cols = ["h1", "h2"] if hashed else ["line"]
         idx = pc.sort_indices(tbl, sort_keys=[
-            ("line", "ascending"), ("doc_id", "ascending"),
-            ("ln", "ascending")])
+            *((c, "ascending") for c in key_cols),
+            ("doc_id", "ascending"), ("ln", "ascending")])
         tbl = tbl.take(idx)
-        line = tbl["line"].to_numpy(zero_copy_only=False)
-        first = np.ones(len(line), bool)
-        first[1:] = line[1:] != line[:-1]
+        n = tbl.num_rows
+        # a new group starts where ANY key component changes
+        first = np.zeros(n, bool)
+        first[0] = True
+        for c in key_cols:
+            v = tbl[c].to_numpy(zero_copy_only=False)
+            first[1:] |= v[1:] != v[:-1]
         p = pa.table({
             "doc_id": tbl["doc_id"],
-            "n": pa.array(np.ones(len(line), np.int64)),
+            "n": pa.array(np.ones(n, np.int64)),
             "rm": pa.array((~first).astype(np.int64), pa.int64())})
         g = p.group_by(["doc_id"]).aggregate([("n", "sum"), ("rm", "sum")])
         return pa.table({"doc_id": g["doc_id"], "n": g["n_sum"],
@@ -9777,7 +9824,7 @@ def dd_c4_line_dedup(sf_dir: str) -> rd.Dataset:
 
     parts = hash_repartition_map(
         docs.map_batches(explode, batch_format="pyarrow"),
-        "line", keep_first)
+        "h1" if hashed else "line", keep_first)
     agg = partial_groupby_agg(parts, ["doc_id"],
                               [("n", "sum", "n_lines"),
                                ("rm", "sum", "n_removed")])

@@ -383,3 +383,22 @@ def test_anchor_agg_multiplicity_and_dedup(ray_session):
     assert list(out["n_inlinks"]) == [4, 1]
     assert list(out["n_src"]) == [2, 1]
     assert list(out["anchors"]) == ["a deal | buy now", "x"]
+
+
+def test_c4_line_dedup_wire_equality(ray_session):
+    """Property (VERDICT r4 item 1): the 128-bit hash wire (default) and
+    the exact string wire of dd_c4_line_dedup produce identical per-doc
+    (n_lines, n_removed) over the lines fixture — which embeds real
+    cross-document duplicates (shared boilerplate blocks, short
+    small-vocab lines) — so equality here is a meaningful check that
+    keep-first order and group boundaries survive the hash key."""
+    import lk_data_test_ray.pipelines.queries as q
+
+    a = (q.dd_c4_line_dedup(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (q.dd_c4_line_dedup(SF, wire="line").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    # the corpus genuinely contains duplicate lines — a vacuous pass
+    # (zero removals everywhere) would not exercise the keep-first path
+    assert int(a["n_removed"].sum()) > 0
