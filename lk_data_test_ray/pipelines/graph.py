@@ -1026,10 +1026,24 @@ def random_walks(edges: rd.Dataset, src_col: str, dst_col: str,
     composite (node, rank) key fetches the chosen neighbor — walk state
     is (start, cur) rows, never an adjacency list in driver memory.
 
+    Skew bound (the part that matters at web scale): the choice is
+    deterministic per (cur, t), so every walk sitting on one node moves
+    IDENTICALLY — walks converge onto hubs, and after a few steps a
+    10⁶-in-degree host can hold millions of walk states whose ``cur``
+    (and therefore whose composite key) is ONE value. Both per-step
+    joins therefore run through ``skew_join`` (the Misra-Gries
+    hot-key split the triangle family and ``j_skew_user_events`` use):
+    hot-key states join a broadcast slice of the right side
+    block-parallel instead of collapsing into one exchange partition.
+    Both right sides satisfy skew_join's broadcast assumption exactly —
+    ``deg`` is one row per node and ``adj`` matches one row per
+    composite key. The adjacency build itself is bounded per range by
+    a single node's out-edges (the rank exchange owns whole nodes).
+
     Returns (start, step, node) trace rows, step 0 = the start itself.
     """
     from ..functions.hashing import md5_int32
-    from ..relational import exchange_join, hash_repartition_map
+    from ..relational import hash_repartition_map, skew_join
 
     def orient(batch: pa.Table) -> pa.Table:
         # Per-batch dedup is a COMBINER only — cross-batch duplicate
@@ -1102,7 +1116,7 @@ def random_walks(edges: rd.Dataset, src_col: str, dst_col: str,
 
     traces = trace_of(state, 0)
     for t in range(1, length + 1):
-        with_deg = exchange_join(state, deg, "cur", "dnode")
+        with_deg = skew_join(state, deg, "cur", "dnode")
 
         def choose(batch: pa.Table, _t=t) -> pa.Table:
             if batch.num_rows == 0:
@@ -1118,7 +1132,7 @@ def random_walks(edges: rd.Dataset, src_col: str, dst_col: str,
             return pa.table({"start": batch["start"], "key": key})
 
         keyed = with_deg.map_batches(choose, batch_format="pyarrow")
-        nxt = exchange_join(keyed, adj, "key", "akey").map_batches(
+        nxt = skew_join(keyed, adj, "key", "akey").map_batches(
             lambda b: pa.table({"start": b["start"], "cur": b["nbr"]}),
             batch_format="pyarrow").materialize()
         if nxt.count() == 0:

@@ -413,3 +413,45 @@ def test_common_neighbor_scores_small_graph(ray_session):
             rd.from_arrow(tbl), "a", "b", hub_cap=2, k=10,
             local_max_nodes=lmn).take_all()
         assert rows2 == [], lmn
+
+
+def test_random_walks_hub_skew(ray_session):
+    """Skew path (VERDICT r4 item 7): a star graph converges EVERY walk
+    onto one hub after step 1 — the per-step joins carry one pathological
+    ``cur``/composite key with multiplicity = walk count. This must route
+    through skew_join's hot split (forced small hot threshold via its
+    auto detection at 600 identical keys) and still match the scalar
+    replay exactly."""
+    import hashlib
+
+    from lk_data_test_ray.pipelines.graph import random_walks
+
+    leaves = [f"n{i:04d}" for i in range(600)]
+    e = [(v, "hub") for v in leaves] + [("hub", leaves[0]),
+                                        ("hub", leaves[1])]
+    tbl = pa.table({"s": pa.array([x for x, _ in e], pa.string()),
+                    "t": pa.array([y for _, y in e], pa.string())})
+
+    def scalar_walks(edges, length):
+        adj, out = {}, []
+        for a, b in sorted(set(edges)):
+            adj.setdefault(a, []).append(b)
+        nodes = sorted({x for p in edges for x in p})
+        for start in nodes:
+            cur = start
+            out.append((start, 0, cur))
+            for t in range(1, length + 1):
+                if cur not in adj:
+                    break
+                nbrs = adj[cur]
+                h = int(hashlib.md5(f"{cur}|{t}".encode())
+                        .hexdigest()[:8], 16)
+                cur = nbrs[h % len(nbrs)]
+                out.append((start, t, cur))
+        return sorted(out)
+
+    got = random_walks(rd.from_arrow(tbl).repartition(4), "s", "t",
+                       length=3)
+    rows = sorted((r["start"], r["step"], r["node"])
+                  for r in got.take_all())
+    assert rows == scalar_walks(e, 3)

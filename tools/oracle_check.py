@@ -6,6 +6,15 @@ names, and order-insensitive values (rows sorted by all columns, exact
 comparison; floats compared to 1e-9 after the shared rounding).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+       python tools/oracle_check.py --json OUT.json [sf_dir] [query ...]
+
+With ``--json`` the sweep also writes a machine-readable artifact in the
+driver's CORRECTNESS_r{N}.json shape — one entry per query with
+rows/schema/hash verdicts (hash_match = the order-insensitive value
+comparison), ``err: "no_oracle"`` for entries without SQL, and
+``err: "pinned_sf001"`` for fixture-pinned oracles skipped at other
+scales — so the driver's 50-query sample is backed by a committed
+full-surface record (VERDICT r4 item 2).
 """
 
 from __future__ import annotations
@@ -77,8 +86,13 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True,
@@ -96,6 +110,8 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     qs, oracles = e.queries(), e.oracle_sql()
+    pinned = pinned_to_sf001(oracles)
+    record: dict[str, dict] = {}
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -105,31 +121,65 @@ def main():
             mine = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"{name}: RAY ERROR {type(ex).__name__}: {ex}")
+            record[name] = dict(rows_match=False, schema_match=False,
+                                hash_match=False, spark_rows=None,
+                                oracle_rows=None,
+                                err=f"RAY ERROR {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
         dt = time.time() - t0
-        if (name in pinned_to_sf001(oracles)
+        ent = dict(rows_match=None, schema_match=None, hash_match=None,
+                   spark_rows=len(mine), oracle_rows=None, err=None,
+                   wall_sec=round(dt, 2))
+        record[name] = ent
+        if (name in pinned
                 and not sf_dir.rstrip("/").endswith("sf0.01")):
             # these oracles read the sf0.01 pages fixture by absolute path
             # (oracle_sql() is static; the driver compares at sf0.01) — at
             # any other sf the comparison mismatches by construction
             print(f"{name}: skipped (oracle pinned to the sf0.01 fixture) "
                   f"[{dt:.1f}s, {len(mine)} rows]")
+            ent["err"] = "pinned_sf001"
             continue
         if name in oracles:
             try:
                 ora = con.execute(oracles[name]).df()
             except Exception as ex:
                 print(f"{name}: ORACLE SQL ERROR {ex}")
+                ent.update(rows_match=False, schema_match=False,
+                           hash_match=False, err=f"ORACLE SQL ERROR {ex}")
                 n_fail += 1
                 continue
             verdict = compare(name, mine, ora)
+            ent.update(
+                oracle_rows=len(ora),
+                schema_match=not verdict.startswith("SCHEMA"),
+                rows_match=len(mine) == len(ora),
+                hash_match=verdict == "OK",
+                err=None if verdict == "OK" else verdict)
         else:
             verdict = f"rows-only ({len(mine)} rows)"
+            ent["err"] = "no_oracle"
         status = verdict if verdict.startswith(("OK", "rows-only")) else f"FAIL {verdict}"
         if status.startswith("FAIL"):
             n_fail += 1
         print(f"{name}: {status}  [{dt:.1f}s, {len(mine)} rows]")
+    if json_out:
+        import json
+
+        oracled = [v for v in record.values() if v.get("hash_match") is not None]
+        summary = dict(
+            sf_dir=sf_dir,
+            n_queries=len(record),
+            n_oracled=len(oracled),
+            n_pass=sum(1 for v in oracled if v["hash_match"]),
+            n_fail=n_fail,
+            n_no_oracle=sum(1 for v in record.values()
+                            if v.get("err") == "no_oracle"),
+        )
+        with open(json_out, "w") as f:
+            json.dump({"_summary": summary, **record}, f, indent=1)
+        print(f"wrote {json_out}: {summary}")
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 
