@@ -168,6 +168,8 @@ def run_queries(sf_dir: str) -> dict:
 
     import __ray_entry__ as entrymod
 
+    import gc
+
     qs = entrymod.queries()
     timings = {}
     for name in BENCH_QUERIES:
@@ -175,6 +177,14 @@ def run_queries(sf_dir: str) -> dict:
         # this host swing up to 4x with scheduler/page-cache state
         best = None
         for _ in range(2):
+            # fence: drop the previous query's execution iterators NOW so
+            # Ray's task-cancellation storm (KeyboardInterrupt delivered
+            # into pooled workers when a partially-consumed execution is
+            # GC'd) lands between timed windows, not inside the next one —
+            # the measured mechanism behind in-sequence walls running 2-4x
+            # their isolated numbers (and behind the stale-DuckDB-interrupt
+            # flake, see functions/hashing._duck_exec)
+            gc.collect()
             t0 = time.time()
             res = qs[name](sf_dir)
             if isinstance(res, rd.Dataset):

@@ -45,6 +45,38 @@ def _md5_con():
     return _MD5_CON
 
 
+def _duck_exec(sql: str, tbl, view: str):
+    """Run one query on the cached connection, surviving stale interrupts.
+
+    Ray cancels straggler/obsolete tasks by raising KeyboardInterrupt
+    inside the worker; when one lands while (or just before) the cached
+    DuckDB connection is executing, the connection's interrupt flag can
+    outlive the cancelled task and abort the NEXT task's query on the
+    REUSED worker with ``RuntimeError: Query interrupted`` — observed as
+    a mid-bench flake on ``md5_hex_ints``. Interrupt-shaped errors
+    therefore discard the cached connection and retry once on a fresh
+    one; real errors propagate."""
+    global _MD5_CON
+    for attempt in (0, 1):
+        con = _md5_con()
+        con.register(view, tbl)
+        try:
+            return con.execute(sql).arrow()
+        except Exception as ex:
+            if attempt or "interrupt" not in str(ex).lower():
+                raise
+            try:
+                con.close()
+            except Exception:
+                pass
+            _MD5_CON = None
+        finally:
+            try:
+                con.unregister(view)
+            except Exception:
+                pass
+
+
 def md5_hex(values) -> np.ndarray:
     """Vectorized md5 hex digests (matches DuckDB/hashlib ``md5(text)``).
 
@@ -58,18 +90,14 @@ def md5_hex(values) -> np.ndarray:
     arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
         else pa.array(list(values), pa.string())
     try:
-        con = _md5_con()
+        _md5_con()
     except ImportError:
         return np.array(
             [None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
              for v in arr.to_pylist()],
             dtype=object)
-    tbl = pa.table({"v": arr})
-    con.register("_md5_in", tbl)
-    try:
-        out = con.execute("SELECT md5(v) AS h FROM _md5_in").arrow()
-    finally:
-        con.unregister("_md5_in")
+    out = _duck_exec("SELECT md5(v) AS h FROM _md5_in",
+                     pa.table({"v": arr}), "_md5_in")
     return np.asarray(out.column("h").to_pandas(), dtype=object)
 
 
@@ -84,17 +112,12 @@ def md5_hex_ints(ids) -> np.ndarray:
     if not len(a):
         return np.empty(0, dtype=object)
     try:
-        con = _md5_con()
+        _md5_con()
     except ImportError:
         return np.array([hashlib.md5(str(i).encode()).hexdigest()
                          for i in a], dtype=object)
-    tbl = pa.table({"v": pa.array(a)})
-    con.register("_md5_in", tbl)
-    try:
-        out = con.execute(
-            "SELECT md5(CAST(v AS VARCHAR)) AS h FROM _md5_in").arrow()
-    finally:
-        con.unregister("_md5_in")
+    out = _duck_exec("SELECT md5(CAST(v AS VARCHAR)) AS h FROM _md5_in",
+                     pa.table({"v": pa.array(a)}), "_md5_in")
     return np.asarray(out.column("h").to_pandas(), dtype=object)
 
 
@@ -374,6 +397,32 @@ def gram_hash_pairs(tok_hashes: np.ndarray, counts: np.ndarray,
     return h1, h2, grow
 
 
+def hash64_arrow(values) -> np.ndarray:
+    """uint64 hash per string row via DuckDB's vectorized ``hash()`` C
+    kernel — zero Python string objects (the input stays an Arrow array
+    end-to-end), ~5x the ``hash_strings64`` object-array path on gram-scale
+    columns. Deterministic across processes for one DuckDB build, which is
+    all the callers need: the value is a WITHIN-JOB exchange/factorize key
+    (shingle identity in ``shingle_jaccard_pairs_matmul``), never persisted.
+    Falls back to ``hash_strings64`` without duckdb."""
+    import pyarrow as pa
+
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(values), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, np.uint64)
+    try:
+        _md5_con()
+    except ImportError:
+        return hash_strings64(
+            np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object))
+    out = _duck_exec("SELECT hash(v) AS h FROM _h64_in",
+                     pa.table({"v": arr}), "_h64_in")
+    return out.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
 def md5_int32(values) -> np.ndarray:
     """``int(md5(v)[:8], 16)`` per row, vectorized via the DuckDB C
     kernel (same connection cache as ``md5_hex``) — the engine-neutral
@@ -385,17 +434,12 @@ def md5_int32(values) -> np.ndarray:
     arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
         else pa.array(list(values), pa.string())
     try:
-        con = _md5_con()
+        _md5_con()
     except ImportError:
         return np.array(
             [int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
              for v in arr.to_pylist()], dtype=np.int64)
-    tbl = pa.table({"v": arr})
-    con.register("_md5i_in", tbl)
-    try:
-        out = con.execute(
-            "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) AS h"
-            " FROM _md5i_in").arrow()
-    finally:
-        con.unregister("_md5i_in")
+    out = _duck_exec(
+        "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) AS h"
+        " FROM _md5i_in", pa.table({"v": arr}), "_md5i_in")
     return out.column("h").to_numpy(zero_copy_only=False).astype(np.int64)

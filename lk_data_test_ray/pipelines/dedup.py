@@ -71,13 +71,23 @@ def first_wins(ds: rd.Dataset, keys: list[str], id_col: str) -> rd.Dataset:
 
 
 def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int,
-                  with_size: bool = False) -> pa.Table:
+                  with_size: bool = False, as_hash: bool = False) -> pa.Table:
     """Distinct word-k-shingles per row → tall (id, shingle) table.
 
     ``with_size=True`` appends an ``sz`` column (the doc's distinct-shingle
     count, repeated per row): per-doc set size is computable from the doc
     row alone, so carrying it here lets the dense matmul path skip a whole
-    groupby exchange just to recover |A|."""
+    groupby exchange just to recover |A|.
+
+    ``as_hash=True`` replaces the ``shingle`` string column with an ``h``
+    uint64 column (DuckDB's vectorized ``hash()`` over the gram array) and
+    dedups on the hash: 8 fixed bytes per row in the materialized set
+    instead of the gram text, integer group_by instead of string, and the
+    downstream df/filter/factorize passes never touch a Python string. A
+    64-bit collision can only merge two grams (within-doc: sz off by one;
+    cross-doc: one phantom shared shingle) — odds ~(distinct grams)²/2⁶⁵,
+    the same accepted class as the ``dd_dup_spans`` gram-hash wire."""
+    from ..functions.hashing import hash64_arrow
     from ..functions.text import word_ngrams_batch
 
     texts = batch[text_col]
@@ -99,12 +109,21 @@ def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int,
         grams = pa.concat_arrays([grams.cast(pa.string()),
                                   joined.cast(pa.string())])
         grow = np.concatenate([grow, short])
-    d = pa.table({"rid": pa.array(grow, pa.int64()),
-                  "shingle": grams}).group_by(["rid", "shingle"]).aggregate([])
+    if as_hash:
+        key = pa.array(hash64_arrow(grams), pa.uint64())
+        d = pa.table({"rid": pa.array(grow, pa.int64()),
+                      "h": key}).group_by(["rid", "h"]).aggregate([])
+    else:
+        d = pa.table({"rid": pa.array(grow, pa.int64()),
+                      "shingle": grams}).group_by(
+            ["rid", "shingle"]).aggregate([])
     rid = d["rid"].to_numpy(zero_copy_only=False)
     take_idx = pa.array(rid, pa.int64())
-    cols = {id_col: batch[id_col].combine_chunks().take(take_idx),
-            "shingle": d["shingle"]}
+    cols = {id_col: batch[id_col].combine_chunks().take(take_idx)}
+    if as_hash:
+        cols["h"] = d["h"]
+    else:
+        cols["shingle"] = d["shingle"]
     if with_size:
         sz = (np.bincount(rid, minlength=len(nw))[rid]
               if len(rid) else np.empty(0, np.int64))
@@ -742,25 +761,45 @@ def shingle_jaccard_pairs_matmul(
     are bit-identical to the inverted plan. Docs whose every shingle is a
     singleton drop out of the matrix entirely — they can pair with nobody.
     """
-    from ..functions.hashing import hash_strings64
-    from ..relational import collect_tables
-
+    # the materialized shingle set carries 8-byte gram hashes, never the
+    # gram strings (``as_hash`` — the wire/factorize rationale in
+    # ``_shingle_rows``): at bench scale this shrank the object-store
+    # residency ~4x and removed both per-row ``to_pylist`` hashing passes
+    # that previously ran here and in the filter stage.
+    # batch_size bundles the reader's blocks up to 8k docs per shingling
+    # task: test/bench-scale parquet arrives as dozens of ~100-row blocks
+    # whose per-task dispatch dwarfed the kernel (64 tasks for 5k docs);
+    # at production block sizes (≥8k rows/block) bundling is a no-op and
+    # every block keeps its own task.
     sh = ds.map_batches(
-        lambda b: _shingle_rows(b, id_col, text_col, k, with_size=True),
-        batch_format="pyarrow").materialize()
+        lambda b: _shingle_rows(b, id_col, text_col, k, with_size=True,
+                                as_hash=True),
+        batch_size=8192, batch_format="pyarrow").materialize()
 
-    # exact df per shingle HASH (u64): per-batch np.unique partials streamed
-    # to the driver and merged incrementally under a HARD CAP. The cap is
-    # sized from max_dense_cells / n_docs — i.e. the largest keep-set the
-    # dense path could possibly use — so driver memory stays O(cap) no
-    # matter the corpus; blowing the cap IS the fallback signal (at that
-    # vocabulary the dense path is wrong anyway). This replaces a full Ray
-    # groupby exchange whose fixed cost (~3 s) dwarfed the 16 B/row it moved.
-    def hash_partial(b: pa.Table) -> pa.Table:
-        h = hash_strings64(np.asarray(b["shingle"].to_pylist(), dtype=object))
-        u, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(u.view(np.int64), pa.int64()),
-                         "c": pa.array(c, pa.int64())})
+    # Everything downstream of the one shingling execution runs as RAW task
+    # rounds over the materialized block refs — zero further streaming-
+    # executor spins. The df pass and the filter pass were previously their
+    # own Dataset executions; with per-block compute in the milliseconds,
+    # their walls were ~100% executor fixed cost (~0.3-1 s each, multiples
+    # of that in noisy host windows) — the measured bulk of this operator's
+    # in-bench wall.
+    sh_refs = sh.to_arrow_refs()
+
+    # exact df per shingle HASH (u64): per-block np.unique partials streamed
+    # to the driver (ray.wait order) and merged incrementally under a HARD
+    # CAP. The cap is sized from max_dense_cells / n_docs — the largest
+    # keep-set the dense path could possibly use — so driver memory stays
+    # O(cap) no matter the corpus; blowing the cap IS the fallback signal
+    # (at that vocabulary the dense path is wrong anyway).
+    @ray.remote
+    def df_partial(tbl):
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_batches([tbl])
+        if tbl.num_rows == 0 or "h" not in tbl.column_names:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64))
+        u, c = np.unique(tbl["h"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return (u.astype(np.uint64), c.astype(np.int64))
 
     n_docs_ub = ds.count()  # parquet metadata / block counts: no extra pass
     cap = max(int(max_dense_cells // max(n_docs_ub, 1)) * 4, 1 << 20)
@@ -775,23 +814,24 @@ def shingle_jaccard_pairs_matmul(
                              ).astype(np.int64)
         return merged, counts
 
-    for t in sh.map_batches(hash_partial, batch_format="pyarrow"
-                            ).iter_batches(batch_format="pyarrow",
-                                           batch_size=None):
-        acc_h.append(t["h"].to_numpy(zero_copy_only=False).view(np.uint64))
-        acc_c.append(t["c"].to_numpy(zero_copy_only=False))
-        acc_rows += len(t)
+    pending = [df_partial.remote(r) for r in sh_refs]
+    while pending and not over:
+        done, pending = ray.wait(pending, num_returns=1)
+        u, c = ray.get(done[0])
+        acc_h.append(u)
+        acc_c.append(c)
+        acc_rows += len(u)
         if acc_rows > 2 * cap:  # bound driver memory between compactions
             mh, mc = compact()
             acc_h, acc_c, acc_rows = [mh], [mc], len(mh)
             if len(mh) > cap:
                 over = True
-                break
     if over:
+        # the hashed set cannot feed the string-keyed inverted plan; the
+        # (rare, guard-triggered) fallback re-shingles — one extra pass,
+        # paid only at vocabularies where the dense path was wrong anyway
         return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
-                                     threshold=threshold,
-                                     _sh=sh.drop_columns(["sz"]),
-                                     metric=metric)
+                                     threshold=threshold, metric=metric)
     mh, mc = compact()
     keep_h = mh[mc >= 2]  # df==1 shingles cannot intersect anything
     n_sh2 = len(keep_h)
@@ -804,30 +844,35 @@ def shingle_jaccard_pairs_matmul(
     if n_docs_ub * n_sh2 > max_dense_cells or n_docs_ub > 2_000_000:
         # (the doc cap bounds the driver-side factorize below, not the math)
         return shingle_jaccard_pairs(ds, id_col, text_col, k=k,
-                                     threshold=threshold,
-                                     _sh=sh.drop_columns(["sz"]),
-                                     metric=metric)
+                                     threshold=threshold, metric=metric)
     # small by the guard: broadcast the df≥2 hash set, filter the shingle
-    # rows DISTRIBUTED, and collect only the surviving (id, shingle, sz)
-    # rows (hash collisions can only keep an extra singleton — harmless)
+    # blocks DISTRIBUTED (one raw task per block — no executor spin), and
+    # collect only the surviving (id, h, sz) rows
     keep_ref = ray.put(keep_h)  # np.unique output: already sorted
 
-    def filt(b: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        h = hash_strings64(np.asarray(b["shingle"].to_pylist(), dtype=object))
+    sh_schema = pa.schema([(id_col, pa.int64()), ("h", pa.uint64()),
+                           ("sz", pa.int32())])
+
+    @ray.remote
+    def filt_block(tbl, keep):
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_batches([tbl])
+        if tbl.num_rows == 0 or "h" not in tbl.column_names:
+            return sh_schema.empty_table()
+        h = tbl["h"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(keep, h)
         idx[idx == len(keep)] = 0
         mask = keep[idx] == h if len(keep) else np.zeros(len(h), bool)
-        return b.filter(pa.array(mask))
+        return tbl.filter(pa.array(mask)).select(
+            sh_schema.names).cast(sh_schema)
 
-    sh_tbl = collect_tables(
-        sh.map_batches(filt, batch_format="pyarrow"),
-        pa.schema([(id_col, pa.int64()), ("shingle", pa.string()),
-                   ("sz", pa.int32())]))
-    import pandas as pd
+    filtered = ray.get([filt_block.remote(r, keep_ref) for r in sh_refs])
+    live = [t for t in filtered if t.num_rows]
+    sh_tbl = pa.concat_tables(live) if live else sh_schema.empty_table()
 
-    ids_np = np.asarray(sh_tbl[id_col].to_pandas())
-    sh_codes, _uniq = pd.factorize(np.asarray(sh_tbl["shingle"].to_pandas()))
+    ids_np = sh_tbl[id_col].to_numpy(zero_copy_only=False)
+    _uniq, sh_codes = np.unique(
+        sh_tbl["h"].to_numpy(zero_copy_only=False), return_inverse=True)
     doc_ids, doc_codes = np.unique(ids_np, return_inverse=True)
     n_docs, n_sh = len(doc_ids), len(_uniq)
 
@@ -864,30 +909,28 @@ def shingle_jaccard_pairs_matmul(
                 pa.array(j, pa.float64()),
         })
 
-    # tiny dense problems run ON THE DRIVER: the triangular matmul is
-    # ~sub-second of BLAS, while fanning it out pays task dispatch + a
-    # matrix broadcast + result transfers that measured 5-10x the compute
-    # on a loaded session. The cutoff (~2.5e10 FLOPs ≈ 0.5 s) keeps the
-    # distributed path for everything that actually needs width.
+    # tiny dense problems run ON THE DRIVER; bigger ones fan out as RAW
+    # tasks against one ray.put of the matrix (no streaming-executor spin
+    # — with per-block BLAS in the 100s of ms, the executor's fixed cost
+    # was the larger term). The cutoff (~4e9 FLOPs ≈ 0.2 s of driver BLAS
+    # on a slow host) keeps only genuinely trivial problems local.
     flops = float(n_docs) * n_docs * n_sh  # triangular ≈ half this
-    if flops <= 2.5e10:
+    if flops <= 4e9:
         parts = [pairs_for(S, sizes, doc_ids, lo, min(lo + 1024, n_docs))
                  for lo in range(0, n_docs, 1024)]
         return rd.from_arrow(to_table(parts))
 
     mat_ref = ray.put((S, sizes, doc_ids))
-    blocks = [{"lo": lo, "hi": min(lo + 1024, n_docs)}
-              for lo in range(0, n_docs, 1024)]
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        S_, sizes_, ids_ = ray.get(mat_ref)
-        parts = [pairs_for(S_, sizes_, ids_, lo, hi)
-                 for lo, hi in zip(batch["lo"].to_pylist(),
-                                   batch["hi"].to_pylist())]
-        return to_table(parts)
+    @ray.remote
+    def block_pairs(mat, lo: int, hi: int):
+        S_, sizes_, ids_ = mat
+        return pairs_for(S_, sizes_, ids_, lo, hi)
 
-    return rd.from_items(blocks, override_num_blocks=len(blocks)).map_batches(
-        block_pairs, batch_format="pyarrow")
+    parts = ray.get([block_pairs.remote(mat_ref, lo,
+                                        min(lo + 1024, n_docs))
+                     for lo in range(0, n_docs, 1024)])
+    return rd.from_arrow(to_table(parts))
 
 
 # ---------------------------------------------------------------------------
