@@ -168,23 +168,20 @@ def run_queries(sf_dir: str) -> dict:
 
     import __ray_entry__ as entrymod
 
-    import gc
-
     qs = entrymod.queries()
     timings = {}
     for name in BENCH_QUERIES:
         # best of 2: steady-state per-query number — single-shot timings on
-        # this host swing up to 4x with scheduler/page-cache state
+        # this host swing up to 4x with scheduler/page-cache state.
+        # NOTE: no gc.collect() fence between queries — forcing collection
+        # of partially-consumed executions mid-session concentrates Ray's
+        # task-cancellation into bursts that can trip a fatal Ray 2.49
+        # core race (task_manager.cc:930 "Tried to complete task that was
+        # not pending", reproduced twice with a fence, never without).
+        # The stale-DuckDB-interrupt symptom of stray cancellations is
+        # handled at the kernel instead (functions/hashing._duck_exec).
         best = None
         for _ in range(2):
-            # fence: drop the previous query's execution iterators NOW so
-            # Ray's task-cancellation storm (KeyboardInterrupt delivered
-            # into pooled workers when a partially-consumed execution is
-            # GC'd) lands between timed windows, not inside the next one —
-            # the measured mechanism behind in-sequence walls running 2-4x
-            # their isolated numbers (and behind the stale-DuckDB-interrupt
-            # flake, see functions/hashing._duck_exec)
-            gc.collect()
             t0 = time.time()
             res = qs[name](sf_dir)
             if isinstance(res, rd.Dataset):

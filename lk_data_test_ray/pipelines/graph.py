@@ -670,19 +670,26 @@ def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
     This is the crawl-depth operator: "how many link hops from the seeds
     does each host sit?", the frontier metric a scheduler prioritizes by.
 
-    Distributed shape, per round: ONE hash join ships ONLY the frontier
-    (nodes whose distance improved last round) to its out-neighbors —
-    unlike label propagation over all labels, BFS message volume is one
-    edge-visit total across ALL rounds — then a grouped int-min adopts
-    the best proposal; a second join against the previous distances
-    yields the next frontier AND the convergence scalar in one pass.
-    Rounds = eccentricity of the seed set (web host graphs: shallow).
+    Distributed shape — a raw BSP loop, zero streaming-executor spins
+    after the one edge materialize: the distance state lives PARTITIONED
+    by node-hash range across rounds (per-range block refs held by the
+    driver), so a round ships only (a) the frontier, broadcast once via
+    ``ray.put`` (one BFS level — KBs to MBs on web host graphs) and
+    probed against the materialized edge blocks in place, and (b) the
+    resulting proposal messages, split to their owning ranges — the edge
+    table never re-enters an exchange and, unlike the former
+    Dataset-per-round variant, the accumulated distance table is never
+    re-shuffled either (it was |reached| rows through the exchange EVERY
+    round). Total message volume across all rounds is one edge-visit.
+    Per-range merge is one vectorized sort + segmented min; the frontier
+    and the convergence count come back from the same task. Rounds =
+    eccentricity of the seed set (web host graphs: shallow).
     Unreachable nodes never enter the distance table (matching the
     recursive-CTE oracle's closure semantics).
 
     Returns (node, depth) for reachable nodes only.
     """
-    from ..relational import exchange_join, partial_groupby_agg
+    from ..relational import _bucket_of, default_p_bits
 
     def orient(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -690,7 +697,11 @@ def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
             "b": batch[dst_col].cast(pa.string()).combine_chunks()})
         return t.group_by(["a", "b"]).aggregate([])  # per-batch distinct
 
-    e = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    # batch_size bundles tiny reader blocks (test/bench parquet arrives as
+    # dozens of ~100-row blocks) so the per-round probe fan-out is a few
+    # tasks, not 64; production-size blocks are unaffected
+    e = edges.map_batches(orient, batch_size=16384,
+                          batch_format="pyarrow").materialize()
 
     # seed selection: per-block k-smallest node partials → driver min
     # over ≤ k·n_blocks candidates (the top-k-partial pattern; node set
@@ -704,21 +715,57 @@ def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
     cand = e.map_batches(smallest, batch_format="pyarrow").take_all()
     seeds = sorted({r["node"] for r in cand})[:n_seeds]
 
-    dist = rd.from_arrow(pa.table({
+    import ray
+
+    p_bits = default_p_bits()
+    P = 1 << p_bits
+    e_refs = e.to_arrow_refs()
+
+    dist_schema = pa.schema([("node", pa.string()), ("d", pa.int64())])
+    msg_schema = dist_schema
+
+    seed_tbl = pa.table({
         "node": pa.array(seeds, pa.string()),
-        "d": pa.array(np.zeros(len(seeds), np.int64))})).materialize()
-    frontier = dist
+        "d": pa.array(np.zeros(len(seeds), np.int64))})
+    sb = (_bucket_of(seed_tbl["node"], p_bits) if seed_tbl.num_rows
+          else np.empty(0, np.int64))
+    dist_refs = [ray.put(seed_tbl.filter(pa.array(sb == p)))
+                 for p in range(P)]
+    fr_tbl = seed_tbl
 
-    from ..relational import hash_repartition_map
+    @ray.remote
+    def probe_split(blk, fr, pb: int):
+        """Frontier ⋈ edge block (local Acero join), proposals split to
+        their owning node-hash ranges."""
+        if not isinstance(blk, pa.Table):
+            blk = pa.Table.from_batches([blk])
+        if blk.num_rows == 0 or "a" not in blk.column_names:
+            return tuple(msg_schema.empty_table() for _ in range(1 << pb))
+        j = blk.join(fr, keys=["a"], right_keys=["fnode"],
+                     join_type="inner")
+        m = pa.table({"node": j["b"].combine_chunks(),
+                      "d": pc.add(j["fd"], 1)}, schema=msg_schema)
+        if m.num_rows == 0:
+            return tuple(msg_schema.empty_table() for _ in range(1 << pb))
+        bkt = _bucket_of(m["node"], pb)
+        return tuple(m.filter(pa.array(bkt == p)) for p in range(1 << pb))
 
-    st_schema = pa.schema([("node", pa.string()), ("d", pa.int64()),
-                           ("improved", pa.bool_())])
-
-    def merge_round(tbl: pa.Table) -> pa.Table:
-        """min proposal per node + improved flag in ONE pass (old rows
-        carry is_old=1): saves the separate new↔old join per round."""
-        if tbl.num_rows == 0:
-            return st_schema.empty_table()
+    @ray.remote
+    def merge_range(dist_tbl, *msg_parts):
+        """Per-range min-adopt: returns (new dist part, frontier part,
+        n_improved) — the frontier and convergence scalar cost no extra
+        pass. One vectorized sort + segmented min; old rows tag is_old."""
+        live = [m for m in msg_parts if m.num_rows]
+        if not live:
+            return dist_tbl, dist_schema.empty_table(), 0
+        msgs = pa.concat_tables(live)
+        tbl = pa.concat_tables([
+            pa.table({"node": dist_tbl["node"], "d": dist_tbl["d"],
+                      "is_old": pa.array(
+                          np.ones(dist_tbl.num_rows, np.int8))}),
+            pa.table({"node": msgs["node"], "d": msgs["d"],
+                      "is_old": pa.array(
+                          np.zeros(msgs.num_rows, np.int8))})])
         idx = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
         tbl = tbl.take(idx)
         node = tbl["node"].to_numpy(zero_copy_only=False)
@@ -729,69 +776,46 @@ def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
         starts = np.flatnonzero(first)
         grp = np.cumsum(first) - 1
         dmin = np.minimum.reduceat(d, starts)
-        g = len(starts)
-        old_d = np.full(g, np.iinfo(np.int64).max)
+        old_d = np.full(len(starts), np.iinfo(np.int64).max)
         om = is_old.astype(bool)
         old_d[grp[om]] = d[om]
-        return pa.table({
+        improved = dmin < old_d
+        new_dist = pa.table({
             "node": pa.array(node[starts], pa.string()),
-            "d": pa.array(dmin, pa.int64()),
-            "improved": pa.array(dmin < old_d),
-        }, schema=st_schema)
-
-    import ray
+            "d": pa.array(dmin, pa.int64())}, schema=dist_schema)
+        frontier = new_dist.filter(pa.array(improved))
+        return new_dist, frontier, int(improved.sum())
 
     for _ in range(max_rounds):
-        # frontier is one BFS LEVEL (≤ the widest level of the graph, KBs
-        # to a few MB on web host graphs) → broadcast it ONCE via ray.put
-        # and probe the materialized edge blocks IN PLACE with a local
-        # Acero join — the edge table never re-enters an exchange (the
-        # naive exchange_join(e, frontier) re-shipped all |E| rows every
-        # round: 495k edges × depth at sf0.1). A 10^10-node graph with
-        # billion-row levels would want the bucketed pre-partitioned-edge
-        # variant instead; noted as the escape hatch.
-        blks = [blk if isinstance(blk, pa.Table)
-                else pa.Table.from_batches([blk])
-                for blk in ray.get(frontier.to_arrow_refs())]
-        # zero-row blocks can surface with an EMPTY schema at raw
-        # to_arrow_refs consumers (see functions/bpe.py:step_task) —
-        # drop them before concat
-        blks = [b for b in blks if b.num_rows > 0]
-        if not blks:
+        if fr_tbl.num_rows == 0:
             break
-        fr_tbl = pa.concat_tables(blks).combine_chunks()
-        fr_ref = ray.put(fr_tbl.rename_columns(["fnode", "fd"]))
-
-        def probe(batch: pa.Table, _ref=fr_ref) -> pa.Table:
-            fr = ray.get(_ref)
-            j = batch.join(fr, keys=["a"], right_keys=["fnode"],
-                           join_type="inner")
-            return pa.table({
-                "node": j["b"], "d": pc.add(j["fd"], 1),
-                "is_old": pa.array(np.zeros(j.num_rows, np.int8))})
-
-        msgs = e.map_batches(probe, batch_format="pyarrow")
-        tagged = dist.map_batches(
-            lambda b: pa.table({
-                "node": b["node"], "d": b["d"],
-                "is_old": pa.array(np.ones(b.num_rows, np.int8))}),
-            batch_format="pyarrow")
-        new = hash_repartition_map(msgs.union(tagged), "node",
-                                   merge_round).materialize()
-        frontier = new.map_batches(
-            lambda b: (lambda t: pa.table({"node": t["node"],
-                                           "d": t["d"]}))(
-                b.filter(b["improved"])),
-            batch_format="pyarrow").materialize()
-        dist = new.map_batches(
-            lambda b: pa.table({"node": b["node"], "d": b["d"]}),
-            batch_format="pyarrow").materialize()
-        if frontier.count() == 0:
+        fr_ref = ray.put(fr_tbl.combine_chunks()
+                         .rename_columns(["fnode", "fd"]))
+        msg_refs = [probe_split.options(num_returns=P).remote(
+            r, fr_ref, p_bits) for r in e_refs]
+        if P == 1:
+            msg_refs = [[r] for r in msg_refs]
+        outs = [merge_range.options(num_returns=3).remote(
+            dist_refs[p], *[m[p] for m in msg_refs]) for p in range(P)]
+        dist_refs = [o[0] for o in outs]
+        fr_parts = ray.get([o[1] for o in outs])
+        n_improved = sum(ray.get([o[2] for o in outs]))
+        if n_improved == 0:
             break
+        fr_tbl = pa.concat_tables([f for f in fr_parts if f.num_rows])
 
-    return dist.map_batches(
-        lambda b: pa.table({"node": b["node"], "depth": b["d"]}),
-        batch_format="pyarrow")
+    # the per-range distance blocks ARE the result — hand their refs to a
+    # Dataset without driver concat (at web scale dist is node-sized)
+    out_schema = pa.schema([("node", pa.string()), ("depth", pa.int64())])
+
+    def rename(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return out_schema.empty_table()
+        return pa.table({"node": b["node"], "depth": b["d"]},
+                        schema=out_schema)
+
+    return rd.from_arrow_refs(dist_refs).map_batches(
+        rename, batch_format="pyarrow")
 
 
 def hyperball_harmonic(edges: rd.Dataset, src_col: str, dst_col: str,
