@@ -345,39 +345,37 @@ def minhash_lsh_pairs(
     band_rows = ds.map_batches(signer_bands, batch_size=16_384,
                                batch_format="pyarrow").materialize()
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        # emit BARE id pairs only: the MinHash estimate is band-independent
-        # (same signatures → same agreement from every band), so computing
-        # it per band then max-merging was 16× redundant work — the
-        # measured hot spot of the whole curation funnel on template-heavy
-        # corpora where one bucket holds hundreds of near-identical docs
-        ids_all = group[id_col].to_numpy(zero_copy_only=False)
-        uniq_ids = np.unique(ids_all)
-        if len(uniq_ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        # bounded above bucket_cap — boilerplate buckets are quadratic
-        # otherwise (see _capped_pair_indices for the recall contract)
-        ia, ib = _capped_pair_indices(len(uniq_ids), bucket_cap)
-        return pa.table({"id_a": pa.array(uniq_ids[ia], pa.int64()),
-                         "id_b": pa.array(uniq_ids[ib], pa.int64())})
-
-    # hot-bucket pre-screen BEFORE any per-group work: almost every (band,
-    # bkey) bucket is a singleton — map_groups over all of them is a Python
-    # call per group (melted down at 600k docs × 16 bands = 9.6M groups).
-    # A vectorized count finds buckets with ≥2 members (tiny set: actual LSH
-    # collisions); only their rows reach the per-group pairing.
-    hot = _hot_buckets(band_rows, id_col)
-    survivors = _filter_to_hot(band_rows, hot).materialize()
+    # ONE fused raw exchange replaces the former three steps (hot-bucket
+    # key scan → survivor filter+materialize → Ray sort-groupby
+    # map_groups over buckets): each band-row block splits its (id, key)
+    # rows to combined-key hash ranges; each range task finds its hot
+    # buckets (≥2 members — almost every bucket is a singleton, so this
+    # is the same vectorized pre-screen), emits the capped pair set per
+    # hot bucket, and returns the survivor ids + row count alongside.
+    # Zero streaming-executor spins and no sort between the signing pass
+    # and the estimate stage.
+    p_bits = 4
+    P = 1 << p_bits
+    per_block = [
+        _part_id_keys.options(num_returns=P).remote(ref, id_col, p_bits)
+        for ref in band_rows.to_arrow_refs()]
+    if P == 1:
+        per_block = [[r] for r in per_block]
+    outs = [_range_bucket_pairs.options(num_returns=3).remote(
+        bucket_cap, id_col, *[pb[p] for pb in per_block])
+        for p in range(P)] if per_block else []
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
-    n_surv_rows = survivors.count()
+    if not outs:
+        return rd.from_arrow(empty)
+    n_surv_rows = sum(ray.get([o[2] for o in outs]))
     if n_surv_rows == 0:
         return rd.from_arrow(empty)
-
-    cand = survivors.groupby(["band", "bkey"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    pair_refs = [o[0] for o in outs]
+    surv_id_refs = [o[1] for o in outs]  # small tables; stay remote until
+    # the regime below decides whether they may be driver-collected
+    cand = rd.from_arrow_refs(pair_refs)
 
     from ..relational import hash_repartition_map
 
@@ -388,7 +386,9 @@ def minhash_lsh_pairs(
         # normal regime: the hot-survivor set is tiny, so the signature
         # matrix rides one driver ray.put broadcast and every pair's
         # agreement is a local fancy-index compare
-        surv_ids = np.unique(np.asarray(survivors.to_pandas()[id_col]))
+        surv_ids = np.unique(np.concatenate(
+            [t[id_col].to_numpy(zero_copy_only=False)
+             for t in ray.get(surv_id_refs)]))
         id_tbl = pa.table({id_col: pa.array(surv_ids, pa.int64())})
         from ..relational import broadcast_join, collect_tables
 
@@ -434,7 +434,7 @@ def minhash_lsh_pairs(
     from ..relational import exchange_join
 
     surv_docs = exchange_join(ds.select_columns([id_col, text_col]),
-                              survivors.select_columns([id_col]),
+                              rd.from_arrow_refs(surv_id_refs),
                               id_col, id_col, how="left_semi")
     sig_ds = surv_docs.map_batches(
         signer_sigs, batch_format="pyarrow").materialize()
@@ -481,6 +481,67 @@ def minhash_lsh_pairs(
 
 def _combined_key(band: np.ndarray, bkey: np.ndarray) -> np.ndarray:
     return (band.astype(np.int64) << np.int64(48)) ^ bkey.astype(np.int64)
+
+
+@ray.remote
+def _part_id_keys(tbl: pa.Table, id_col: str, p_bits: int):
+    """One band-row block → P combined-key hash ranges of (id, key) rows
+    (the fused LSH exchange's map side)."""
+    P = 1 << p_bits
+    if not isinstance(tbl, pa.Table):
+        tbl = pa.Table.from_batches([tbl])
+    if tbl.num_rows == 0 or "bkey" not in tbl.column_names:
+        z = (np.empty(0, np.int64), np.empty(0, np.int64))
+        return tuple(z for _ in range(P))
+    key = _combined_key(tbl["band"].to_numpy(zero_copy_only=False),
+                        tbl["bkey"].to_numpy(zero_copy_only=False))
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = (key.view(np.uint64) >> np.uint64(64 - p_bits)).astype(np.int64)
+    return tuple((ids[bucket == p], key[bucket == p]) for p in range(P))
+
+
+@ray.remote(num_returns=3)
+def _range_bucket_pairs(cap: int, id_col: str, *parts):
+    """Reduce side of the fused LSH exchange: this range owns every row of
+    its combined keys, so hot-bucket detection (≥2 members), the capped
+    per-bucket pair emission, and the survivor id/row accounting are all
+    local. Returns (pairs table, survivor-id table, survivor row count);
+    the per-hot-bucket Python loop is bounded by actual LSH collisions
+    (the overwhelming singleton majority dies in the vectorized mask)."""
+    live = [p for p in parts if len(p[0])]
+    empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64())})
+    if not live:
+        return empty_pairs, pa.table({id_col: pa.array([], pa.int64())}), 0
+    ids = np.concatenate([p[0] for p in live])
+    key = np.concatenate([p[1] for p in live])
+    order = np.lexsort((ids, key))
+    ids, key = ids[order], key[order]
+    first = np.ones(len(key), bool)
+    first[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.append(starts, len(key)))
+    hot = lens >= 2
+    n_surv = int(lens[hot].sum())
+    if n_surv == 0:
+        return empty_pairs, pa.table({id_col: pa.array([], pa.int64())}), 0
+    ia_parts, ib_parts = [], []
+    surv_mask = np.zeros(len(key), bool)
+    for s, ln in zip(starts[hot], lens[hot]):
+        seg = np.unique(ids[s:s + ln])  # one row per (doc, band): sorted
+        surv_mask[s:s + ln] = True
+        if len(seg) < 2:
+            continue
+        pa_i, pb_i = _capped_pair_indices(len(seg), cap)
+        ia_parts.append(seg[pa_i])
+        ib_parts.append(seg[pb_i])
+    pairs = (pa.table({
+        "id_a": pa.array(np.concatenate(ia_parts), pa.int64()),
+        "id_b": pa.array(np.concatenate(ib_parts), pa.int64())})
+        if ia_parts else empty_pairs)
+    surv = pa.table({id_col: pa.array(np.unique(ids[surv_mask]),
+                                      pa.int64())})
+    return pairs, surv, n_surv
 
 
 @ray.remote

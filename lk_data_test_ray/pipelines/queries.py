@@ -6080,28 +6080,52 @@ def td_shuffle_shards(sf_dir: str) -> rd.Dataset:
     holds the whole ordering. At production scale the shard assignment
     feeds a partitioned write (one directory per shard)."""
     SHARD = 250
-    from ..relational import (collect_tables, hash_repartition_map,
-                              partial_groupby_agg)
+    import ray
+
+    from ..functions.hashing import _duck_exec, _md5_con
+    from ..relational import hash_repartition_map
 
     docs = read(sf_dir, "documents", ["doc_id"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        h = md5_hex_ints(batch["doc_id"].to_numpy())
-        band = np.array([int(x[:2], 16) for x in h], dtype=np.int64)
-        return pa.table({
-            "doc_id": batch["doc_id"].cast(pa.int64()),
-            "h": pa.array(h, pa.string()),
-            "band": pa.array(band, pa.int64()),
-        })
+        ids = batch["doc_id"].cast(pa.int64()).combine_chunks()
+        try:
+            _md5_con()
+            # one DuckDB pass emits the md5 key AND its band — both in C
+            # kernels (the former per-row int(x[:2], 16) loop built one
+            # Python int per document)
+            out = _duck_exec(
+                "SELECT md5(CAST(v AS VARCHAR)) AS h,"
+                " CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 2))"
+                " AS INT) AS band FROM _tss_in",
+                pa.table({"v": ids}), "_tss_in")
+            h, band = out["h"], out["band"].cast(pa.int64())
+        except ImportError:
+            hv = md5_hex_ints(ids.to_numpy())
+            h = pa.array(hv, pa.string())
+            band = pa.array(
+                np.array([int(x[:2], 16) for x in hv], np.int64))
+        return pa.table({"doc_id": ids, "h": h, "band": band})
 
-    kd = docs.map_batches(keyed, batch_format="pyarrow")
-    counts = collect_tables(
-        partial_groupby_agg(kd, ["band"], [("doc_id", "count", "n")]),
-        pa.schema([("band", pa.int64()), ("n", pa.int64())]))
-    bands = counts["band"].to_numpy(zero_copy_only=False)
-    ns = counts["n"].to_numpy(zero_copy_only=False)
+    # materialize the keyed pass ONCE (the band counts and the rank
+    # exchange both consume it; the lazy variant re-ran the md5 pass),
+    # bundling tiny reader blocks; band counts come back as raw per-block
+    # bincount partials — no second streaming execution
+    kd = docs.map_batches(keyed, batch_size=8192,
+                          batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def band_counts(tbl):
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_batches([tbl])
+        if tbl.num_rows == 0 or "band" not in tbl.column_names:
+            return np.zeros(256, np.int64)
+        return np.bincount(tbl["band"].to_numpy(zero_copy_only=False),
+                           minlength=256).astype(np.int64)
+
+    ns = sum(ray.get([band_counts.remote(r) for r in kd.to_arrow_refs()]))
     offsets = np.zeros(258, dtype=np.int64)
-    np.add.at(offsets, bands + 1, ns)
+    offsets[1:257] = ns
     offsets = np.cumsum(offsets)
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("shard", pa.int64()),
@@ -9024,18 +9048,28 @@ def dd_cdc_chunks(sf_dir: str) -> rd.Dataset:
     parts = hash_repartition_map(
         chunks.map_batches(to_pairs, batch_format="pyarrow"),
         "chash", per_hash)
-    agg = partial_groupby_agg(parts, ["doc_id"],
-                              [("n", "sum", "n_chunks"),
-                               ("ndup", "sum", "n_dup_chunks")])
+    # per-doc merge: doc_id cardinality ≈ block size (sort-aggregate
+    # trap) — one hash exchange + local C++ group_by, dup_frac fused in
+    fin_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_chunks", pa.int64()),
+                            ("n_dup_chunks", pa.int64()),
+                            ("dup_frac", pa.float64())])
 
-    def finish(batch: pa.Table) -> pa.Table:
-        n = batch["n_chunks"].to_numpy(zero_copy_only=False)
-        d = batch["n_dup_chunks"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "dup_frac", pa.array(round_half_away(
-                d / np.maximum(n, 1), 9), pa.float64()))
+    def doc_merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return fin_schema.empty_table()
+        g = tbl.group_by(["doc_id"]).aggregate([("n", "sum"),
+                                                ("ndup", "sum")])
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        d = g["ndup_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": g["doc_id"], "n_chunks": g["n_sum"],
+            "n_dup_chunks": g["ndup_sum"],
+            "dup_frac": pa.array(round_half_away(
+                d / np.maximum(n, 1), 9), pa.float64())},
+            schema=fin_schema)
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return hash_repartition_map(parts, "doc_id", doc_merge)
 
 
 def s_als_recommend(sf_dir: str) -> pa.Table:
@@ -9825,18 +9859,27 @@ def dd_c4_line_dedup(sf_dir: str, wire: str = "hash") -> rd.Dataset:
     parts = hash_repartition_map(
         docs.map_batches(explode, batch_format="pyarrow"),
         "h1" if hashed else "line", keep_first)
-    agg = partial_groupby_agg(parts, ["doc_id"],
-                              [("n", "sum", "n_lines"),
-                               ("rm", "sum", "n_removed")])
+    # per-doc merge: doc_id cardinality ≈ block size, the sort-aggregate
+    # trap — one hash exchange + local C++ group_by + the kept_frac
+    # arithmetic fused into the same range task (no extra execution)
+    fin_schema = pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64()),
+                            ("n_removed", pa.int64()),
+                            ("kept_frac", pa.float64())])
 
-    def finish(batch: pa.Table) -> pa.Table:
-        n = batch["n_lines"].to_numpy(zero_copy_only=False)
-        rm = batch["n_removed"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "kept_frac", pa.array(round_half_away(
-                1.0 - rm / np.maximum(n, 1), 6), pa.float64()))
+    def doc_merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return fin_schema.empty_table()
+        g = tbl.group_by(["doc_id"]).aggregate([("n", "sum"), ("rm", "sum")])
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        rm = g["rm_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": g["doc_id"], "n_lines": g["n_sum"],
+            "n_removed": g["rm_sum"],
+            "kept_frac": pa.array(round_half_away(
+                1.0 - rm / np.maximum(n, 1), 6), pa.float64())},
+            schema=fin_schema)
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return hash_repartition_map(parts, "doc_id", doc_merge)
 
 
 TEMPERATURE_ALPHA = 0.3  # shared verbatim with the oracle SQL
