@@ -362,6 +362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a_quantiles_exact": q.a_quantiles_exact,
         "v_dow_anomaly": q.v_dow_anomaly,
         "v_join_fanout": q.v_join_fanout,
+        "v_benford": q.v_benford,
+        "v_cusum_shift": q.v_cusum_shift,
+        "v_table_fingerprint": q.v_table_fingerprint,
         "dd_recrawl_chunk_savings": q.dd_recrawl_chunk_savings,
         "dd_winnow_pairs": q.dd_winnow_pairs,
         "g_modularity": q.g_modularity,
@@ -2684,6 +2687,71 @@ def oracle_sql() -> dict[str, str]:
                    abs(r.resid - g2.mr) > 3 * 1.4826 * g2.mad
                        AS is_anomaly
             FROM r, g2
+        """,
+        "v_benford": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice
+                            / pow(10, floor(log10(o_totalprice))))
+                       AS BIGINT) AS digit, count(*) AS n
+                FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+            g AS (SELECT range AS digit,
+                         log10(1.0 + 1.0 / range) AS ep
+                  FROM range(1, 10)),
+            j AS (SELECT g.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                         g.ep
+                  FROM g LEFT JOIN c USING (digit)),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM j),
+            x AS (SELECT round(sum((j.n - t.nn * j.ep)
+                                   * (j.n - t.nn * j.ep)
+                                   / (t.nn * j.ep)), 4) AS chi2
+                  FROM j, t)
+            SELECT j.digit AS digit, j.n AS n,
+                   round(j.n / t.nn, 6) AS obs_p,
+                   round(j.ep, 6) AS exp_p,
+                   x.chi2 AS chi2
+            FROM j, t, x
+        """,
+        "v_cusum_shift": """
+            WITH c AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+                FROM events GROUP BY 1),
+            m AS (SELECT sum(n * 1.0) / count(*) AS mu FROM c),
+            s AS (
+                SELECT day, n,
+                       sum(n * 1.0 - (SELECT mu FROM m)) OVER (
+                           ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c),
+            p AS (SELECT max(abs(cum)) AS peak FROM s)
+            SELECT day, CAST(n AS BIGINT) AS n,
+                   round(cum, 6) AS s,
+                   abs(cum) = p.peak AS is_changepoint
+            FROM s, p
+        """,
+        "v_table_fingerprint": """
+            WITH o AS (
+                SELECT CAST(('0x' || substr(md5(
+                    o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR
+                    || '|' || o_orderstatus || '|'
+                    || CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR
+                    || '|' || epoch_us(o_orderdate)::VARCHAR || '|'
+                    || o_orderpriority), 1, 15)) AS BIGINT) AS h
+                FROM orders),
+            e AS (
+                SELECT CAST(('0x' || substr(md5(
+                    event_id::VARCHAR || '|' || user_id::VARCHAR || '|'
+                    || event_type || '|' || epoch_us(ts)::VARCHAR || '|'
+                    || CAST(round(value * 100) AS BIGINT)::VARCHAR),
+                    1, 15)) AS BIGINT) AS h
+                FROM events)
+            SELECT 'orders' AS tbl, count(*)::BIGINT AS n_rows,
+                   CAST(sum(h) % 2305843009213693951 AS BIGINT)
+                       AS fingerprint
+            FROM o
+            UNION ALL
+            SELECT 'events', count(*)::BIGINT,
+                   CAST(sum(h) % 2305843009213693951 AS BIGINT)
+            FROM e
         """,
         "a_quantiles_exact": """
             WITH q AS (

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "pages_rolling_p95_len_7d",
     "dd_c4_line_dedup",
     "e_user_entropy",
+    # round-5 additions
+    "v_table_fingerprint",
 ]
 
 

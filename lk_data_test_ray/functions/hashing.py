@@ -121,6 +121,33 @@ def md5_hex_ints(ids) -> np.ndarray:
     return np.asarray(out.column("h").to_pandas(), dtype=object)
 
 
+def md5_sum_mod(values, mod: int = (1 << 61) - 1) -> tuple[int, int]:
+    """Order-independent content partial over one string column: the sum of
+    each row's 60-bit md5 prefix, reduced mod a Mersenne prime — the
+    mergeable per-block unit behind ``v_table_fingerprint``. Two tables are
+    byte-equal as SETS of canonical rows iff (n, fingerprint) match (modulo
+    the 2^-60-scale collision/cancellation odds). Engine-neutral spec:
+    DuckDB's ``sum(('0x' || substr(md5(v), 1, 15))::BIGINT) % mod``; the
+    hot path runs the md5 + hex-prefix cast in DuckDB's C kernels over a
+    zero-copy Arrow column (hashlib fallback keeps it importable).
+    Returns ``(n_non_null_rows, partial_sum_mod)``."""
+    import pyarrow as pa
+
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(values), pa.string())
+    try:
+        _md5_con()
+    except ImportError:
+        hs = [int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+              for v in arr.to_pylist() if v is not None]
+        return len(hs), sum(hs) % mod
+    out = _duck_exec(
+        "SELECT count(v) AS n, coalesce(sum(CAST(('0x' || substr(md5(v), 1, "
+        "15)) AS BIGINT)), 0) AS s FROM _md5_in",
+        pa.table({"v": arr}), "_md5_in")
+    return int(out.column("n")[0].as_py()), int(out.column("s")[0].as_py()) % mod
+
+
 def rolling_fingerprint(text: str, window: int = 16) -> int:
     """Winnowing-style document fingerprint: min of rolling polynomial hashes.
 

@@ -10005,3 +10005,140 @@ def m_url_parse(sf_dir: str) -> rd.Dataset:
             "path_depth": depth.cast(pa.int64())})
 
     return pages.map_batches(parse, batch_format="pyarrow")
+
+
+def v_benford(sf_dir: str) -> pa.Table:
+    """Benford's-law first-significant-digit audit over order totals — the
+    classic fabricated/corrupted-feed detector for financial-shaped
+    columns (a synthetic or truncated feed flattens the digit histogram;
+    chi-square against P(d) = log10(1 + 1/d) flags it). Distributed
+    shape: each batch bincounts its first digits into a NINE-row partial
+    (floor(x / 10^floor(log10 x)) — pure numpy, no strings), so the
+    driver folds blocks × 9 ints regardless of input size; at 10^12 rows
+    the wire carries nine counters per block and nothing else. ≙ the
+    reference's expected-distribution assertions
+    (check_fackel_references.py) as a value-shape invariant."""
+    orders = read(sf_dir, "orders", ["o_totalprice"])
+
+    def digits(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        x = x[np.isfinite(x) & (x > 0)]
+        d = np.floor(x / np.power(10.0, np.floor(np.log10(x)))).astype(np.int64)
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(np.bincount(d, minlength=10)[1:10]),
+        })
+
+    total = np.zeros(9, np.int64)
+    for row in orders.map_batches(digits, batch_format="pyarrow").take_all():
+        total[row["digit"] - 1] += row["n"]
+    nn = float(total.sum())
+    exp_p = np.log10(1.0 + 1.0 / np.arange(1, 10, dtype=np.float64))
+    chi2 = float(np.sum((total - nn * exp_p) ** 2 / (nn * exp_p)))
+    return pa.table({
+        "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "n": pa.array(total),
+        "obs_p": pa.array(round_half_away(total / nn, 6)),
+        "exp_p": pa.array(round_half_away(exp_p, 6)),
+        "chi2": pa.array(round_half_away(np.full(9, chi2), 4)),
+    })
+
+
+def v_cusum_shift(sf_dir: str) -> pa.Table:
+    """Offline change-point detection over the crawl's daily event volume
+    (Page's CUSUM chart, the Taylor change-point formulation): S_i =
+    Σ_{j≤i}(x_j − x̄) in day order; the level-shift estimate is the day
+    maximizing |S| (all argmax ties flagged). Complements
+    ``v_count_anomaly``'s single-day spike rule — a feed that PERMANENTLY
+    halves its volume never deviates 3 MADs on any one day, but its
+    cumulative deviation ramps unmistakably. Distributed shape identical
+    to the anomaly family: map-side day-count partials → the tree-folded
+    tiny groupby (``small_groupby_agg``); the n_days-row series cumsum
+    runs driver-side. Fully deterministic (window sum in day order) ⇒
+    full-value SQL oracle."""
+    events = read(sf_dir, "events", ["ts"])
+
+    def day_one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    from ..relational import small_groupby_agg
+
+    counts = small_groupby_agg(
+        events.map_batches(day_one, batch_format="pyarrow"),
+        ["day"], [("one", "sum", "n")]).to_pandas().sort_values("day")
+    x = counts["n"].to_numpy(np.float64)
+    mu = float(x.sum()) / len(x)  # integer-valued doubles: sum is exact
+    s = np.cumsum(x - mu)
+    peak = np.abs(s).max()
+    return pa.table({
+        "day": pa.array(counts["day"].to_list(), pa.string()),
+        "n": pa.array(x.astype(np.int64)),
+        "s": pa.array(round_half_away(s, 6)),
+        "is_changepoint": pa.array(np.abs(s) == peak),
+    })
+
+
+def v_table_fingerprint(sf_dir: str) -> pa.Table:
+    """Order-independent table content fingerprint — snapshot-equality
+    verification across engines/replicas/time-travel versions ("is this
+    copy byte-identical as a SET of rows?") without a sort or a shuffle:
+    each row's canonical '|'-joined string is md5-hashed, the 60-bit hex
+    prefix summed mod the Mersenne prime 2^61−1. Commutative ⇒ per-batch
+    (n, partial_sum) pairs are the only thing that moves (two ints per
+    block at any scale); md5 + the hex-prefix cast run in DuckDB's C
+    kernels over a zero-copy Arrow column (``hashing.md5_sum_mod``).
+    Floats enter as exact cents, timestamps as epoch-microseconds, so
+    the canonical string never depends on an engine's float/strftime
+    formatting. ≙ the reference's cross-document consistency checks
+    (check_fackel_references.py) as whole-table equality."""
+    from ..functions.hashing import md5_sum_mod
+
+    mod = (1 << 61) - 1
+    specs = {
+        "orders": (["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderdate", "o_orderpriority"],
+                   lambda b: [
+                       pc.cast(b["o_orderkey"], pa.string()),
+                       pc.cast(b["o_custkey"], pa.string()),
+                       b["o_orderstatus"],
+                       pc.cast(pa.array(round_half_away(
+                           b["o_totalprice"].to_numpy(zero_copy_only=False)
+                           * 100.0, 0).astype(np.int64)), pa.string()),
+                       pc.cast(pc.cast(b["o_orderdate"], pa.int64()),
+                               pa.string()),
+                       b["o_orderpriority"]]),
+        "events": (["event_id", "user_id", "event_type", "ts", "value"],
+                   lambda b: [
+                       pc.cast(b["event_id"], pa.string()),
+                       pc.cast(b["user_id"], pa.string()),
+                       b["event_type"],
+                       pc.cast(pc.cast(b["ts"], pa.int64()), pa.string()),
+                       pc.cast(pa.array(round_half_away(
+                           b["value"].to_numpy(zero_copy_only=False)
+                           * 100.0, 0).astype(np.int64)), pa.string())]),
+    }
+    rows = []
+    for tbl_name, (cols, canon) in specs.items():
+        ds = read(sf_dir, tbl_name, cols)
+
+        def partial(batch: pa.Table, canon=canon) -> pa.Table:
+            parts = canon(batch)
+            joined = pc.binary_join_element_wise(
+                *[pc.fill_null(p, "") for p in parts], "|")
+            n, s = md5_sum_mod(joined, mod)
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "s": pa.array([s], pa.int64())})
+
+        n_rows, fp = 0, 0
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            n_rows += row["n"]
+            fp = (fp + row["s"]) % mod
+        rows.append((tbl_name, n_rows, fp))
+    return pa.table({
+        "tbl": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "fingerprint": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -131,6 +131,9 @@ NEW_QUERIES = [
     "mm_phash_clusters",
     "td_temperature_mix",
     "e_burst_rate",
+    "v_benford",
+    "v_cusum_shift",
+    "v_table_fingerprint",
     # g_*/v_ks_drift/v_dup_capture_window/dd_c4_line_dedup/
     # pages_boilerplate_ratio oracles read the sf0.01
     # pages/recrawl fixtures — parity checked by the driver/oracle_check
@@ -402,3 +405,58 @@ def test_c4_line_dedup_wire_equality(ray_session):
     # the corpus genuinely contains duplicate lines — a vacuous pass
     # (zero removals everywhere) would not exercise the keep-first path
     assert int(a["n_removed"].sum()) > 0
+
+
+def test_table_fingerprint_order_independent(ray_session):
+    """Property: the fingerprint is a SUM over row hashes, so any row
+    permutation of a table yields the same (n_rows, fingerprint) — and a
+    single flipped value changes it. Checked directly on the partial
+    kernel (md5_sum_mod) plus hashlib ground truth."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lk_data_test_ray.functions.hashing import md5_sum_mod
+
+    rows = [f"{i}|X|{i * 7 % 13}" for i in range(997)]
+    n1, s1 = md5_sum_mod(pa.array(rows))
+    rng = np.random.default_rng(5)
+    n2, s2 = md5_sum_mod(pa.array(list(rng.permutation(rows))))
+    assert (n1, s1) == (n2, s2) == (997, s1)
+    # hashlib ground truth for the 60-bit-prefix-sum spec
+    import hashlib
+    want = sum(int(hashlib.md5(r.encode()).hexdigest()[:15], 16)
+               for r in rows) % ((1 << 61) - 1)
+    assert s1 == want
+    # sensitivity: one changed row moves the fingerprint
+    rows[123] = rows[123] + "!"
+    assert md5_sum_mod(pa.array(rows))[1] != s1
+
+
+def test_cusum_detects_injected_level_shift(ray_session, tmp_path):
+    """A feed that permanently drops to 40% volume on day 20 of 40 must
+    put the |S| peak exactly at the last pre-shift day (the Taylor
+    change-point estimate) — the case v_count_anomaly's single-day MAD
+    rule cannot flag (no single day deviates)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import lk_data_test_ray.pipelines.queries as q
+
+    days = pd.date_range("2024-01-01", periods=40, freq="D")
+    per_day = np.where(np.arange(40) < 20, 100, 40)
+    ts = np.repeat(days.values, per_day)
+    n = len(ts)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    out = q.v_cusum_shift(str(tmp_path)).to_pandas()
+    assert len(out) == 40
+    flagged = out[out["is_changepoint"]]["day"].tolist()
+    assert flagged == ["2024-01-20"]
