@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_dow_anomaly": q.v_dow_anomaly,
         "v_join_fanout": q.v_join_fanout,
         "v_benford": q.v_benford,
+        "g_scc": q.g_scc,
         "v_cusum_shift": q.v_cusum_shift,
         "v_table_fingerprint": q.v_table_fingerprint,
         "dd_recrawl_chunk_savings": q.dd_recrawl_chunk_savings,
@@ -1355,6 +1356,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS depth
             FROM walk GROUP BY node
+        """,
+        "g_scc": f"""
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT a, b FROM (
+                    SELECT regexp_extract(src_url,
+                               '^https://([^/]+)/', 1) AS a,
+                           regexp_extract(dst_url,
+                               '^https://([^/]+)/', 1) AS b
+                    FROM read_parquet('{_pages_links_path()}'))
+                  WHERE a <> '' AND b <> '' AND a <> b),
+            nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+            reach AS (
+                SELECT n AS u, n AS v FROM nodes
+                UNION
+                SELECT reach.u, e.b FROM reach JOIN e ON reach.v = e.a
+            )
+            SELECT r1.u AS host, min(r1.v) AS scc_id
+            FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+            GROUP BY r1.u
         """,
         "g_components": """
             WITH RECURSIVE

@@ -1307,3 +1307,160 @@ def common_neighbor_scores(edges: rd.Dataset, a_col: str = "a",
             batch_format="pyarrow")
     return topk(missing, [("aa", True), ("cn", True),
                           ("v", False), ("w", False)], k)
+
+
+def scc_coloring(edges: rd.Dataset, src_col: str, dst_col: str,
+                 max_outer: int = 30, max_rounds: int = 25) -> rd.Dataset:
+    """Strongly connected components of a DIRECTED graph — the
+    coloring / forward-backward algorithm (Fleischer et al. 2000 FW-BW;
+    Orzan's coloring variant; Slota et al. 2014 Multistep), fully
+    distributed: nodes, edges, colors and flags all stream as Datasets;
+    nothing graph-sized ever touches the driver (one changed-count scalar
+    per propagation round, as in ``components_min_label``).
+
+    Per outer round over the ACTIVE subgraph:
+
+    1. **Color.** Forward min-label to fixpoint: color(v) = the minimum
+       node id that reaches v (including v) — the directed version of
+       ``components_min_label``'s exchange (one hash join ships colors
+       along out-edges, one grouped string-min adopts).
+    2. **Settle.** Roots r (color(r) == r) own their color class; the SCC
+       of r is exactly the class members that reach r BACK along edges
+       inside the class. Soundness of the within-class restriction: if
+       v → … → r with color(v) = r, every intermediate w has r → w (via
+       v) and w → r, so every reacher x of w also reaches r, hence
+       x ≥ r = color(r) and color(w) = r — the backward path can never
+       leave the class. The flag is therefore a single boolean per node
+       (no (node, root) pair blow-up), OR-propagated against the
+       class-internal REVERSED edges to fixpoint; isolated remnants
+       settle as singletons the same way (their root flag is the seed).
+    3. **Shrink.** Settled nodes emit (node, scc_id = color); two hash
+       semi-joins drop every edge touching them; repeat.
+
+    Each round settles at least every color-class root's whole SCC, so
+    outer rounds are bounded by the longest root-chain in the
+    condensation — shallow (≤ ~4) on web host graphs whose acyclic
+    fringe settles as singleton classes immediately. A 10^10-node
+    adversarial SCC chain would want Multistep's trim + pivot-BFS
+    hybrid; ``max_outer`` documents that envelope. ≙ the reference's
+    cross-document link-integrity closure (its link graph is validated
+    acyclic per index) generalized to cyclic web host graphs.
+
+    Returns (node, scc_id) with scc_id = min node id of the SCC.
+    """
+    from ..relational import exchange_join
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].combine_chunks().cast(pa.string())
+        b = batch[dst_col].combine_chunks().cast(pa.string())
+        t = pa.table({"a": a, "b": b})
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)),
+                             pc.invert(pc.equal(a, b))))
+        return t.group_by(["a", "b"]).aggregate([])  # per-batch distinct
+
+    active_edges = edges.map_batches(orient,
+                                     batch_format="pyarrow").materialize()
+
+    def _distinct(ds: rd.Dataset) -> rd.Dataset:
+        tagged = ds.map_batches(
+            lambda t: t.append_column(
+                "_o", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow")
+        return partial_groupby_agg(tagged, ["node"],
+                                   [("_o", "min", "_o")]).map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow")
+
+    nodes = _distinct(active_edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])}),
+        batch_format="pyarrow")).materialize()
+
+    def _count(ds: rd.Dataset) -> int:
+        parts = ds.map_batches(
+            lambda t: pa.table({"c": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow").take_all()
+        return sum(r["c"] for r in parts)
+
+    settled_parts: list[rd.Dataset] = []
+    for _ in range(max_outer):
+        if _count(nodes) == 0:
+            break
+        if _count(active_edges) == 0:
+            # no edges left: every remaining node is its own singleton SCC
+            settled_parts.append(nodes.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "scc_id": t["node"]}),
+                batch_format="pyarrow").materialize())
+            break
+        # 1. forward min-color to fixpoint
+        colors = nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "color": t["node"]}),
+            batch_format="pyarrow").materialize()
+        for _r in range(max_rounds):
+            msgs = exchange_join(active_edges, colors, "a", "node",
+                                 coalesce_keys=False).map_batches(
+                lambda t: pa.table({"node": t["b"], "color": t["color"]}),
+                batch_format="pyarrow")
+            new = partial_groupby_agg(
+                msgs.union(colors), ["node"],
+                [("color", "min", "color")]).materialize()
+            prev = colors.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "color_old": t["color"]}),
+                batch_format="pyarrow")
+            diff = exchange_join(new, prev, "node", "node").map_batches(
+                lambda t: pa.table({"c": pa.array([
+                    pc.sum(pc.cast(pc.not_equal(t["color"], t["color_old"]),
+                                   pa.int64())).as_py() or 0], pa.int64())}),
+                batch_format="pyarrow")
+            n_changed = sum(r["c"] for r in diff.take_all())
+            colors = new
+            if n_changed == 0:
+                break
+        # 2. class-internal reversed edges: flag flows dst -> src
+        ec = exchange_join(active_edges, colors, "a", "node",
+                           coalesce_keys=False).map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"],
+                                "ca": t["color"]}),
+            batch_format="pyarrow").materialize()
+        within = exchange_join(ec, colors, "b", "node",
+                               coalesce_keys=False).map_batches(
+            lambda t: t.filter(pc.equal(t["ca"], t["color"]))
+                       .select(["a", "b"]),
+            batch_format="pyarrow").materialize()
+        flags = colors.map_batches(
+            lambda t: t.filter(pc.equal(t["node"], t["color"]))
+                       .select(["node"]),
+            batch_format="pyarrow").materialize()  # roots seed the flag
+        for _r in range(max_rounds):
+            reach_msgs = exchange_join(within, flags, "b", "node",
+                                       coalesce_keys=False).map_batches(
+                lambda t: pa.table({"node": t["a"]}),
+                batch_format="pyarrow")
+            grown = _distinct(reach_msgs.union(flags)).materialize()
+            if _count(grown) == _count(flags):
+                flags = grown
+                break
+            flags = grown
+        # 3. settle flagged nodes, shrink the active graph — settled
+        # rows stay a Dataset (unioned at the end); the driver never
+        # holds anything node-count-sized
+        done = exchange_join(colors, flags, "node", "node",
+                             how="left_semi").map_batches(
+            lambda t: pa.table({"node": t["node"], "scc_id": t["color"]}),
+            batch_format="pyarrow").materialize()
+        settled_parts.append(done)
+        nodes = exchange_join(nodes, flags, "node", "node",
+                              how="left_anti").materialize()
+        alive = exchange_join(active_edges, flags, "a", "node",
+                              how="left_anti")
+        active_edges = exchange_join(alive, flags, "b", "node",
+                                     how="left_anti").materialize()
+    if not settled_parts:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "scc_id": pa.array([], pa.string())}))
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.union(part)
+    return out

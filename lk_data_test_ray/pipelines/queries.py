@@ -10142,3 +10142,37 @@ def v_table_fingerprint(sf_dir: str) -> pa.Table:
         "n_rows": pa.array([r[1] for r in rows], pa.int64()),
         "fingerprint": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def g_scc(sf_dir: str) -> rd.Dataset:
+    """Strongly connected components of the DIRECTED host link graph —
+    the web-graph bowtie decomposition input (Broder et al. 2000: the
+    giant SCC vs IN/OUT fringes is the standard macro-structure report
+    on a crawl) and the directed counterpart of ``g_components``.
+    Fully distributed coloring / FW-BW (``graph.scc_coloring``): forward
+    min-color fixpoint, within-class backward flags, settle-and-shrink —
+    nodes, edges, colors and flags all stream as Datasets. Oracle:
+    mutual-reachability closure (recursive CTE) with scc_id = min mutual
+    node."""
+    import os
+
+    from .graph import scc_coloring
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": h1, "dst_host": h2})
+        return t.filter(pc.and_(pc.is_valid(h1), pc.is_valid(h2)))
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    return scc_coloring(e, "src_host", "dst_host").map_batches(
+        lambda t: pa.table({"host": t["node"], "scc_id": t["scc_id"]}),
+        batch_format="pyarrow")

@@ -455,3 +455,72 @@ def test_random_walks_hub_skew(ray_session):
     rows = sorted((r["start"], r["step"], r["node"])
                   for r in got.take_all())
     assert rows == scalar_walks(e, 3)
+
+
+def _tarjan_scc(edges):
+    """Reference SCC (Tarjan) — scc_id = min node id of each component."""
+    import sys as _s
+    from collections import defaultdict
+
+    _s.setrecursionlimit(100000)
+    g = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        g[a].append(b)
+        nodes.update((a, b))
+    idx, low, on, st, out, c = {}, {}, set(), [], {}, [0]
+
+    def dfs(v):
+        idx[v] = low[v] = c[0]
+        c[0] += 1
+        st.append(v)
+        on.add(v)
+        for w in g[v]:
+            if w not in idx:
+                dfs(w)
+                low[v] = min(low[v], low[w])
+            elif w in on:
+                low[v] = min(low[v], idx[w])
+        if low[v] == idx[v]:
+            comp = []
+            while True:
+                w = st.pop()
+                on.discard(w)
+                comp.append(w)
+                if w == v:
+                    break
+            m = min(comp)
+            for w in comp:
+                out[w] = m
+
+    for v in sorted(nodes):
+        if v not in idx:
+            dfs(v)
+    return out
+
+
+def test_scc_coloring_vs_tarjan(ray_session):
+    """scc_coloring must match Tarjan on digraphs chosen to break the
+    naive shortcuts: the (fw_min, bw_min)-pair counterexample (two
+    distinct 2-cycles sharing a common ancestor AND a common
+    descendant), SCC chains (multi-outer-round settling), pure DAGs
+    (all singletons via the empty-edge fast path), and a long cycle
+    (one giant SCC)."""
+    from lk_data_test_ray.pipelines.graph import scc_coloring
+
+    cases = {
+        # fw/bw-pair counterexample: both 2-cycles have fw_min 0 (shared
+        # sink) and bw_min 1 (shared ancestor) yet are DIFFERENT SCCs
+        "counterexample": [("2", "3"), ("3", "2"), ("4", "5"), ("5", "4"),
+                           ("1", "2"), ("1", "4"), ("3", "0"), ("5", "0")],
+        "chain_of_sccs": [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"),
+                          ("d", "c"), ("d", "e"), ("e", "f"), ("f", "e")],
+        "dag": [("a", "b"), ("b", "c"), ("a", "c")],
+        "big_cycle": [(str(i), str((i + 1) % 7)) for i in range(7)],
+    }
+    for name, es in cases.items():
+        ds = rd.from_arrow(pa.table({"s": [a for a, _ in es],
+                                     "d": [b for _, b in es]}))
+        got = {r["node"]: r["scc_id"]
+               for r in scc_coloring(ds, "s", "d").take_all()}
+        assert got == _tarjan_scc(es), name
