@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "e_user_entropy",
     # round-5 additions
     "v_table_fingerprint",
+    "g_scc",
 ]
 
 

@@ -1309,8 +1309,72 @@ def common_neighbor_scores(edges: rd.Dataset, a_col: str = "a",
                           ("v", False), ("w", False)], k)
 
 
+def _tarjan_local(src: list, dst: list) -> pa.Table:
+    """Iterative (explicit-stack) Tarjan SCC over a driver-small DISTINCT
+    edge list — the local fast path of ``scc_coloring``; scc_id = min
+    node id of each component, matching the distributed path exactly."""
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    nodes = set()
+    for a, b in zip(src, dst):
+        g[a].append(b)
+        nodes.update((a, b))
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    out: dict = {}
+    counter = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [[root, 0]]
+        while work:
+            frame = work[-1]
+            v, pi = frame
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on.add(v)
+            recursed = False
+            neigh = g[v]
+            while pi < len(neigh):
+                w = neigh[pi]
+                pi += 1
+                if w not in index:
+                    frame[1] = pi
+                    work.append([w, 0])
+                    recursed = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                low[work[-1][0]] = min(low[work[-1][0]], low[v])
+    ks = sorted(out)
+    return pa.table({
+        "node": pa.array([str(k) for k in ks], pa.string()),
+        "scc_id": pa.array([str(out[k]) for k in ks], pa.string())})
+
+
 def scc_coloring(edges: rd.Dataset, src_col: str, dst_col: str,
-                 max_outer: int = 30, max_rounds: int = 25) -> rd.Dataset:
+                 max_outer: int = 30, max_rounds: int = 25,
+                 local_max_nodes: int = 2048) -> rd.Dataset:
     """Strongly connected components of a DIRECTED graph — the
     coloring / forward-backward algorithm (Fleischer et al. 2000 FW-BW;
     Orzan's coloring variant; Slota et al. 2014 Multistep), fully
@@ -1346,6 +1410,13 @@ def scc_coloring(edges: rd.Dataset, src_col: str, dst_col: str,
     cross-document link-integrity closure (its link graph is validated
     acyclic per index) generalized to cyclic web host graphs.
 
+    Driver-small graphs (node count ≤ ``local_max_nodes``, the triangle
+    family's gate — hosts, not pages) skip the per-round streaming-
+    executor floor entirely: the DISTINCT host-level edge list is
+    collected once and an iterative Tarjan runs driver-side (measured
+    17 s → <1 s on the 1001-host sf0.1 graph). The distributed path is
+    asserted equal in pytest and remains the >local_max_nodes route.
+
     Returns (node, scc_id) with scc_id = min node id of the SCC.
     """
     from ..relational import exchange_join
@@ -1374,6 +1445,16 @@ def scc_coloring(edges: rd.Dataset, src_col: str, dst_col: str,
         lambda t: pa.table({"node": pa.concat_arrays(
             [t["a"].combine_chunks(), t["b"].combine_chunks()])}),
         batch_format="pyarrow")).materialize()
+
+    if nodes.count() <= local_max_nodes:
+        et = pa.concat_tables(
+            active_edges.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+        pairs = (et.group_by(["a", "b"]).aggregate([])
+                 if et.num_rows else et)
+        return rd.from_arrow(_tarjan_local(
+            pairs["a"].to_pylist() if pairs.num_rows else [],
+            pairs["b"].to_pylist() if pairs.num_rows else []))
 
     def _count(ds: rd.Dataset) -> int:
         parts = ds.map_batches(

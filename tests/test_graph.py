@@ -521,6 +521,13 @@ def test_scc_coloring_vs_tarjan(ray_session):
     for name, es in cases.items():
         ds = rd.from_arrow(pa.table({"s": [a for a, _ in es],
                                      "d": [b for _, b in es]}))
-        got = {r["node"]: r["scc_id"]
-               for r in scc_coloring(ds, "s", "d").take_all()}
-        assert got == _tarjan_scc(es), name
+        want = _tarjan_scc(es)
+        # local Tarjan fast path (default gate)
+        got_local = {r["node"]: r["scc_id"]
+                     for r in scc_coloring(ds, "s", "d").take_all()}
+        assert got_local == want, f"local:{name}"
+        # distributed coloring/FW-BW path, forced
+        got_dist = {r["node"]: r["scc_id"]
+                    for r in scc_coloring(ds, "s", "d",
+                                          local_max_nodes=0).take_all()}
+        assert got_dist == want, f"distributed:{name}"
