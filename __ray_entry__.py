@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_join_fanout": q.v_join_fanout,
         "v_benford": q.v_benford,
         "g_scc": q.g_scc,
+        "g_bowtie": q.g_bowtie,
         "v_cusum_shift": q.v_cusum_shift,
         "v_table_fingerprint": q.v_table_fingerprint,
         "dd_recrawl_chunk_savings": q.dd_recrawl_chunk_savings,
@@ -1375,6 +1376,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT r1.u AS host, min(r1.v) AS scc_id
             FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
             GROUP BY r1.u
+        """,
+        "g_bowtie": f"""
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT a, b FROM (
+                    SELECT regexp_extract(src_url,
+                               '^https://([^/]+)/', 1) AS a,
+                           regexp_extract(dst_url,
+                               '^https://([^/]+)/', 1) AS b
+                    FROM read_parquet('{_pages_links_path()}'))
+                  WHERE a <> '' AND b <> '' AND a <> b),
+            nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+            reach AS (
+                SELECT n AS u, n AS v FROM nodes
+                UNION
+                SELECT reach.u, e.b FROM reach JOIN e ON reach.v = e.a
+            ),
+            scc AS (
+                SELECT r1.u AS host, min(r1.v) AS scc_id
+                FROM reach r1 JOIN reach r2
+                    ON r1.u = r2.v AND r1.v = r2.u
+                GROUP BY r1.u),
+            g AS (
+                SELECT scc_id FROM (
+                    SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
+                ORDER BY n DESC, scc_id LIMIT 1)
+            SELECT s.host,
+                   CASE WHEN s.scc_id = g.scc_id THEN 'GSCC'
+                        WHEN EXISTS (SELECT 1 FROM reach r
+                                     WHERE r.u = g.scc_id
+                                       AND r.v = s.host) THEN 'OUT'
+                        WHEN EXISTS (SELECT 1 FROM reach r
+                                     WHERE r.u = s.host
+                                       AND r.v = g.scc_id) THEN 'IN'
+                        ELSE 'OTHER' END AS part
+            FROM scc s, g
         """,
         "g_components": """
             WITH RECURSIVE

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "v_table_fingerprint",
     "g_scc",
+    "g_bowtie",
 ]
 
 

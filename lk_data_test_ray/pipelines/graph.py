@@ -663,7 +663,8 @@ def components_min_label(edges: rd.Dataset, src_col: str, dst_col: str,
 
 
 def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
-              n_seeds: int = 3, max_rounds: int = 30) -> rd.Dataset:
+              n_seeds: int = 3, max_rounds: int = 30,
+              seeds: "list[str] | None" = None) -> rd.Dataset:
     """Multi-source BFS over a DIRECTED graph: min hop distance from the
     seed set (the ``n_seeds`` lexicographically smallest nodes — a
     deterministic, oracle-expressible stand-in for a crawl's seed list).
@@ -712,8 +713,11 @@ def bfs_depth(edges: rd.Dataset, src_col: str, dst_col: str,
         idx = pc.array_sort_indices(arr)[:min(n_seeds, len(arr))]
         return pa.table({"node": pc.take(arr, idx)})
 
-    cand = e.map_batches(smallest, batch_format="pyarrow").take_all()
-    seeds = sorted({r["node"] for r in cand})[:n_seeds]
+    if seeds is None:
+        cand = e.map_batches(smallest, batch_format="pyarrow").take_all()
+        seeds = sorted({r["node"] for r in cand})[:n_seeds]
+    else:
+        seeds = sorted(set(seeds))
 
     import ray
 
@@ -1545,3 +1549,59 @@ def scc_coloring(edges: rd.Dataset, src_col: str, dst_col: str,
     for part in settled_parts[1:]:
         out = out.union(part)
     return out
+
+
+def bowtie_parts(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
+    """Bowtie decomposition (Broder et al. 2000) of a directed graph:
+    each node classified GSCC / IN / OUT / OTHER relative to the giant
+    strongly connected component. Composition of scale components:
+    ``scc_coloring`` finds the core; its size table picks the giant
+    (ties broken by min scc_id, deterministic); TWO frontier-only
+    ``bfs_depth`` runs seeded at the core's canonical min host —
+    reachability from ONE member equals reachability from the whole
+    SCC, so the seed is a single node regardless of core size — forward
+    for OUT, on reversed edges for IN; classification is two left-outer
+    hash joins + a vectorized if_else chain. A node holding both flags
+    is mutually connected to the core, hence ALREADY in GSCC — the CASE
+    order is total. Returns (node, part)."""
+    from ..relational import exchange_join, partial_groupby_agg, topk
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].combine_chunks().cast(pa.string())
+        b = batch[dst_col].combine_chunks().cast(pa.string())
+        return pa.table({"s": a, "d": b}).group_by(["s", "d"]).aggregate([])
+
+    e = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    scc = scc_coloring(e, "s", "d").materialize()
+
+    sizes = partial_groupby_agg(
+        scc.map_batches(lambda t: pa.table({
+            "scc_id": t["scc_id"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["scc_id"], [("one", "sum", "n")])
+    giant = topk(sizes, [("n", True), ("scc_id", False)], 1) \
+        .take_all()[0]["scc_id"]
+
+    fwd = bfs_depth(e, "s", "d", seeds=[giant]).map_batches(
+        lambda t: pa.table({"node": t["node"], "f": pa.array(
+            np.ones(t.num_rows, np.int8))}), batch_format="pyarrow")
+    bwd = bfs_depth(e, "d", "s", seeds=[giant]).map_batches(
+        lambda t: pa.table({"node": t["node"], "r": pa.array(
+            np.ones(t.num_rows, np.int8))}), batch_format="pyarrow")
+
+    j = exchange_join(scc, fwd, "node", "node",
+                      how="left_outer").materialize()
+    j = exchange_join(j, bwd, "node", "node",
+                      how="left_outer").materialize()
+
+    def classify(t: pa.Table, giant=giant) -> pa.Table:
+        is_g = pc.equal(t["scc_id"], giant)
+        part = pc.if_else(
+            is_g, "GSCC",
+            pc.if_else(pc.is_valid(t["f"]), "OUT",
+                       pc.if_else(pc.is_valid(t["r"]), "IN", "OTHER")))
+        return pa.table({"node": t["node"],
+                         "part": part.cast(pa.string())})
+
+    return j.map_batches(classify, batch_format="pyarrow")

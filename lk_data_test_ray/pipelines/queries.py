@@ -10176,3 +10176,42 @@ def g_scc(sf_dir: str) -> rd.Dataset:
     return scc_coloring(e, "src_host", "dst_host").map_batches(
         lambda t: pa.table({"host": t["node"], "scc_id": t["scc_id"]}),
         batch_format="pyarrow")
+
+
+def g_bowtie(sf_dir: str) -> rd.Dataset:
+    """Bowtie decomposition of the directed host graph (Broder et al.
+    2000, "Graph structure in the Web") — the standard crawl macro-
+    structure report: every host classified GSCC (the giant strongly
+    connected core), IN (reaches the core), OUT (reached from the core),
+    or OTHER (tendrils/tubes/disconnected). Built entirely from scale
+    components: ``scc_coloring`` for the core, then TWO frontier-only
+    BFS runs (``graph.bfs_depth``) seeded at the core's canonical min
+    host — reachability from ONE member equals reachability from the
+    whole SCC, so the seed set is a single node regardless of core
+    size — forward on the edges for OUT, on the reversed edges for IN.
+    A node with both flags is mutually connected to the core and lands
+    in GSCC by construction, so the CASE order is total. Classification
+    is two left-outer hash joins + one vectorized if_else chain
+    (``graph.bowtie_parts``)."""
+    import os
+
+    from .graph import bowtie_parts
+
+    fix = _pages_fixture(sf_dir)
+    links = rd.read_parquet(os.path.join(fix, "links.parquet"),
+                            columns=["src_url", "dst_url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h1 = pc.struct_field(pc.extract_regex(
+            batch["src_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        h2 = pc.struct_field(pc.extract_regex(
+            batch["dst_url"].combine_chunks(),
+            r"^https://(?P<h>[^/]+)/"), "h")
+        t = pa.table({"src_host": h1, "dst_host": h2})
+        return t.filter(pc.and_(pc.is_valid(h1), pc.is_valid(h2)))
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    return bowtie_parts(e, "src_host", "dst_host").map_batches(
+        lambda t: pa.table({"host": t["node"], "part": t["part"]}),
+        batch_format="pyarrow")

@@ -531,3 +531,28 @@ def test_scc_coloring_vs_tarjan(ray_session):
                     for r in scc_coloring(ds, "s", "d",
                                           local_max_nodes=0).take_all()}
         assert got_dist == want, f"distributed:{name}"
+
+
+def test_bowtie_parts_synthetic(ray_session):
+    """Hand-built bowtie: 3-cycle core, 2-node IN chain, 2-node OUT
+    chain, a tendril off IN, a tube (IN→tube→OUT, never touching the
+    core) and a disconnected 2-cycle (its own smaller SCC) — every part
+    of the Broder taxonomy represented."""
+    from lk_data_test_ray.pipelines.graph import bowtie_parts
+
+    es = [("c1", "c2"), ("c2", "c3"), ("c3", "c1"),       # GSCC
+          ("i2", "i1"), ("i1", "c1"),                      # IN chain
+          ("c2", "o1"), ("o1", "o2"),                      # OUT chain
+          ("i1", "t1"),                                    # tendril
+          ("i2", "u1"), ("u1", "o1"),                      # tube
+          ("d1", "d2"), ("d2", "d1")]                      # small SCC
+    ds = rd.from_arrow(pa.table({"s": [a for a, _ in es],
+                                 "d": [b for _, b in es]}))
+    got = {r["node"]: r["part"]
+           for r in bowtie_parts(ds, "s", "d").take_all()}
+    assert got == {
+        "c1": "GSCC", "c2": "GSCC", "c3": "GSCC",
+        "i1": "IN", "i2": "IN",
+        "o1": "OUT", "o2": "OUT",
+        "t1": "OTHER", "u1": "OTHER",
+        "d1": "OTHER", "d2": "OTHER"}
