@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_dow_anomaly": q.v_dow_anomaly,
         "v_join_fanout": q.v_join_fanout,
         "v_benford": q.v_benford,
+        "v_completeness_daily": q.v_completeness_daily,
+        "o_bottomk_sample": q.o_bottomk_sample,
         "g_scc": q.g_scc,
         "g_bowtie": q.g_bowtie,
         "v_cusum_shift": q.v_cusum_shift,
@@ -2743,6 +2745,24 @@ def oracle_sql() -> dict[str, str]:
                    abs(r.resid - g2.mr) > 3 * 1.4826 * g2.mad
                        AS is_anomaly
             FROM r, g2
+        """,
+        "v_completeness_daily": f"""
+            SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_null_text,
+                   sum(CASE WHEN html IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_null_html,
+                   round(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                         / (count(*) * 1.0), 6) AS null_text_frac,
+                   round(sum(CASE WHEN html IS NULL THEN 1 ELSE 0 END)
+                         / (count(*) * 1.0), 6) AS null_html_frac
+            FROM read_parquet('{_pages_fixture_glob()}')
+            GROUP BY 1
+        """,
+        "o_bottomk_sample": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY md5(o_orderkey::VARCHAR) LIMIT 100
         """,
         "v_benford": """
             WITH c AS (

@@ -10215,3 +10215,72 @@ def g_bowtie(sf_dir: str) -> rd.Dataset:
     return bowtie_parts(e, "src_host", "dst_host").map_batches(
         lambda t: pa.table({"host": t["node"], "part": t["part"]}),
         batch_format="pyarrow")
+
+
+def v_completeness_daily(sf_dir: str) -> pa.Table:
+    """Per-day column-completeness profile over the crawl (the Deequ
+    "completeness" metric as a time series): for each capture day, the
+    row count and the null fraction of ``text`` and ``html`` — the
+    "did a feed start sending empty payloads on day X?" audit that the
+    flagship's per-row C2 check reports as violations but not as a
+    trend. Distributed shape identical to the anomaly family: map-side
+    (day, n, null counters) partials from one vectorized is_null pass →
+    the tree-folded small groupby; nothing bigger than the day series
+    ever leaves a block. ≙ the reference's non-empty-field assertions
+    as a per-day rate."""
+    import os
+
+    from ..relational import small_groupby_agg
+
+    fix = _pages_fixture(sf_dir)
+    pages = rd.read_parquet(os.path.join(fix, "pages"),
+                            columns=["warc_ts", "html", "text"])
+
+    def day_nulls(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(batch["warc_ts"], format="%Y-%m-%d"),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "nt": pc.is_null(batch["text"]).cast(pa.int64()),
+            "nh": pc.is_null(batch["html"]).cast(pa.int64()),
+        })
+
+    g = small_groupby_agg(
+        pages.map_batches(day_nulls, batch_format="pyarrow"),
+        ["day"], [("one", "sum", "n"), ("nt", "sum", "n_null_text"),
+                  ("nh", "sum", "n_null_html")])
+    n = g["n"].to_numpy().astype(np.float64)
+    return pa.table({
+        "day": g["day"],
+        "n": g["n"],
+        "n_null_text": g["n_null_text"],
+        "n_null_html": g["n_null_html"],
+        "null_text_frac": pa.array(round_half_away(
+            g["n_null_text"].to_numpy() / n, 6)),
+        "null_html_frac": pa.array(round_half_away(
+            g["n_null_html"].to_numpy() / n, 6)),
+    })
+
+
+def o_bottomk_sample(sf_dir: str) -> rd.Dataset:
+    """EXACT-size deterministic uniform sample — the k smallest rows by
+    md5(key) (bottom-k sketch semantics: the md5 order is a uniform
+    random permutation, so the bottom k IS a uniform k-sample, and the
+    same k rows come back on every engine/run/partitioning — unlike
+    ``o_hash_sample``'s threshold form, which fixes the RATE but not
+    the size). Distributed shape: per-block local bottom-k prunes to
+    ≤ k rows per block before one tiny global sort+limit
+    (``relational.topk``) — at 10^12 rows the sort sees k × n_blocks
+    rows, never the table."""
+    from ..functions.hashing import md5_hex_ints
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def skey(batch: pa.Table) -> pa.Table:
+        h = md5_hex_ints(batch["o_orderkey"].to_numpy(
+            zero_copy_only=False))
+        return batch.append_column("skey", pa.array(h, pa.string()))
+
+    keyed = orders.map_batches(skey, batch_format="pyarrow")
+    return topk(keyed, [("skey", False)], 100).map_batches(
+        lambda t: t.select(["o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")

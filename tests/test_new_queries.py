@@ -134,6 +134,9 @@ NEW_QUERIES = [
     "v_benford",
     "v_cusum_shift",
     "v_table_fingerprint",
+    "o_bottomk_sample",
+    # v_completeness_daily's oracle reads the sf0.01 pages fixture —
+    # parity checked by the driver/oracle_check at sf0.01
     # g_*/v_ks_drift/v_dup_capture_window/dd_c4_line_dedup/
     # pages_boilerplate_ratio oracles read the sf0.01
     # pages/recrawl fixtures — parity checked by the driver/oracle_check
