@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_dow_anomaly": q.v_dow_anomaly,
         "v_join_fanout": q.v_join_fanout,
         "v_benford": q.v_benford,
+        "a_theil_index": q.a_theil_index,
         "v_completeness_daily": q.v_completeness_daily,
         "o_bottomk_sample": q.o_bottomk_sample,
         "g_scc": q.g_scc,
@@ -2763,6 +2764,19 @@ def oracle_sql() -> dict[str, str]:
         "o_bottomk_sample": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY md5(o_orderkey::VARCHAR) LIMIT 100
+        """,
+        "a_theil_index": """
+            WITH s AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            t AS (SELECT count(*) * 1.0 AS n, sum(cents * 1.0) AS sx,
+                         sum(cents * ln(cents * 1.0)) AS sxl
+                  FROM s)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   round((sxl - sx * ln(sx / n)) / sx, 6) AS theil
+            FROM t
         """,
         "v_benford": """
             WITH c AS (

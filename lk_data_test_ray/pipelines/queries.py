@@ -10284,3 +10284,52 @@ def o_bottomk_sample(sf_dir: str) -> rd.Dataset:
     return topk(keyed, [("skey", False)], 100).map_batches(
         lambda t: t.select(["o_orderkey", "o_totalprice"]),
         batch_format="pyarrow")
+
+
+def a_theil_index(sf_dir: str) -> pa.Table:
+    """Theil T inequality index of per-customer total spend — the
+    entropy-based companion to ``a_gini_spend`` (decomposable across
+    subgroups, which Gini is not — the reason monitoring suites carry
+    both). Unlike Gini it needs NO rank machinery at all:
+    T = [Σ x·ln x − Σx·ln μ] / (N·μ) is three scalar moments, so after
+    the same one-exchange per-customer spend reduction each block ships
+    exactly (n, Σx, Σ x·ln x) and the driver folds three numbers per
+    block at any scale. Spend in exact integer cents ⇒ each ln term is
+    bit-identical to the oracle's; the cross-block sum order drifts at
+    most ~1 ulp, absorbed by the shared 6-decimal rounding."""
+    from ..relational import hash_repartition_map
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "cents": pa.array(c, pa.int64())})
+        return t.group_by(["o_custkey"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["o_custkey", "cents"])
+
+    spend = hash_repartition_map(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        "o_custkey",
+        lambda t: t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        .rename_columns(["o_custkey", "cents"]))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sxl": pa.array([float((x * np.log(x)).sum())], pa.float64()),
+        })
+
+    n, sx, sxl = 0, 0.0, 0.0
+    for row in spend.map_batches(moments, batch_format="pyarrow").take_all():
+        n += row["n"]
+        sx += row["sx"]
+        sxl += row["sxl"]
+    theil = (sxl - sx * np.log(sx / n)) / sx
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "theil": pa.array(round_half_away(np.array([theil]), 6)),
+    })

@@ -556,3 +556,32 @@ def test_bowtie_parts_synthetic(ray_session):
         "o1": "OUT", "o2": "OUT",
         "t1": "OTHER", "u1": "OTHER",
         "d1": "OTHER", "d2": "OTHER"}
+
+
+def test_scc_coloring_fuzz_random_digraphs(ray_session):
+    """Both SCC paths equal Tarjan on random digraphs (the
+    components-test trial pattern, directed): sparse and dense regimes,
+    so multi-SCC condensations, giant SCCs and acyclic fringes all
+    occur."""
+    from lk_data_test_ray.pipelines.graph import scc_coloring
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = int(rng.integers(6, 18))
+        m = int(rng.integers(n, 4 * n))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a != b
+        es = [(f"n{i:02d}", f"n{j:02d}")
+              for i, j in zip(a[keep], b[keep])]
+        es = sorted(set(es))
+        ds = rd.from_arrow(pa.table({"s": [x for x, _ in es],
+                                     "d": [y for _, y in es]}))
+        want = _tarjan_scc(es)
+        got_local = {r["node"]: r["scc_id"]
+                     for r in scc_coloring(ds, "s", "d").take_all()}
+        assert got_local == want, f"local trial {trial}"
+        got_dist = {r["node"]: r["scc_id"]
+                    for r in scc_coloring(ds, "s", "d",
+                                          local_max_nodes=0).take_all()}
+        assert got_dist == want, f"distributed trial {trial}"

@@ -135,6 +135,7 @@ NEW_QUERIES = [
     "v_cusum_shift",
     "v_table_fingerprint",
     "o_bottomk_sample",
+    "a_theil_index",
     # v_completeness_daily's oracle reads the sf0.01 pages fixture —
     # parity checked by the driver/oracle_check at sf0.01
     # g_*/v_ks_drift/v_dup_capture_window/dd_c4_line_dedup/
