@@ -108,11 +108,33 @@ def run_validation(
 
     t0 = time.time()
     files = _pages_files(pages_path)
-    partition_of = {f: i for i, f in enumerate(files)}
     viol_dir = os.path.join(out_dir, "violations")
     os.makedirs(viol_dir, exist_ok=True)
     store = ManifestStore(os.path.join(out_dir, "manifests"))
-    done = store.completed() if resume else {}
+    committed = store.completed() if resume else {}
+
+    # Resume keys on each manifest's recorded input_fragment, NOT the
+    # file's position in the sorted listing: on an INCREMENTAL run (the
+    # daily-crawl-append mode) a new file that sorts before existing ones
+    # would otherwise shift every positional id — the new file inherits a
+    # committed id and is silently skipped unvalidated, the shifted file
+    # is re-scanned and double-counted, and the sidecar feed attributes
+    # the wrong urls to C1. A file keeps the partition id its manifest
+    # recorded; genuinely new files get fresh ids past the highest used.
+    frag_pid = {rec.get("input_fragment"): pid
+                for pid, rec in committed.items() if pid != "global"}
+    next_id = 1 + max((int(p) for p in committed
+                       if str(p).isdigit()), default=-1)
+    partition_of = {}
+    for f in files:
+        if f in frag_pid:
+            partition_of[f] = frag_pid[f]
+        else:
+            partition_of[f] = next_id
+            next_id += 1
+    cur_files = set(files)
+    done = {pid: rec for pid, rec in committed.items()
+            if pid != "global" and rec.get("input_fragment") in cur_files}
 
     todo = [f for f in files if partition_of[f] not in done]
     ray_stats = None
@@ -422,9 +444,12 @@ def run_validation(
     drain.start()
 
     # ---------------- merge committed partition stats ------------------------
-    done = store.completed()
-    all_stats = [store.load_stats(pid) for pid in sorted(done, key=str)
-                 if pid != "global"]
+    # only manifests whose input_fragment is in THIS run's file set — a
+    # manifest for a since-deleted input must not inflate the summary
+    done = {pid: rec for pid, rec in store.completed().items()
+            if pid != "global"
+            and rec.get("input_fragment") in set(files)}
+    all_stats = [store.load_stats(pid) for pid in sorted(done, key=str)]
     all_stats = [s for s in all_stats if s is not None]
     global_stats = merge_stats(all_stats)
     t_stats_merged = time.time()
@@ -478,7 +503,11 @@ def run_validation(
 
     # ---------------- summary ------------------------------------------------
     per_check = {c: 0 for c in CHECK_IDS}
-    for rec in store.completed().values():
+    cur = set(files)
+    for pid, rec in store.completed().items():
+        # current-run global record + manifests of files still in the input
+        if pid != "global" and rec.get("input_fragment") not in cur:
+            continue
         for c, n in rec.get("per_check_violations", {}).items():
             per_check[c] = per_check.get(c, 0) + n
     wall = time.time() - t0

@@ -179,3 +179,71 @@ def test_committed_sidecars_tiling(tmp_path):
     assert [os.path.basename(g) for g in got] == ["item-00003-00000-00008.npz"]
     # other pid's sidecars are invisible
     assert committed_sidecars(str(c1), 4, f) is None
+
+
+def test_incremental_append_sorts_first(pages_fixture, tmp_path, ray_session):
+    """Incremental (daily-append) correctness: a NEW input file that sorts
+    BEFORE the committed ones must be validated — under positional
+    partition ids it would inherit a committed id and be silently
+    skipped while the shifted file is re-scanned and double-counted.
+    Resume keys on the manifest's input_fragment, so (a) the second run
+    scans ONLY the new file (old manifests byte-untouched), and (b) the
+    merged summary equals a fresh full-directory run."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.validate import (load_violations,
+                                                     run_validation)
+
+    src = os.path.join(pages_fixture, "pages")
+    parts = sorted(os.listdir(src))
+    inc_in = tmp_path / "inc_in"
+    inc_in.mkdir()
+    # day 1: every file except the first; name them so the day-2 arrival
+    # sorts FIRST in the directory listing
+    for p in parts[1:]:
+        shutil.copy(os.path.join(src, p), inc_in / p)
+    out1 = str(tmp_path / "out_inc")
+    run_validation(str(inc_in), out1)
+    man_dir = os.path.join(out1, "manifests")
+    before = {f: os.path.getmtime(os.path.join(man_dir, f))
+              for f in os.listdir(man_dir) if f != "part-global.json"
+              and not f.startswith("stats-")}
+
+    # day 2: the append that sorts before everything already committed
+    shutil.copy(os.path.join(src, parts[0]), inc_in / "00-new.parquet")
+    s2 = run_validation(str(inc_in), out1)
+
+    # fresh full run over the same final directory
+    out_f = str(tmp_path / "out_fresh")
+    sf = run_validation(str(inc_in), out_f)
+
+    assert s2["n_rows"] == sf["n_rows"]
+    assert s2["per_check_violations"] == sf["per_check_violations"]
+    inc_v = load_violations(out1).to_pandas()
+    fre_v = load_violations(out_f).to_pandas()
+    key = ["check_id", "url", "detail"]
+    assert (inc_v[key].sort_values(key).reset_index(drop=True)
+            .equals(fre_v[key].sort_values(key).reset_index(drop=True)))
+    # committed day-1 manifests were not rewritten (no re-scan, no
+    # double count)
+    after = {f: os.path.getmtime(os.path.join(man_dir, f))
+             for f in before}
+    assert after == before
+    # the new file got a FRESH id and its manifest records its fragment
+    import json as _json
+
+    recs = []
+    for f in os.listdir(man_dir):
+        if f.startswith("part-") and f.endswith(".json") \
+                and f != "part-global.json":
+            with open(os.path.join(man_dir, f)) as fh:
+                recs.append(_json.load(fh))
+    frags = {os.path.basename(r["input_fragment"]) for r in recs}
+    assert "00-new.parquet" in frags
+    n_new = pq.read_metadata(str(inc_in / "00-new.parquet")).num_rows
+    new_rec = [r for r in recs
+               if r["input_fragment"].endswith("00-new.parquet")][0]
+    assert new_rec["n_rows"] == n_new
