@@ -510,6 +510,14 @@ def run_validation(
             continue
         for c, n in rec.get("per_check_violations", {}).items():
             per_check[c] = per_check.get(c, 0) + n
+    # violation parquets of since-deleted inputs must not leak into
+    # load_violations' union — drop any part file with no current manifest
+    keep_viols = {f"part-{int(pid):05d}.parquet"
+                  for pid in done if str(pid).isdigit()}
+    for name in os.listdir(viol_dir):
+        if (name.startswith("part-") and name.endswith(".parquet")
+                and name not in keep_viols):
+            os.remove(os.path.join(viol_dir, name))
     wall = time.time() - t0
     summary = {
         "phase_wall": {"row": round(t_row_done - t0, 3),

@@ -247,3 +247,40 @@ def test_incremental_append_sorts_first(pages_fixture, tmp_path, ray_session):
     new_rec = [r for r in recs
                if r["input_fragment"].endswith("00-new.parquet")][0]
     assert new_rec["n_rows"] == n_new
+
+
+def test_incremental_delete_shrinks_summary(pages_fixture, tmp_path,
+                                            ray_session):
+    """Deleting an input file and re-running must shrink the summary to
+    the surviving files — a stale manifest (or its violations parquet)
+    must not inflate totals or leak into load_violations."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lk_data_test_ray.pipelines.validate import (load_violations,
+                                                     run_validation)
+
+    src = os.path.join(pages_fixture, "pages")
+    parts = sorted(os.listdir(src))[:3]
+    inc_in = tmp_path / "del_in"
+    inc_in.mkdir()
+    for p in parts:
+        shutil.copy(os.path.join(src, p), inc_in / p)
+    out = str(tmp_path / "out_del")
+    run_validation(str(inc_in), out)
+
+    os.remove(inc_in / parts[0])
+    s2 = run_validation(str(inc_in), out)
+
+    out_f = str(tmp_path / "out_del_fresh")
+    sf = run_validation(str(inc_in), out_f)
+    assert s2["n_rows"] == sf["n_rows"] == sum(
+        pq.read_metadata(str(inc_in / p)).num_rows for p in parts[1:])
+    assert s2["per_check_violations"] == sf["per_check_violations"]
+    key = ["check_id", "url", "detail"]
+    a = load_violations(out).to_pandas()
+    b = load_violations(out_f).to_pandas()
+    assert (a[key].sort_values(key).reset_index(drop=True)
+            .equals(b[key].sort_values(key).reset_index(drop=True)))
